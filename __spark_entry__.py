@@ -13,9 +13,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from golang_mapreduce_spark.operators import mr_parity
+from golang_mapreduce_spark import mapreduce
+from golang_mapreduce_spark.operators import mr_parity, relational
 
-_MODULES = [mr_parity]
+_MODULES = [mr_parity, relational, mapreduce]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,641 @@
+"""Relational query surface over the TPC-H-ish fixture tables.
+
+The reference's paradigm can *express* all of this (any Map/Reduce pair,
+SURVEY.md §2.4) but implements none of it as named operators; here each is
+a declarative DataFrame plan so Catalyst supplies pushdown, pruning, join
+selection, partial aggregation, and AQE re-planning.
+
+Cross-engine determinism convention (used by every money aggregate):
+floating-point arithmetic happens in double (IEEE, deterministic per-row),
+the per-row result is cast once to DECIMAL(18,6) (exact), SUMmed exactly,
+and the exact sum is cast back to double.  This removes summation-order
+nondeterminism entirely, so Spark and the DuckDB oracle agree bit-for-bit
+without rounding tolerances.
+
+Scale notes inline per query; the common ones:
+* small dims (region 5 rows, nation 25, supplier) are broadcast
+  explicitly — no shuffle of the fact side for those joins;
+* fact-fact joins (orders⋈lineitem) shuffle on the join key, which is
+  also their natural bucketing key at 100 TB (bucket both by orderkey);
+* AQE (session default) handles skewed keys and runtime partition
+  coalescing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+
+def _dec(expr: str) -> str:
+    """Exact-decimal cast of a per-row double expression (see module doc)."""
+    return f"CAST(({expr}) AS DECIMAL(18,6))"
+
+
+# --- TPC-H-shaped aggregations -----------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate with 4 groups.
+
+    Plan: parquet scan with pushed l_shipdate filter -> partial hash agg
+    -> exchange on (returnflag, linestatus) -> final agg.  4 groups means
+    the shuffle carries only partial-agg rows (constant bytes per map
+    partition) — scales linearly in input, constant in shuffle.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(f"CAST(SUM({_dec('l_quantity')}) AS DOUBLE)").alias("sum_qty"),
+            F.expr(f"CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE)").alias("sum_base_price"),
+            F.expr(
+                f"CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE)"
+            ).alias("sum_disc_price"),
+            F.expr(
+                f"CAST(SUM({_dec('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS DOUBLE)"
+            ).alias("sum_charge"),
+            F.expr(f"CAST(SUM({_dec('l_quantity')}) AS DOUBLE) / COUNT(*)").alias("avg_qty"),
+            F.expr(f"CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE) / COUNT(*)").alias("avg_price"),
+            F.expr(f"CAST(SUM({_dec('l_discount')}) AS DOUBLE) / COUNT(*)").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM({_dec('l_quantity')}) AS DOUBLE) AS sum_qty,
+       CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_dec('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS DOUBLE) AS sum_charge,
+       CAST(SUM({_dec('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM({_dec('l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective 3-way join + top-10 by revenue.
+
+    customer is filtered then joined to orders (both shuffle on custkey;
+    at scale, customer is the smaller side and AQE picks broadcast when it
+    fits), then orders⋈lineitem shuffles on orderkey.  The top-10 is a
+    global sort of the aggregated (small) result, not of the fact table.
+    """
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-03-15"))
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-03-15"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.expr(
+                f"CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a broadcast dim chain.
+
+    region(5)⋈nation(25) are broadcast explicitly — the fact side never
+    shuffles for them.  The c_nationkey = s_nationkey condition makes the
+    customer⋈supplier correlation part of the join tree as in TPC-H.
+    """
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.expr(
+                f"CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE)"
+            ).alias("revenue")
+        )
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate; every predicate is
+    parquet-pushable, the aggregate is a single global sum (partial
+    map-side, one row shuffled per partition)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM({_dec('l_extendedprice * l_discount')}) AS DOUBLE)"
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT CAST(SUM({_dec('l_extendedprice * l_discount')}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    nation broadcasts; customer⋈orders⋈lineitem shuffle on their keys."""
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.expr(
+                f"CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE)"
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# --- join varieties ----------------------------------------------------
+
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join: every customer with order count/total, zeros kept.
+    At scale both sides shuffle on custkey; pre-aggregating orders before
+    the join (done here) shrinks the join's right side to one row per
+    customer — join-then-aggregate would shuffle the full orders table."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(f"CAST(SUM({_dec('o_totalprice')}) AS DOUBLE)").alias("total_spend"),
+        )
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )
+
+
+JOIN_LEFT_SQL = f"""
+SELECT c_custkey, c_name,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(total_spend, 0.0) AS total_spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM({_dec('o_totalprice')}) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+"""
+
+
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having any order > 400k.
+    Semi-join ships only the join key of the right side — at 100 TB this
+    is the cheapest existence test Spark has."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+"""
+
+
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no urgent orders
+    (the no-orders-at-all variant is empty on the fixtures — every
+    customer has orders — so the predicate keeps the anti-join
+    observable)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# --- grouping sets ------------------------------------------------------
+
+def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — subtotal rows labelled 'ALL'
+    (the fixture columns are never null, so COALESCE is unambiguous)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"CAST(SUM({_dec('l_quantity')}) AS DOUBLE)").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+AGG_ROLLUP_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM({_dec('l_quantity')}) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(f"CAST(SUM({_dec('o_totalprice')}) AS DOUBLE)").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+AGG_CUBE_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM({_dec('o_totalprice')}) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+
+def distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT aggregation per nation (Spark expands this into a
+    two-phase aggregate; the approx_count_distinct variant for 100 TB is
+    in textstats/approx notes — HLL sketches aren't oracle-comparable)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+DISTINCT_SQL = """
+SELECT c_nationkey,
+       COUNT(DISTINCT c_mktsegment) AS n_segments,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+# --- windows (row-based) ------------------------------------------------
+
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price: the scalable top-k pattern
+    (partitioned window + row_number, never a global sort).  Determinism:
+    ties broken by o_orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + rank per customer over order history.  Exact-decimal
+    prefix sums keep every row's running value engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr(
+            f"CAST(SUM({_dec('o_totalprice')}) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS DOUBLE)"
+        ).alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+WINDOW_RUNNING_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM({_dec('o_totalprice')}) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+# --- set operations -----------------------------------------------------
+
+def set_ops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION in one result: BUILDING-segment customers
+    vs customers with any order > 300k, tagged by membership."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    spenders = (
+        o.where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = building.intersect(spenders).select(F.lit("both").alias("tag"), "custkey")
+    b_only = building.subtract(spenders).select(
+        F.lit("building_only").alias("tag"), "custkey"
+    )
+    s_only = spenders.subtract(building).select(
+        F.lit("spender_only").alias("tag"), "custkey"
+    )
+    return both.unionAll(b_only).unionAll(s_only)
+
+
+SET_OPS_SQL = """
+WITH building AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), spenders AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+)
+SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM spenders)
+UNION ALL
+SELECT 'building_only', custkey FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM spenders)
+UNION ALL
+SELECT 'spender_only', custkey FROM (SELECT custkey FROM spenders EXCEPT SELECT custkey FROM building)
+"""
+
+
+# --- scalar function library -------------------------------------------
+
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/math scalar expressions — all JVM-side, codegen'd, no UDFs."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("#", "p_brand", F.col("p_size").cast("string")).alias("brand_size"),
+        F.expr("regexp_extract(p_name, '^([a-z]+)', 1)").alias("first_word"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_bump"),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+    )
+
+
+SCALAR_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       substr(p_type, 1, 5) AS type_prefix,
+       LENGTH(p_name) AS name_len,
+       p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size,
+       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+       ROUND(SQRT(p_retailprice), 6) AS price_sqrt,
+       ROUND(p_retailprice * 1.1, 2) AS price_bump,
+       CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+FROM part
+"""
+
+
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar expressions over order dates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+    )
+
+
+DATE_SQL = """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS yr,
+       EXTRACT(quarter FROM o_orderdate) AS qtr,
+       EXTRACT(month FROM o_orderdate) AS mo,
+       EXTRACT(day FROM o_orderdate) AS dom,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002
+FROM orders
+"""
+
+
+def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON props field -> typed aggregation.
+    get_json_object evaluates JVM-side; at scale prefer from_json with an
+    explicit schema once the props shape is known (single parse, typed)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.expr("CAST(SUM(k) AS DOUBLE) / COUNT(*)").alias("avg_k"),
+        )
+    )
+
+
+JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(k) AS sum_k,
+       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier": q5_local_supplier,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q10_returned_items": q10_returned_items,
+    "join_left_order_counts": join_left_order_counts,
+    "join_semi_big_spenders": join_semi_big_spenders,
+    "join_anti_inactive_customers": join_anti_inactive_customers,
+    "agg_rollup_returns": agg_rollup_returns,
+    "agg_cube_orders": agg_cube_orders,
+    "distinct_stats": distinct_stats,
+    "topk_orders_per_customer": topk_orders_per_customer,
+    "window_running_spend": window_running_spend,
+    "set_ops_segments": set_ops_segments,
+    "scalar_funcs": scalar_funcs,
+    "date_funcs": date_funcs,
+    "json_events": json_events,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_shipping_priority": Q3_SQL,
+    "q5_local_supplier": Q5_SQL,
+    "q6_revenue_forecast": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "join_left_order_counts": JOIN_LEFT_SQL,
+    "join_semi_big_spenders": JOIN_SEMI_SQL,
+    "join_anti_inactive_customers": JOIN_ANTI_SQL,
+    "agg_rollup_returns": AGG_ROLLUP_SQL,
+    "agg_cube_orders": AGG_CUBE_SQL,
+    "distinct_stats": DISTINCT_SQL,
+    "topk_orders_per_customer": TOPK_SQL,
+    "window_running_spend": WINDOW_RUNNING_SQL,
+    "set_ops_segments": SET_OPS_SQL,
+    "scalar_funcs": SCALAR_SQL,
+    "date_funcs": DATE_SQL,
+    "json_events": JSON_SQL,
+}

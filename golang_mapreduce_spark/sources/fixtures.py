@@ -37,7 +37,21 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. Lazy; pushdown/pruning apply at the scan."""
+    """Scan one fixture table. Lazy; pushdown/pruning apply at the scan.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects outright; read it as raw nanos
+    (``legacy.parquet.nanosAsLong``) and truncate to microsecond
+    timestamps with integer division (double division would lose
+    precision above 2^53 ns).  DuckDB truncates NANOS→micros the same
+    way, so oracle comparisons stay exact.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
