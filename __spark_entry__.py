@@ -14,9 +14,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from golang_mapreduce_spark import mapreduce
-from golang_mapreduce_spark.operators import mr_parity, relational
+from golang_mapreduce_spark.operators import (
+    dedup,
+    mr_parity,
+    multimodal,
+    relational,
+    similarity,
+    textstats,
+    windows,
+)
+from golang_mapreduce_spark.streaming import jobs as streaming_jobs
 
-_MODULES = [mr_parity, relational, mapreduce]
+_MODULES = [
+    mr_parity,
+    relational,
+    windows,
+    streaming_jobs,
+    mapreduce,
+    dedup,
+    similarity,
+    textstats,
+    multimodal,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,368 @@
+"""Deduplication operators over the ``documents`` table — the core
+training-data-pipeline extension (BASELINE.json north star; absent in the
+reference, whose only dedup-adjacent primitive is distinct-words-per-doc
+in indexer.go:24-27).
+
+Four tiers, each with a full DuckDB oracle (cross-engine md5-derived
+hashing, functions/hashing.py):
+
+* exact        — hash-groupBy on normalized text; one shuffle of
+                 (hash, id), scales linearly.
+* MinHash+LSH  — shingle → 16-perm signature → 4×4 banding → bucket
+                 self-join.  The scalable near-dup path: candidate pairs
+                 come from bucket collisions (shuffle keyed on band
+                 hash), never an all-pairs product.
+* SimHash      — 60-bit hyperplane-free bit signature; near-dup =
+                 small hamming distance; here we emit the signature
+                 (join/bucketing is the same banding trick as MinHash).
+* n-gram Jaccard — exact similarity via an inverted-index join on
+                 5-gram shingles (doc-frequency of a 5-gram is tiny, so
+                 the shingle join does not quadratically explode; the
+                 3-gram variant at 100 TB must prune high-DF shingles
+                 first or fall back to MinHash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_mapreduce_spark.functions.hashing import (
+    MINHASH_PRIME,
+    hash32,
+    minhash_seeds,
+    sql_hash32,
+    sql_hash60,
+)
+from golang_mapreduce_spark.functions.text import ws_words
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SEEDS = minhash_seeds(NUM_HASHES)
+SIMHASH_BITS = 60
+JACCARD_NGRAM = 5
+JACCARD_THRESHOLD = 0.2
+MINHASH_EST_THRESHOLD = 0.25
+
+
+# --- exact -------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text, keep the min doc_id per group.
+    Shuffle carries only (hash, doc_id) — bytes-per-row constant no matter
+    how large the documents are."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.md5(F.lower(F.trim("text"))).alias("text_hash"), "doc_id"
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(lower(trim(text))) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- MinHash -----------------------------------------------------------
+
+def _shingles(n: int) -> F.Column:
+    """Word n-gram shingle array from the whitespace-token array `toks`."""
+    joins = ", ".join(f"toks[i + {k}]" for k in range(n))
+    return F.expr(
+        f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {joins}))"
+    )
+
+
+def _signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m15) minhash columns over 3-gram shingles.  One
+    explode + one groupBy with 16 algebraic min aggregates — partial
+    aggregation applies, so the shuffle carries 16 longs per doc per map
+    partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(_shingles(3)).alias("s"))
+        .select("doc_id", hash32("s").alias("h"))
+    )
+    aggs = [
+        F.min(F.expr(f"({a} * h + {b}) % {MINHASH_PRIME}")).alias(f"m{i}")
+        for i, (a, b) in enumerate(SEEDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-perm MinHash signature per document (comma-joined string for
+    oracle comparison)."""
+    sig = _signatures_df(spark, sf_dir)
+    return sig.select(
+        "doc_id",
+        F.concat_ws(",", *[F.col(f"m{i}").cast("string") for i in range(NUM_HASHES)]).alias(
+            "sig"
+        ),
+    )
+
+
+def _sql_seed_lists() -> tuple[str, str]:
+    a_list = ", ".join(str(a) for a, _ in SEEDS)
+    b_list = ", ".join(str(b) for _, b in SEEDS)
+    return f"[{a_list}]", f"[{b_list}]"
+
+
+def _sql_signature_cte() -> str:
+    """Shared oracle CTEs computing (doc_id, i, mv) minhash rows."""
+    a_list, b_list = _sql_seed_lists()
+    return f"""
+toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+),
+hashes AS (
+  SELECT doc_id, {sql_hash32('s')} AS h FROM sh
+),
+seeds AS (
+  SELECT unnest({a_list}) AS a, unnest({b_list}) AS b,
+         unnest(generate_series(1, {NUM_HASHES})) AS i
+),
+mh AS (
+  SELECT doc_id, i, MIN((a * h + b) % {MINHASH_PRIME}) AS mv
+  FROM hashes, seeds
+  GROUP BY doc_id, i
+)"""
+
+
+MINHASH_SIG_SQL = f"""
+WITH {_sql_signature_cte()}
+SELECT doc_id, string_agg(mv::VARCHAR, ',' ORDER BY i) AS sig
+FROM mh
+GROUP BY doc_id
+"""
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: band the 16-value signature into 4 bands of 4;
+    docs sharing any band bucket are candidates; keep pairs whose
+    estimated Jaccard (matching signature positions / 16) clears the
+    threshold.
+
+    Scale shape: bucket join shuffles on (band, band_key) — collisions,
+    not cross products.  The signature re-join to score pairs is two
+    hash joins on doc_id."""
+    sig = _signatures_df(spark, sf_dir).select(
+        "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {BANDS - 1}), "
+                f"b -> struct(b AS band, concat_ws(',', transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}), x -> CAST(x AS STRING))) AS bkey))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+                / F.lit(float(NUM_HASHES))
+            ).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= MINHASH_EST_THRESHOLD)
+    )
+
+
+DEDUP_MINHASH_PAIRS_SQL = f"""
+WITH {_sql_signature_cte()},
+sig AS (
+  SELECT doc_id, list(mv ORDER BY i) AS sig FROM mh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b AS band,
+         array_to_string(list_slice(sig, b * {ROWS_PER_BAND} + 1, (b + 1) * {ROWS_PER_BAND}), ',') AS bkey
+  FROM sig, (SELECT unnest(generate_series(0, {BANDS - 1})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_filter(generate_series(1, {NUM_HASHES}),
+                       i -> sa.sig[i] = sb.sig[i])) / {NUM_HASHES}.0 AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
+WHERE len(list_filter(generate_series(1, {NUM_HASHES}),
+                      i -> sa.sig[i] = sb.sig[i])) / {NUM_HASHES}.0 >= {MINHASH_EST_THRESHOLD}
+"""
+
+
+# --- SimHash -----------------------------------------------------------
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document: for each bit b, the sign of
+    sum(+1/-1 over word hashes' bit b) sets the output bit.  One explode
+    + one groupBy with 60 algebraic sums — partial-agg friendly."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(ws_words("text")).alias("w")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    sums = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    combine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH_BITS)
+    )
+    return (
+        words.groupBy("doc_id")
+        .agg(*sums)
+        .select("doc_id", F.expr(combine).alias("simhash"))
+    )
+
+
+SIMHASH_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id, {sql_hash60('w')} AS h FROM words
+),
+bit_sums AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM hashes, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+FROM bit_sums
+GROUP BY doc_id
+"""
+
+
+# --- exact n-gram Jaccard ----------------------------------------------
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard similarity on distinct 5-gram shingles via an
+    inverted-index self-join: pairs sharing a shingle -> |A∩B| counts ->
+    |A∪B| = |A|+|B|-|A∩B|.
+
+    5-grams keep per-shingle document frequency near 1, so the join
+    output is ~linear; that is the property that makes this exact method
+    survive scale-up (3-grams would need high-DF pruning or MinHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_sh = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= JACCARD_NGRAM)
+        .select("doc_id", F.explode(_shingles(JACCARD_NGRAM)).alias("s"))
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    common = (
+        a.join(b, "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+doc_sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS g(i)
+  WHERE len(t) >= {JACCARD_NGRAM}
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM doc_sh a JOIN doc_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "simhash_signatures": simhash_signatures,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_signatures": MINHASH_SIG_SQL,
+    "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
+    "simhash_signatures": SIMHASH_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+}

@@ -1,0 +1,231 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64)
+— the ANN extension surface (BASELINE.json north star).
+
+Everything stays JVM-side: dot products are ``aggregate``/``zip_with``
+higher-order functions, no Python in the hot path.  Cosine values are
+rounded to 6 dp before any ranking/thresholding; both engines' fold
+orders differ by ≤1e-14, far inside the rounding quantum, so rankings are
+engine-identical (ties then break on vec_id).
+
+Scale paths:
+* brute-force top-k  — O(Q×N) with the Q query vectors broadcast;
+  correct baseline, linear per query.  Fine for Q small at any N.
+* IVF top-k          — coarse quantization: assign every vector to its
+  nearest centroid once (the big O(N×C) pass, still broadcast-joined),
+  then probe only the top-P centroid partitions per query.  At 100 TB
+  the assignment is the write-path (store cluster as a partition
+  column); queries touch P/C of the data.
+* blocked near-dup   — all-pairs cosine restricted to equality blocks
+  (here: label); the generic embedding-dedup blocking is LSH or IVF
+  cluster equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+TOP_K = 5
+N_QUERIES = 8          # query set: vec_id < 8
+CENTROID_STEP = 53     # centroids: vec_id % 53 == 0  (data-derived, deterministic)
+N_PROBE = 2            # IVF: probe the 2 nearest centroids
+NEARDUP_COS = 0.30   # fixture embeddings are near-random; 0.30 ≈ top percentile
+
+
+def _cos(a: str, b: str) -> F.Column:
+    """Rounded cosine between two array<double> columns (deterministic:
+    aggregate() folds left-to-right)."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))")
+    nb = F.expr(f"sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))")
+    return F.round(dot / (na * nb), 6)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for each query vector (vec_id < 8) against the
+    full collection.  The tiny query side is broadcast; the big side
+    streams — one scan, no shuffle of the collection."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    scored = (
+        emb.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos("q_emb", "emb").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", "sim", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= TOP_K)
+
+
+KNN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5: assign vectors to deterministic coarse
+    centroids (vec_id % {step} == 0), probe the 2 nearest centroids per
+    query, brute-force only inside probed clusters.
+
+    Deterministic by construction (centroids are data rows, similarities
+    rounded, ties broken by id), so the oracle replicates the algorithm
+    exactly — recall vs the brute-force baseline is asserted in tests.
+    At scale, `cluster` becomes a partition column written once at ingest;
+    a query reads only its probed partitions (partition pruning)."""
+    emb = _emb(spark, sf_dir)
+    cent = F.broadcast(
+        emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
+            F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb")
+        )
+    )
+    # assignment pass: nearest centroid per vector
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assign = (
+        emb.join(cent)
+        .select(
+            "vec_id", "emb", F.col("cid"), _cos("emb", "c_emb").alias("csim")
+        )
+        .withColumn("arn", F.row_number().over(aw))
+        .where(F.col("arn") == 1)
+        .select("vec_id", "emb", F.col("cid").alias("cluster"))
+    )
+    # probe pass: top-2 centroids per query vector
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        q.join(cent)
+        .select("query_id", "q_emb", "cid", _cos("q_emb", "c_emb").alias("csim"))
+        .withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= N_PROBE)
+        .select("query_id", "q_emb", F.col("cid").alias("cluster"))
+    )
+    # search only probed clusters
+    scored = (
+        probes.join(assign, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos("q_emb", "emb").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", "sim", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= TOP_K)
+
+
+ANN_IVF_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, emb AS c_emb FROM emb WHERE vec_id % {CENTROID_STEP} = 0
+),
+assign AS (
+  SELECT vec_id, emb, cid AS cluster FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS arn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE arn = 1
+),
+probes AS (
+  SELECT query_id, q_emb, cid AS cluster FROM (
+    SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(q.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS prn
+    FROM emb q CROSS JOIN cent c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE prn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(p.q_emb, a.emb), 6) AS sim
+  FROM probes p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label equality:
+    the all-pairs product is confined to blocks (here 10 labels), the
+    blocking pattern that makes embedding dedup feasible at scale
+    (production blocking key: LSH bucket or IVF cluster id)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    b = emb.select("label", F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    return (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("label", "vec_a", "vec_b", _cos("emb_a", "emb_b").alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
+EMB_NEARDUP_SQL = f"""
+SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {NEARDUP_COS}
+"""
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "ann_ivf_topk": ann_ivf_topk,
+    "emb_neardup_pairs": emb_neardup_pairs,
+}
+
+ORACLES = {
+    "knn_bruteforce": KNN_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
+    "emb_neardup_pairs": EMB_NEARDUP_SQL,
+}

@@ -1,0 +1,248 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token statistics, fingerprinting (BASELINE.json north star).
+
+All expressions are JVM-side built-ins (regex, higher-order array
+functions, md5-derived hashing) — no Python UDFs, so whole-stage codegen
+applies and every query is a single scan + narrow project (+ one shuffle
+where grouped).  Each has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_mapreduce_spark.functions.hashing import hash32, sql_hash32
+from golang_mapreduce_spark.functions.text import ws_words
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+#: Stopword sample for quality scoring (drawn from the fixture vocabulary).
+STOPWORDS = ("the", "a", "data", "key", "value")
+FP_MOD = 16  # fingerprint: keep shingle hashes ≡ 0 (mod 16) — winnowing-lite
+
+
+def lang_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc count, token/char averages,
+    distinct sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang", "source", "n_chars", F.size(ws_words("text")).alias("n_tokens")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)").alias("avg_tokens"),
+            F.expr("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)").alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+LANG_STATS_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM (
+  SELECT lang, source, n_chars,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class language-ID heuristic (CJK / diacritic ranges),
+    evaluated against the labelled ``lang`` column.  The fixture corpus is
+    ASCII for every language, so the heuristic predicts 'en' throughout —
+    the operator under test is the deterministic classification pipeline
+    shape (regex feature → rule → confusion counts), not model quality."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = (
+        F.when(F.col("text").rlike(r"[\x{4e00}-\x{9fff}]"), "zh")
+        .when(F.col("text").rlike(r"[áéíóúñ¿¡]"), "es")
+        .when(F.col("text").rlike(r"[àâçèêîôû]"), "fr")
+        .when(F.col("text").rlike(r"[äöüß]"), "de")
+        .otherwise("en")
+    )
+    return (
+        docs.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+LANG_ID_SQL = """
+SELECT lang, predicted, COUNT(*) AS n
+FROM (
+  SELECT lang,
+         CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+              WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+              WHEN regexp_matches(text, '[àâçèêîôû]') THEN 'fr'
+              WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+              ELSE 'en' END AS predicted
+  FROM documents
+)
+GROUP BY lang, predicted
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + a weighted score: token count,
+    mean word length, punctuation ratio, stopword ratio.  The score
+    formula is arbitrary but fixed; all arithmetic is deterministic
+    double math rounded at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = ws_words("text")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.expr(f"filter(toks, t -> t IN ({sw_list}))"))
+    n_punct = F.length(F.regexp_replace("text", r"[\p{L}\p{N}\s]", ""))
+    mean_wlen = F.expr(
+        "CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS DOUBLE) / size(toks)"
+    )
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        toks.alias("toks"),
+        n_punct.alias("n_punct"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(F.col("n_punct") / F.col("n_chars"), 6).alias("punct_ratio"),
+        F.round(n_stop / F.size("toks"), 6).alias("stopword_ratio"),
+    )
+    score = F.round(
+        0.4 * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - F.col("punct_ratio"))
+        + 0.3 * F.col("stopword_ratio"),
+        6,
+    )
+    return base.select(
+        "doc_id", "n_tokens", "mean_word_len", "punct_ratio", "stopword_ratio",
+        score.alias("quality_score"),
+    )
+
+
+QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks,
+         length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS n_punct,
+         n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+         ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+         ROUND(CAST(len(list_filter(toks, t -> t IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
+       ROUND(0.4 * LEAST(n_tokens / 100.0, 1.0)
+             + 0.3 * (1.0 - punct_ratio)
+             + 0.3 * stopword_ratio, 6) AS quality_score
+FROM feat
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, and a BPE-ish
+    subword estimate (ceil(len/3) pieces per token — a deterministic
+    stand-in for a real tokenizer's piece count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_words("text").alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.expr(
+            "aggregate(toks, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 3.0) AS LONG))"
+        ).alias("subword_est"),
+    )
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 3.0) AS BIGINT))) AS BIGINT) AS subword_est
+FROM (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-lite document fingerprints: hash every word 3-gram,
+    keep hashes ≡ 0 (mod 16) — a deterministic ~1/16 sample that two
+    similar documents select near-identically (the content-defined
+    sampling idea behind MOSS/winnowing).  Emits per-doc fingerprint
+    count + min/max for compact comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3), "
+                    "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", hash32("s").alias("h"))
+        .where(F.col("h") % FP_MOD == 0)
+    )
+    return sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.min("h").alias("min_fp"),
+        F.max("h").alias("max_fp"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+),
+h AS (
+  SELECT doc_id, {sql_hash32('s')} AS h FROM sh
+)
+SELECT doc_id, COUNT(*) AS n_fp, MIN(h) AS min_fp, MAX(h) AS max_fp
+FROM h
+WHERE h % {FP_MOD} = 0
+GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_doc_stats": lang_doc_stats,
+    "lang_id_heuristic": lang_id_heuristic,
+    "quality_scores": quality_scores,
+    "token_stats": token_stats,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+ORACLES = {
+    "lang_doc_stats": LANG_STATS_SQL,
+    "lang_id_heuristic": LANG_ID_SQL,
+    "quality_scores": QUALITY_SQL,
+    "token_stats": TOKEN_STATS_SQL,
+    "doc_fingerprints": FINGERPRINT_SQL,
+}

@@ -1,0 +1,90 @@
+"""Unit tests for surfaces the DuckDB oracle can't check: the stubbed
+multimodal decoder, IVF recall vs brute force, the map_reduce facade's
+UDF contract, and physical-plan properties (pushdown/pruning/broadcast)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from golang_mapreduce_spark.mapreduce import map_reduce
+from golang_mapreduce_spark.operators import multimodal, similarity
+from golang_mapreduce_spark.operators.mr_parity import word_count
+from golang_mapreduce_spark.operators.relational import q5_local_supplier, q6_revenue_forecast
+from golang_mapreduce_spark.plans import has_broadcast_join, pushed_filters, read_schema
+
+
+def test_image_features_match_independent_python(spark, sf_dir):
+    got = {
+        r["doc_id"]: r
+        for r in multimodal.image_features(spark, sf_dir).collect()
+    }
+    texts = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(got) == len(texts)
+    for doc_id, text in texts:
+        data = text.encode("utf-8")
+        row = got[doc_id]
+        assert row["n_bytes"] == len(data)
+        assert row["width"] == 1 + (len(data) % 512)
+        assert row["height"] == 1 + (len(data) // 512)
+        head = data[:64]
+        assert row["mean_byte"] == pytest.approx(sum(head) / max(len(head), 1))
+
+
+def test_decode_image_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = similarity.knn_bruteforce(spark, sf_dir).collect()
+    approx = similarity.ann_ivf_topk(spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(approx_sets) == set(exact_sets)
+    recalls = [
+        len(exact_sets[q] & approx_sets[q]) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    # 2-of-~10 probes on near-random vectors: recall is modest but must
+    # be far above the ~P/C random-subset floor.
+    assert sum(recalls) / len(recalls) >= 0.2
+
+
+def test_map_reduce_facade_custom_udfs(spark):
+    df = spark.createDataFrame(
+        [("f1", "a b a"), ("f2", "b c")], ["fname", "contents"]
+    )
+
+    def mapf(fname, contents):
+        for w in contents.split():
+            yield (w, fname)
+
+    def reducef(key, values):
+        return ",".join(sorted(set(values)))
+
+    out = {
+        r["key"]: r["value"]
+        for r in map_reduce(df, mapf, reducef).collect()
+    }
+    assert out == {"a": "f1", "b": "f1,f2", "c": "f2"}
+
+
+def test_q6_filters_are_pushed(spark, sf_dir):
+    filters = pushed_filters(q6_revenue_forecast(spark, sf_dir))
+    assert any("l_shipdate" in f or "l_discount" in f for f in filters), filters
+
+
+def test_wc_prunes_to_text_column(spark, sf_dir):
+    schemas = read_schema(word_count(spark, sf_dir))
+    assert schemas == ["text:string"], schemas
+
+
+def test_q5_broadcasts_dims(spark, sf_dir):
+    assert has_broadcast_join(q5_local_supplier(spark, sf_dir))
