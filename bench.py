@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs a representative slice of the engine (MR-parity, relational joins,
+windows, dedup, similarity, text analysis) at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is forced end-to-end with a noop write (full computation, no
+driver-side collection cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from golang_mapreduce_spark.session import get_session  # noqa: E402
+import __spark_entry__ as entry_mod  # noqa: E402
+
+HEADLINE = [
+    "wc",
+    "indexer",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "topk_orders_per_customer",
+    "window_running_spend",
+    "tumbling_hourly",
+    "session_windows_30m",
+    "json_events",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_pairs",
+    "simhash_signatures",
+    "knn_bruteforce",
+    "ann_ivf_topk",
+    "quality_scores",
+    "doc_fingerprints",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_session(
+        app_name="gmrs-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # JVM/codegen/scan warmup on cheap queries touching each fact table
+    # so the first timed query doesn't pay one-time boot costs.
+    for warm in ("file_counts", "q6_revenue_forecast", "date_funcs"):
+        force(queries[warm](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = sf_dir
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
