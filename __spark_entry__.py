@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from golang_mapreduce_spark import mapreduce
 from golang_mapreduce_spark.operators import (
+    advanced,
     dedup,
     mr_parity,
     multimodal,
@@ -35,6 +36,7 @@ _MODULES = [
     similarity,
     textstats,
     multimodal,
+    advanced,
 ]
 
 

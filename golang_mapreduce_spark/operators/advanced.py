@@ -1,0 +1,246 @@
+"""Advanced analytics operators: pivot, grouping sets (through the SQL
+entry point), lag/lead analytics, exact-moment statistics, TF-IDF, and
+interpolated percentiles.
+
+Determinism notes (beyond the module conventions in relational.py):
+* stddev/variance are computed from exact decimal moments (SUM(x),
+  SUM(x²) as DECIMAL) and combined in double — never the engines' own
+  streaming variance aggregates, whose merge order is engine-specific.
+* ln()/percentile interpolation are double math on identical inputs in
+  both engines; results are rounded to 6 dp (libm ulp differences are
+  ~1e-16, the rounding quantum is 5e-7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from golang_mapreduce_spark.functions.text import ws_words
+from golang_mapreduce_spark.operators.relational import _dec
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+TFIDF_TOP_K = 3
+
+
+def pivot_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order revenue per nation × market segment, one column per
+    segment.  The segment list is pinned (never inferred) so the plan is
+    a single aggregate — inferring pivot values costs an extra job."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_nationkey", "c_mktsegment", "o_totalprice"
+    )
+    pivoted = (
+        joined.groupBy("c_nationkey")
+        .pivot("c_mktsegment", list(SEGMENTS))
+        .agg(F.expr(f"CAST(SUM({_dec('o_totalprice')}) AS DOUBLE)"))
+    )
+    return pivoted.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0.0)).alias(s.lower()) for s in SEGMENTS],
+    )
+
+
+PIVOT_SQL = f"""
+SELECT c_nationkey,
+       {", ".join(
+           f"COALESCE(CAST(SUM(CASE WHEN c_mktsegment = '{s}' THEN {_dec('o_totalprice')} END) AS DOUBLE), 0.0) AS {s.lower()}"
+           for s in SEGMENTS
+       )}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the engine's SQL surface (spark.sql over a
+    registered view) — totals by status, by priority, and grand total in
+    one aggregate pass."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        f"""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+               COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM({_dec('o_totalprice')}) AS DOUBLE) AS sum_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM({_dec('o_totalprice')}) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: days since a customer's previous order and the
+    next order's price, over the per-customer order timeline."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev_date = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev_date).alias("days_since_prev"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+WINDOW_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       datediff('day',
+                lag(CAST(o_orderdate AS DATE)) OVER w,
+                CAST(o_orderdate AS DATE)) AS days_since_prev,
+       lead(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/stddev of extended price per return flag from exact decimal
+    moments: SUM(x) and SUM(x²) are exact, the variance combination is
+    double math on identical inputs in both engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    sum1 = f"CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE)"
+    sum2 = "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)"
+    return l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr(f"ROUND({sum1} / COUNT(*), 4)").alias("mean_price"),
+        F.expr(
+            f"ROUND(SQRT(({sum2} - {sum1} * {sum1} / COUNT(*)) / (COUNT(*) - 1)), 4)"
+        ).alias("stddev_price"),
+    )
+
+
+_SUM1 = f"CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE)"
+_SUM2 = "CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)"
+STATS_SQL = f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND({_SUM1} / COUNT(*), 4) AS mean_price,
+       ROUND(SQRT(({_SUM2} - {_SUM1} * {_SUM1} / COUNT(*)) / (COUNT(*) - 1)), 4) AS stddev_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document: tf = in-doc count, idf =
+    ln(N/df).  All shuffles are keyed on word or doc_id; the doc count N
+    broadcasts as a 1-row cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(ws_words("text")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_ = words.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return scored.select(
+        "doc_id", "word", "tfidf", F.row_number().over(w).alias("rnk")
+    ).where(F.col("rnk") <= TFIDF_TOP_K)
+
+
+TFIDF_SQL = f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+),
+df AS (
+  SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tfidf, rnk FROM (
+  SELECT doc_id, word, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) of order price per
+    segment.  Exact percentile requires a per-group sort — fine for
+    bounded groups; at 100 TB switch to approx_percentile (t-digest,
+    mergeable, no sort), which is sketch-based and engine-specific."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        )
+    )
+
+
+PERCENTILE_SQL = """
+SELECT c_mktsegment,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 6) AS median_price,
+       ROUND(CAST(quantile_cont(o_totalprice, 0.9) AS DOUBLE), 6) AS p90_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch cardinality of users per event type — the 100 TB
+    path for high-cardinality distincts (mergeable, single pass, no
+    distinct expansion).  Sketch estimates are engine-specific, so this
+    is a rows-only query; tests bound its relative error against the
+    exact count."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+QUERIES = {
+    "pivot_segment_revenue": pivot_segment_revenue,
+    "grouping_sets_orders": grouping_sets_orders,
+    "window_order_gaps": window_order_gaps,
+    "stats_summary": stats_summary,
+    "tfidf_top_terms": tfidf_top_terms,
+    "percentile_prices": percentile_prices,
+    "approx_distinct_users": approx_distinct_users,
+}
+
+ORACLES = {
+    "pivot_segment_revenue": PIVOT_SQL,
+    "grouping_sets_orders": GROUPING_SETS_SQL,
+    "window_order_gaps": WINDOW_GAPS_SQL,
+    "stats_summary": STATS_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
+    "percentile_prices": PERCENTILE_SQL,
+    # approx_distinct_users: sketch-based, rows-only by design
+}
