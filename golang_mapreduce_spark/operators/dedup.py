@@ -166,8 +166,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: bucket join shuffles on (band, band_key) — collisions,
     not cross products.  The signature re-join to score pairs is two
     hash joins on doc_id."""
-    sig = _signatures_df(spark, sf_dir).select(
-        "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    from pyspark.storagelevel import StorageLevel
+
+    # the signature subtree feeds three branches (banding + both sides of
+    # the pair scoring join); persist it so it's computed once, exactly
+    # as a production pipeline materializes signatures before LSH.
+    sig = (
+        _signatures_df(spark, sf_dir)
+        .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bands = sig.select(
         "doc_id",
@@ -290,11 +297,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output is ~linear; that is the property that makes this exact method
     survive scale-up (3-grams would need high-DF pruning or MinHash)."""
     docs = load_table(spark, sf_dir, "documents")
+    from pyspark.storagelevel import StorageLevel
+
+    # (doc, shingle) feeds the self-join twice plus the size aggregate —
+    # persist so the tokenize/explode/distinct runs once.
     doc_sh = (
         docs.select("doc_id", ws_words("text").alias("toks"))
         .where(F.size("toks") >= JACCARD_NGRAM)
         .select("doc_id", F.explode(_shingles(JACCARD_NGRAM)).alias("s"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = doc_sh.alias("a")
