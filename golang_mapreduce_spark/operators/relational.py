@@ -600,12 +600,138 @@ GROUP BY event_type
 """
 
 
+# --- more TPC-H query shapes -------------------------------------------
+
+def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late lineitem (EXISTS →
+    left-semi join), counted per priority.  The semi-join ships only
+    orderkeys of the filtered lineitem side."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    # the fixture lineitem has no commitdate column; "late" here is
+    # shipped-after-the-window, preserving the EXISTS query shape
+    late = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-06-01")
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > TIMESTAMP '1997-06-01')
+GROUP BY o_orderpriority
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio (promo revenue share).
+    Both sums use the exact-decimal convention; the final ratio is double
+    division of two deterministic values."""
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01"))
+    )
+    rev = _dec("l_extendedprice * (1 - l_discount)")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .agg(
+            F.expr(
+                f"ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {rev} ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)"
+                f" / CAST(SUM({rev}) AS DOUBLE), 6)"
+            ).alias("promo_share_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_dec('l_extendedprice * (1 - l_discount)')} ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE), 6) AS promo_share_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum feeding an IN-subquery
+    (customers' largest orders).  The aggregate-then-join order keeps the
+    heavy side small before it touches customer."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.expr(f"CAST(SUM({_dec('l_quantity')}) AS DOUBLE)").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, total_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM({_dec('l_quantity')}) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM({_dec('l_quantity')}) AS DOUBLE) > 150
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def correlated_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar subquery — parts priced at the
+    minimum of their type.  Expressed through the SQL surface; Catalyst
+    rewrites the correlated subquery into an aggregate + join."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_type, p_retailprice
+        FROM part_v p
+        WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+                               FROM part_v p2
+                               WHERE p2.p_type = p.p_type)
+        """
+    )
+
+
+CORRELATED_MIN_SQL = """
+SELECT p_partkey, p_name, p_type, p_retailprice
+FROM part p
+WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
+                       FROM part p2
+                       WHERE p2.p_type = p.p_type)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
     "q6_revenue_forecast": q6_revenue_forecast,
     "q10_returned_items": q10_returned_items,
+    "q4_priority_count": q4_priority_count,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
+    "correlated_min_price_parts": correlated_min_price_parts,
     "join_left_order_counts": join_left_order_counts,
     "join_semi_big_spenders": join_semi_big_spenders,
     "join_anti_inactive_customers": join_anti_inactive_customers,
@@ -626,6 +752,10 @@ ORACLES = {
     "q5_local_supplier": Q5_SQL,
     "q6_revenue_forecast": Q6_SQL,
     "q10_returned_items": Q10_SQL,
+    "q4_priority_count": Q4_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
+    "correlated_min_price_parts": CORRELATED_MIN_SQL,
     "join_left_order_counts": JOIN_LEFT_SQL,
     "join_semi_big_spenders": JOIN_SEMI_SQL,
     "join_anti_inactive_customers": JOIN_ANTI_SQL,

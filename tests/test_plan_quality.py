@@ -1,0 +1,62 @@
+"""Plan-quality gates: the ".explain and iterate" loop as assertions.
+These lock in the physical properties the 100 TB design depends on —
+if a refactor adds a shuffle or loses partial aggregation, these fail."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from golang_mapreduce_spark.operators.dedup import dedup_exact
+from golang_mapreduce_spark.operators.mr_parity import word_count
+from golang_mapreduce_spark.operators.relational import (
+    q1_pricing_summary,
+    q14_promo_revenue,
+    topk_orders_per_customer,
+)
+from golang_mapreduce_spark.plans.checks import formatted_plan
+
+
+def count_nodes(plan: str, op: str) -> int:
+    """Distinct formatted-plan node ids for an operator (each node
+    appears in both the tree and the details section)."""
+    return len(set(re.findall(rf"\((\d+)\) {op}\b", plan)))
+
+
+def test_wc_single_shuffle(spark, sf_dir):
+    plan = formatted_plan(word_count(spark, sf_dir))
+    assert count_nodes(plan, "Exchange") == 1, plan
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    plan = formatted_plan(dedup_exact(spark, sf_dir))
+    assert count_nodes(plan, "Exchange") == 1, plan
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    plan = formatted_plan(q1_pricing_summary(spark, sf_dir))
+    # partial + final hash aggregate around a single exchange
+    assert count_nodes(plan, "HashAggregate") >= 2, plan
+    assert count_nodes(plan, "Exchange") == 1, plan
+
+
+def test_q14_broadcasts_part(spark, sf_dir):
+    plan = formatted_plan(q14_promo_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    # the fact side must not shuffle for the dim join
+    assert "Exchange hashpartitioning(l_partkey" not in plan, plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = formatted_plan(topk_orders_per_customer(spark, sf_dir))
+    # window top-k must use a partitioned sort, not a global range sort
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_no_cartesian_products_in_relational_suite(spark, sf_dir):
+    from golang_mapreduce_spark.operators import relational
+
+    for name, fn in relational.QUERIES.items():
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
