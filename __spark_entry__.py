@@ -21,6 +21,7 @@ from golang_mapreduce_spark.operators import (
     multimodal,
     relational,
     similarity,
+    skew,
     textstats,
     windows,
 )
@@ -37,6 +38,7 @@ _MODULES = [
     textstats,
     multimodal,
     advanced,
+    skew,
 ]
 
 

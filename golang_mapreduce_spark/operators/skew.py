@@ -1,0 +1,98 @@
+"""Skew-handling operators — salting patterns for hot keys.
+
+AQE's skew-join splitting (on in the session factory) handles most skew
+at runtime; these operators are the *manual* patterns for the cases AQE
+can't see (skewed aggregation state, skewed broadcast-ineligible joins),
+written so that salting provably does not change results: both queries
+are oracle-checked against their unsalted SQL equivalents.
+
+The reference has no skew story at all — one hot key lands on one of its
+10 static reduce buckets and serializes (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_mapreduce_spark.functions.text import letter_words
+from golang_mapreduce_spark.operators.relational import _dec
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+SALT_BUCKETS = 8
+
+
+def salted_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count with two-phase salted aggregation: phase 1 aggregates
+    (word, salt) — a hot word's rows spread over SALT_BUCKETS partitions —
+    phase 2 merges the per-salt partials.  Identical results to plain wc
+    (same oracle), one extra (tiny) shuffle: the trade a 100 TB pipeline
+    makes when one key dominates a partition.
+
+    Spark's own partial aggregation already does this *within* each map
+    partition; explicit salting additionally splits a hot key across
+    *reduce* partitions, which partial agg cannot."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(letter_words("text")).alias("word"))
+    salted = words.withColumn(
+        "salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(SALT_BUCKETS))
+    )
+    partial = salted.groupBy("word", "salt").agg(F.count("*").alias("c"))
+    return partial.groupBy("word").agg(F.sum("c").alias("cnt"))
+
+
+# salting must not change the answer: the oracle is plain word count
+from golang_mapreduce_spark.operators.mr_parity import WORD_COUNT_SQL  # noqa: E402
+
+SALTED_WC_SQL = WORD_COUNT_SQL
+
+
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact-to-fact join with key salting: the probe side gets a
+    random salt in [0, S); the build side is replicated S× with every
+    salt value; the join key becomes (key, salt), splitting a hot key
+    across S reduce partitions.  Results provably identical to the
+    unsalted join (oracle below).
+
+    Use when the hot side is too big to broadcast and AQE's split sizes
+    still leave stragglers.  Cost: S× replication of the build side —
+    only worth it for the skewed key range (production: salt only keys
+    above a frequency threshold, union the rest unsalted)."""
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(SALT_BUCKETS))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .crossJoin(F.broadcast(spark.range(SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))))
+    )
+    return (
+        l.join(o, (l.l_orderkey == o.o_orderkey) & (l.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                f"CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE)"
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT o_orderpriority,
+       CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "salted_word_count": salted_word_count,
+    "salted_join_revenue": salted_join_revenue,
+}
+
+ORACLES = {
+    "salted_word_count": SALTED_WC_SQL,
+    "salted_join_revenue": SALTED_JOIN_SQL,
+}

@@ -46,6 +46,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision above 2^53 ns).  DuckDB truncates NANOS→micros the same
     way, so oracle comparisons stay exact.
     """
+    # every timestamp rendering/truncation must agree with the DuckDB
+    # oracle's naive-UTC timestamps regardless of the caller's session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (

@@ -14,11 +14,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     s = get_session(
         app_name="gmrs-tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "6g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "6g",
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="gmrs_wh_"),
+        },
     )
     yield s
 
