@@ -212,6 +212,65 @@ GROUP BY c_mktsegment
 """
 
 
+def nested_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested types: per customer a (nation, segment) struct and the
+    top-5 order keys by price as a sorted array — the columnar nested
+    shapes (struct/array) the reference's flat string KV model cannot
+    represent at all (worker.go:19-22).
+
+    Determinism: collect_list order is nondeterministic, so the array is
+    built from (price, orderkey) pairs, sorted descending by the pair,
+    sliced, then projected — same rule in the oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    top5 = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "transform(slice(reverse(array_sort(collect_list("
+                "struct(o_totalprice AS p, o_orderkey AS k)))), 1, 5), x -> x.k)"
+            ).alias("top_orders")
+        )
+    )
+    return (
+        c.join(top5, c.c_custkey == top5.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.struct(
+                F.col("c_nationkey").alias("nation"),
+                F.col("c_mktsegment").alias("segment"),
+            ).alias("profile"),
+            F.coalesce("top_orders", F.array().cast("array<bigint>")).alias("top_orders"),
+        )
+        .select(
+            "c_custkey",
+            F.col("profile.nation").alias("nation"),
+            F.col("profile.segment").alias("segment"),
+            F.concat_ws(",", F.expr("transform(top_orders, x -> CAST(x AS STRING))")).alias(
+                "top_orders_csv"
+            ),
+            F.size("top_orders").alias("n_top"),
+        )
+    )
+
+
+NESTED_SQL = """
+WITH top5 AS (
+  SELECT o_custkey,
+         list_transform(
+           list_slice(list_sort(list((o_totalprice, o_orderkey)), 'DESC'), 1, 5),
+           x -> x[2]) AS top_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey,
+       c_nationkey AS nation,
+       c_mktsegment AS segment,
+       COALESCE(array_to_string(top_orders, ','), '') AS top_orders_csv,
+       COALESCE(len(top_orders), 0) AS n_top
+FROM customer LEFT JOIN top5 ON c_custkey = o_custkey
+"""
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch cardinality of users per event type — the 100 TB
     path for high-cardinality distincts (mergeable, single pass, no
@@ -232,10 +291,12 @@ QUERIES = {
     "stats_summary": stats_summary,
     "tfidf_top_terms": tfidf_top_terms,
     "percentile_prices": percentile_prices,
+    "nested_customer_profile": nested_customer_profile,
     "approx_distinct_users": approx_distinct_users,
 }
 
 ORACLES = {
+    "nested_customer_profile": NESTED_SQL,
     "pivot_segment_revenue": PIVOT_SQL,
     "grouping_sets_orders": GROUPING_SETS_SQL,
     "window_order_gaps": WINDOW_GAPS_SQL,
