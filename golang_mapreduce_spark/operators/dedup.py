@@ -363,15 +363,91 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) >= {JA
 """
 
 
+# --- near-dup clustering (iterative) -----------------------------------
+
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate-pair graph:
+    every document in a near-dup pair gets its component's minimum doc_id
+    as cluster id — the canonicalization step that turns pairwise dedup
+    into keep-one-per-cluster.
+
+    Implementation is iterative min-label propagation (driver-side loop
+    over DataFrame joins, state persisted per round, converges in
+    O(graph diameter) rounds — the standard Spark shape for iterative
+    graph algorithms; only a 1-row convergence count ever reaches the
+    driver).  The oracle replicates it with a recursive CTE."""
+    from pyspark.storagelevel import StorageLevel
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("doc_a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    for _ in range(20):  # >= graph diameter for any realistic pair graph
+        nbr_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+            .select(
+                "node",
+                "label",
+                F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("new_label"),
+            )
+            .select(
+                "node",
+                F.col("new_label").alias("label2"),
+                (F.col("label") != F.col("new_label")).cast("int").alias("changed"),
+            )
+            .withColumnRenamed("label2", "label")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_changed = new_labels.agg(F.sum("changed")).collect()[0][0]
+        labels = new_labels.select("node", "label")
+        if not n_changed:
+            break
+
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {DEDUP_MINHASH_PAIRS_SQL.strip()}
+),
+edges(a, b) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id
+FROM walk
+GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash_signatures": simhash_signatures,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "neardup_clusters": neardup_clusters,
 }
 
 ORACLES = {
+    "neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_signatures": MINHASH_SIG_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
