@@ -46,6 +46,12 @@ HEADLINE = [
     "ann_ivf_topk",
     "quality_scores",
     "doc_fingerprints",
+    "ngram_jaccard_pairs",
+    "neardup_clusters",
+    "tfidf_top_terms",
+    "stats_summary",
+    "pivot_segment_revenue",
+    "salted_join_revenue",
 ]
 
 
