@@ -98,11 +98,13 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sw_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     toks = ws_words("text")
-    n_tokens = F.size(toks)
     n_stop = F.size(F.expr(f"filter(toks, t -> t IN ({sw_list}))"))
     n_punct = F.length(F.regexp_replace("text", r"[\p{L}\p{N}\s]", ""))
+    # NULLIF guards: Spark 4 runs ANSI mode by default, so a bare x/0
+    # *throws*; empty/null docs define all ratios as 0.0 in both engines.
     mean_wlen = F.expr(
-        "CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS DOUBLE) / size(toks)"
+        "COALESCE(CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+        " / NULLIF(size(toks), 0), 0.0)"
     )
     base = docs.select(
         "doc_id",
@@ -111,10 +113,14 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_punct.alias("n_punct"),
     ).select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
+        F.coalesce(F.size("toks"), F.lit(0)).alias("n_tokens"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(F.col("n_punct") / F.col("n_chars"), 6).alias("punct_ratio"),
-        F.round(n_stop / F.size("toks"), 6).alias("stopword_ratio"),
+        F.round(
+            F.coalesce(F.col("n_punct") / F.nullif("n_chars", F.lit(0)), F.lit(0.0)), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.coalesce(n_stop / F.nullif(F.size("toks"), F.lit(0)), F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
     )
     score = F.round(
         0.4 * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
@@ -138,10 +144,10 @@ WITH base AS (
 ),
 feat AS (
   SELECT doc_id,
-         len(toks) AS n_tokens,
-         ROUND(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 6) AS mean_word_len,
-         ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-         ROUND(CAST(len(list_filter(toks, t -> t IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS DOUBLE) / len(toks), 6) AS stopword_ratio
+         COALESCE(len(toks), 0) AS n_tokens,
+         ROUND(COALESCE(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / NULLIF(len(toks), 0), 0.0), 6) AS mean_word_len,
+         ROUND(COALESCE(CAST(n_punct AS DOUBLE) / NULLIF(n_chars, 0), 0.0), 6) AS punct_ratio,
+         ROUND(COALESCE(CAST(len(list_filter(toks, t -> t IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS DOUBLE) / NULLIF(len(toks), 0), 0.0), 6) AS stopword_ratio
   FROM base
 )
 SELECT doc_id, n_tokens, mean_word_len, punct_ratio, stopword_ratio,
@@ -162,19 +168,22 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws_words("text").alias("toks"),
     ).select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct"),
-        F.expr(
-            "aggregate(toks, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 3.0) AS LONG))"
+        F.coalesce(F.size("toks"), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.size(F.array_distinct("toks")), F.lit(0)).alias("n_distinct"),
+        F.coalesce(
+            F.expr(
+                "aggregate(toks, 0L, (acc, t) -> acc + CAST(ceil(length(t) / 3.0) AS LONG))"
+            ),
+            F.lit(0),
         ).alias("subword_est"),
     )
 
 
 TOKEN_STATS_SQL = """
 SELECT doc_id,
-       len(toks) AS n_tokens,
-       len(list_distinct(toks)) AS n_distinct,
-       CAST(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 3.0) AS BIGINT))) AS BIGINT) AS subword_est
+       COALESCE(len(toks), 0) AS n_tokens,
+       COALESCE(len(list_distinct(toks)), 0) AS n_distinct,
+       CAST(COALESCE(list_sum(list_transform(toks, t -> CAST(ceil(length(t) / 3.0) AS BIGINT))), 0) AS BIGINT) AS subword_est
 FROM (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
   FROM documents
