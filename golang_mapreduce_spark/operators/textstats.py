@@ -240,15 +240,126 @@ GROUP BY doc_id
 """
 
 
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word-bigram frequencies (n-gram language statistics):
+    one explode + one partial-agg-friendly groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> concat_ws(' ', toks[i], toks[i + 1]))"
+                )
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+BIGRAM_SQL = """
+SELECT t[i] || ' ' || t[i+1] AS bigram, COUNT(*) AS cnt
+FROM (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+), UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+WHERE len(t) >= 2
+GROUP BY 1
+"""
+
+
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True winnowing (MOSS-style rolling selection): hash every 3-gram
+    shingle, then take the minimum hash of each sliding window of
+    {WINNOW_WINDOW} consecutive shingles; the distinct window-minima are
+    the document's fingerprints.  Guarantees a fingerprint in every
+    window (gap-free coverage), unlike the mod-p sampling of
+    doc_fingerprints.  One explode + a partitioned window frame + one
+    distinct aggregate — no driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 3 + WINNOW_WINDOW - 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3), "
+                    "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"
+                )
+            ).alias("i", "s"),
+        )
+        .select("doc_id", "i", hash32("s").alias("h"))
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, WINNOW_WINDOW - 1)
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wins = sh.select(
+        "doc_id",
+        "i",
+        F.min("h").over(w).alias("fp"),
+        F.max("i").over(wdoc).alias("max_i"),
+    ).where(F.col("i") <= F.col("max_i") - (WINNOW_WINDOW - 1))
+    return (
+        wins.select("doc_id", "fp")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+
+
+WINNOW_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i, {sql_hash32("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= {3 + WINNOW_WINDOW - 1}
+),
+wins AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_WINDOW - 1} FOLLOWING) AS fp,
+         i,
+         MAX(i) OVER (PARTITION BY doc_id) AS max_i
+  FROM sh
+)
+SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM (SELECT DISTINCT doc_id, fp FROM wins WHERE i <= max_i - {WINNOW_WINDOW - 1})
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "lang_doc_stats": lang_doc_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "quality_scores": quality_scores,
     "token_stats": token_stats,
     "doc_fingerprints": doc_fingerprints,
+    "bigram_counts": bigram_counts,
+    "winnow_fingerprints": winnow_fingerprints,
 }
 
 ORACLES = {
+    "bigram_counts": BIGRAM_SQL,
+    "winnow_fingerprints": WINNOW_SQL,
     "lang_doc_stats": LANG_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "quality_scores": QUALITY_SQL,
