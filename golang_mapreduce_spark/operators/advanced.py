@@ -284,8 +284,27 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (Spark's approx_percentile / t-digest-like
+    quantile summaries): mergeable, single-pass, no per-group sort — the
+    100 TB replacement for percentile_prices.  Sketch output is
+    engine-specific, so rows-only; tests bound its error against the
+    exact interpolated percentile."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("median_approx"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("p90_approx"),
+        )
+    )
+
+
 QUERIES = {
     "pivot_segment_revenue": pivot_segment_revenue,
+    "approx_percentile_prices": approx_percentile_prices,
     "grouping_sets_orders": grouping_sets_orders,
     "window_order_gaps": window_order_gaps,
     "stats_summary": stats_summary,

@@ -25,6 +25,24 @@ def _get_spark():
     return _spark
 
 
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from golang_mapreduce_spark.operators.advanced import (
+        approx_percentile_prices,
+        percentile_prices,
+    )
+
+    exact = {r["c_mktsegment"]: r for r in percentile_prices(spark, sf_dir).collect()}
+    approx = {r["c_mktsegment"]: r for r in approx_percentile_prices(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for seg in exact:
+        assert abs(approx[seg]["median_approx"] - exact[seg]["median_price"]) <= (
+            0.05 * exact[seg]["median_price"]
+        )
+        assert abs(approx[seg]["p90_approx"] - exact[seg]["p90_price"]) <= (
+            0.05 * exact[seg]["p90_price"]
+        )
+
+
 def test_approx_distinct_within_rsd(spark, sf_dir):
     import duckdb
 
