@@ -1,0 +1,62 @@
+"""Write-path layout: partition pruning must reach the scan (directories
+skipped, PartitionFilters populated), and compaction must actually
+reduce file counts without changing data."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+from pyspark.sql import functions as F
+
+from golang_mapreduce_spark.plans.checks import formatted_plan
+from golang_mapreduce_spark.sources.fixtures import load_table
+from golang_mapreduce_spark.sources.layout import (
+    compact,
+    partition_file_counts,
+    write_partitioned,
+)
+
+
+def test_partitioned_write_prunes_at_scan(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="gmrs_layout_") + "/orders_by_year"
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_partitioned(orders, base, ["order_year"])
+
+    # physical layout: one directory per year
+    years = sorted(glob.glob(base + "/order_year=*"))
+    assert len(years) >= 5, years
+
+    pruned = spark.read.parquet(base).where(F.col("order_year") == 1997)
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+    assert "order_year" in plan.split("PartitionFilters")[1][:200]
+    # row parity with a non-partitioned filter
+    expected = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1997)
+        .count()
+    )
+    assert pruned.count() == expected
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir):
+    base = tempfile.mkdtemp(prefix="gmrs_compact_")
+    src = base + "/fragmented"
+    load_table(spark, sf_dir, "customer").repartition(16).write.parquet(src)
+    n_before = len(glob.glob(src + "/part-*"))
+    assert n_before == 16
+
+    out = base + "/compacted"
+    compact(spark, src, target_files=2, out_path=out)
+    n_after = len(glob.glob(out + "/part-*"))
+    assert n_after == 2
+    assert (
+        spark.read.parquet(out).count()
+        == load_table(spark, sf_dir, "customer").count()
+    )
+
+    counts = {r["dir"]: r["n_files"] for r in partition_file_counts(spark, out).collect()}
+    assert sum(counts.values()) == 2
