@@ -280,7 +280,7 @@ bit_sums AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-       SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bit_sums
 GROUP BY doc_id
 """

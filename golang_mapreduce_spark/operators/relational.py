@@ -590,7 +590,7 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
 FROM (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
