@@ -375,7 +375,11 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     over DataFrame joins, state persisted per round, converges in
     O(graph diameter) rounds — the standard Spark shape for iterative
     graph algorithms; only a 1-row convergence count ever reaches the
-    driver).  The oracle replicates it with a recursive CTE."""
+    driver).  Resource hygiene for long chains: each round's state is
+    materialized (the convergence agg populates the cache), the previous
+    round's cache is dropped, and lineage is truncated with
+    ``localCheckpoint`` every 5 rounds so the plan never accumulates a
+    20-join tree.  The oracle replicates it with a recursive CTE."""
     from pyspark.storagelevel import StorageLevel
 
     pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -388,7 +392,8 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("node").alias("label")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    for _ in range(20):  # >= graph diameter for any realistic pair graph
+    prev = labels
+    for rnd in range(20):  # >= graph diameter for any realistic pair graph
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy(F.col("doc_a").alias("node2"))
@@ -407,9 +412,15 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("label") != F.col("new_label")).cast("int").alias("changed"),
             )
             .withColumnRenamed("label2", "label")
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if (rnd + 1) % 5 == 0:
+            # eager localCheckpoint: stores partitions AND cuts lineage
+            new_labels = new_labels.localCheckpoint()
+        else:
+            new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
         n_changed = new_labels.agg(F.sum("changed")).collect()[0][0]
+        prev.unpersist()  # new_labels is materialized; old round's cache can go
+        prev = new_labels
         labels = new_labels.select("node", "label")
         if not n_changed:
             break

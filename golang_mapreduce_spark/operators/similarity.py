@@ -96,6 +96,34 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _centroids(emb: DataFrame) -> DataFrame:
+    """Deterministic coarse centroids: every {CENTROID_STEP}-th vector is a
+    centroid row (data-derived; pyspark.ml KMeans|| centroids slot into the
+    same shape, see tests/test_kmeans_ivf.py).  Small by construction →
+    broadcast."""
+    return F.broadcast(
+        emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
+            F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb")
+        )
+    )
+
+
+def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assignment pass: nearest centroid per vector (broadcast join, one
+    scan of the collection).  At scale this runs once at ingest and
+    `cluster` is written as a partition column."""
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        emb.join(cent)
+        .select(
+            "vec_id", "emb", F.col("cid"), _cos("emb", "c_emb").alias("csim")
+        )
+        .withColumn("arn", F.row_number().over(aw))
+        .where(F.col("arn") == 1)
+        .select("vec_id", "emb", F.col("cid").alias("cluster"))
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-5: assign vectors to deterministic coarse
     centroids (vec_id % {step} == 0), probe the 2 nearest centroids per
@@ -107,22 +135,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale, `cluster` becomes a partition column written once at ingest;
     a query reads only its probed partitions (partition pruning)."""
     emb = _emb(spark, sf_dir)
-    cent = F.broadcast(
-        emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
-            F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb")
-        )
-    )
-    # assignment pass: nearest centroid per vector
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    assign = (
-        emb.join(cent)
-        .select(
-            "vec_id", "emb", F.col("cid"), _cos("emb", "c_emb").alias("csim")
-        )
-        .withColumn("arn", F.row_number().over(aw))
-        .where(F.col("arn") == 1)
-        .select("vec_id", "emb", F.col("cid").alias("cluster"))
-    )
+    cent = _centroids(emb)
+    assign = _ivf_assign(emb, cent)
     # probe pass: top-2 centroids per query vector
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
@@ -194,27 +208,54 @@ WHERE rank <= {TOP_K}
 
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label equality:
-    the all-pairs product is confined to blocks (here 10 labels), the
-    blocking pattern that makes embedding dedup feasible at scale
-    (production blocking key: LSH bucket or IVF cluster id)."""
+    """Embedding-cosine near-duplicate pairs, blocked by IVF cluster id:
+    reuse the coarse-quantizer assignment pass (one broadcast-join scan),
+    then restrict the all-pairs cosine to within-cluster pairs.
+
+    Scale story: with C ∝ sqrt(N) centroids, the within-block pair
+    product is O(N²/C) = O(N^1.5) worst-case and near-linear when
+    clusters are balanced — unlike blocking on a fixed-cardinality
+    attribute (label: 10 blocks ⇒ O(N²/10), quadratic).  Near-identical
+    vectors share a nearest centroid except on Voronoi boundaries;
+    multi-probe assignment (top-2 clusters per vector) is the standard
+    recall patch and composes with this same shape."""
     emb = _emb(spark, sf_dir)
-    a = emb.select("label", F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
-    b = emb.select("label", F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    assign = _ivf_assign(emb, _centroids(emb))
+    a = assign.select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
+    b = assign.select(
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
+    )
     return (
-        a.join(b, "label")
+        a.join(b, "cluster")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select("label", "vec_a", "vec_b", _cos("emb_a", "emb_b").alias("cos_sim"))
+        .select("cluster", "vec_a", "vec_b", _cos("emb_a", "emb_b").alias("cos_sim"))
         .where(F.col("cos_sim") >= NEARDUP_COS)
     )
 
 
 EMB_NEARDUP_SQL = f"""
-SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= {NEARDUP_COS}
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, emb AS c_emb FROM emb WHERE vec_id % {CENTROID_STEP} = 0
+),
+assign AS (
+  SELECT vec_id, emb, cid AS cluster FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS arn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE arn = 1
+)
+SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+FROM assign a
+JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {NEARDUP_COS}
 """
 
 

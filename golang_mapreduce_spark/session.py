@@ -26,6 +26,9 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Deterministic session semantics for oracle parity.
     "spark.sql.session.timeZone": "UTC",
+    # events.parquet is INT64 TIMESTAMP(NANOS); read as raw nanos (see
+    # sources/fixtures.load_table, which truncates to micros exactly).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for every pandas UDF / mapInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Scan-side: pushdown + pruning must reach the parquet reader.

@@ -47,10 +47,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     way, so oracle comparisons stay exact.
     """
     # every timestamp rendering/truncation must agree with the DuckDB
-    # oracle's naive-UTC timestamps regardless of the caller's session
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # oracle's naive-UTC timestamps regardless of the caller's session;
+    # guard instead of blind-set so repeated loads don't churn session
+    # conf (callers using get_session() already have both defaults)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (
             spark.read.parquet(f"{sf_dir}/events.parquet")
             .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
