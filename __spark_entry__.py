@@ -66,6 +66,9 @@ _PRIORITY = [
     # hash-failed in round 1 (HUGEINT oracle types; fixed this round)
     "json_events",
     "simhash_signatures",
+    # upgraded this round from rows-only to oracle-backed (drained
+    # watermark flush => closed sessions equal the batch oracle)
+    "stateful_sessionize",
 ]
 
 #: Round-1-green queries pushed past the driver's 50-entry window this
@@ -73,7 +76,6 @@ _PRIORITY = [
 #: round by the local parity suite.  stateful_sessionize already holds
 #: its round-1 rows-only record.
 _DEPRIORITIZED = [
-    "stateful_sessionize",
     "scalar_funcs",
     "date_funcs",
     "set_ops_segments",

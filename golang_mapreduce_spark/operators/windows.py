@@ -99,6 +99,10 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_SQL = f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
+         -- strict > : Spark's session_window MERGES an event arriving
+         -- exactly `gap` after its predecessor (adjacent sessions are
+         -- inclusive-merged; verified empirically, pinned in
+         -- tests/test_session_boundary.py)
          CASE WHEN lag(ts) OVER w IS NULL
                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session

@@ -89,21 +89,64 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(hourly_counts_stream(events), spark)
 
 
+def _write_sentinel(path: str, ts_ns: int) -> None:
+    """One far-future watermark-advancing event (user_id = -1) in the
+    events file schema (ts as raw int64 nanos)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([ts_ns], pa.int64()),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["sentinel"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
 def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom arbitrary-state sessionization (applyInPandasWithState)
-    drained over the events fixture.  Emits every session closed by a
-    gap within the drained data; sessions still open at stream end stay
-    in state (append-mode semantics), so this is a rows-only check —
-    cross-batch correctness is asserted in
-    tests/test_stateful_streaming.py against the batch oracle."""
+    """Custom arbitrary-state sessionization (applyInPandasWithState),
+    fully DRAINED: the events file is followed by two far-future sentinel
+    files (separate micro-batches via maxFilesPerTrigger=1), so the
+    event-time watermark advances past every real session's
+    last-event + gap and the state machine's timeouts flush ALL sessions
+    — closed output therefore equals the batch gaps-and-islands oracle
+    exactly (hash-checkable), not just the sessions closed by a
+    subsequent event.  Two sentinels because a batch's timeouts fire
+    against the watermark established by the *previous* batch.
+
+    Cross-batch state survival is additionally asserted in
+    tests/test_stateful_streaming.py with the real events split across
+    three micro-batches."""
+    import os
+    import shutil
     import uuid
 
     from golang_mapreduce_spark.streaming.stateful import sessionize_with_state
 
-    events = read_events_stream(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="gmrs_drain_src_")
+    real = os.path.join(src, "00_events.parquet")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
+    # far future (2100/2101): beyond any fixture timestamp at every SF
+    _write_sentinel(os.path.join(src, "01_sentinel.parquet"), 4_102_444_800 * 10**9)
+    _write_sentinel(os.path.join(src, "02_sentinel.parquet"), 4_133_980_800 * 10**9)
+    now = os.path.getmtime(real)
+    for i, f in enumerate(sorted(os.listdir(src))):
+        os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
     name = "sess_" + uuid.uuid4().hex[:12]
     q = (
-        sessionize_with_state(events)
+        sessionize_with_state(stream)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
@@ -112,7 +155,35 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.table(name).where(F.col("user_id") >= 0)
+
+
+#: Batch gaps-and-islands equivalent of the drained stateful operator:
+#: same strict-> gap rule as session_window (exact-gap events merge),
+#: same DECIMAL(18,6) sum quantum as the state machine's integer
+#: accumulator.
+STATEFUL_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
 
 
 # oracle identical to the batch tumbling query: a drained complete-mode
@@ -123,4 +194,7 @@ QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "stateful_sessionize": stateful_sessionize,
 }
-ORACLES = {"streaming_tumbling_hourly": TUMBLING_SQL}
+ORACLES = {
+    "streaming_tumbling_hourly": TUMBLING_SQL,
+    "stateful_sessionize": STATEFUL_SESSION_SQL,
+}

@@ -7,6 +7,17 @@ paradigm would need for *custom* per-key state machines (counters,
 budgets, fraud rules) — per-key state that survives across micro-batches,
 with event-time timeouts closing idle sessions.
 
+Gap semantics match ``session_window`` exactly: adjacent sessions merge
+INCLUSIVELY, so an event arriving exactly ``gap`` after its predecessor
+extends the session (strict ``>`` opens a new one — verified empirically
+against session_window in tests/test_session_boundary.py).
+
+Determinism: timestamps are kept as exact epoch **micros** (the events
+fixture is nanos truncated to micros) and per-session value sums are
+accumulated as half-up-rounded DECIMAL(18,6) integers — bit-identical to
+``CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)`` in the batch
+oracle, independent of addition order.
+
 State design for scale: state lives in the executor state store, keyed by
 the groupBy key (user_id) — size is O(open sessions), bounded by the
 event-time timeout; nothing accumulates on the driver.  Each invocation
@@ -16,6 +27,7 @@ sees one key's new rows as Arrow batches.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
 import pandas as pd
@@ -23,24 +35,33 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_GAP_MS = 30 * 60 * 1000
+SESSION_GAP_US = 30 * 60 * 1_000_000
+DEC_SCALE = 6  # DECIMAL(18,6), same quantum as operators/relational._dec
 
 OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, sum_value double"
 )
-# open-session state: [start_ms, last_ms, n_events, sum_value]
-STATE_SCHEMA = "start_ms bigint, last_ms bigint, n_events bigint, sum_value double"
+# open-session state: [start_us, last_us, n_events, sum_micro]
+STATE_SCHEMA = "start_us bigint, last_us bigint, n_events bigint, sum_micro bigint"
 
 
-def _emit(user_id: int, start_ms: int, last_ms: int, n: int, total: float) -> pd.DataFrame:
+def _dec_micro(v: float) -> int:
+    """Half-up round a double to DECIMAL(18,6) integer micro-units, the
+    exact arithmetic Spark/DuckDB use for CAST(double AS DECIMAL(18,6))."""
+    return int(
+        Decimal(v).scaleb(DEC_SCALE).to_integral_value(rounding=ROUND_HALF_UP)
+    )
+
+
+def _emit(user_id: int, start_us: int, last_us: int, n: int, sum_micro: int) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "user_id": [user_id],
-            "session_start": [pd.Timestamp(start_ms, unit="ms")],
-            "session_end": [pd.Timestamp(last_ms, unit="ms")],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
             "n_events": [n],
-            "sum_value": [total],
+            "sum_value": [sum_micro / 10**DEC_SCALE],
         }
     )
 
@@ -50,34 +71,36 @@ def _sessionize_fn(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
-        start_ms, last_ms, n, total = state.get
+        start_us, last_us, n, sum_micro = state.get
         state.remove()
-        yield _emit(user_id, start_ms, last_ms, n, total)
+        yield _emit(user_id, start_us, last_us, n, sum_micro)
         return
 
     rows = pd.concat(list(pdf_iter))
-    rows = rows.sort_values("ts")
-    ts_ms = (rows["ts"].astype("int64") // 1_000_000).tolist()
+    rows = rows.sort_values("ts", kind="stable")
+    ts_us = (rows["ts"].astype("int64") // 1_000).tolist()
     values = rows["value"].tolist()
 
     if state.exists:
-        start_ms, last_ms, n, total = state.get
+        start_us, last_us, n, sum_micro = state.get
     else:
-        start_ms, last_ms, n, total = 0, 0, 0, 0.0
+        start_us, last_us, n, sum_micro = 0, 0, 0, 0
 
     out: list[pd.DataFrame] = []
-    for t, v in zip(ts_ms, values):
+    for t, v in zip(ts_us, values):
         if n == 0:
-            start_ms, last_ms, n, total = t, t, 1, float(v)
-        elif t - last_ms > SESSION_GAP_MS:
-            out.append(_emit(user_id, start_ms, last_ms, n, total))
-            start_ms, last_ms, n, total = t, t, 1, float(v)
+            start_us, last_us, n, sum_micro = t, t, 1, _dec_micro(v)
+        elif t - last_us > SESSION_GAP_US:
+            out.append(_emit(user_id, start_us, last_us, n, sum_micro))
+            start_us, last_us, n, sum_micro = t, t, 1, _dec_micro(v)
         else:
-            last_ms, n, total = max(last_ms, t), n + 1, total + float(v)
+            last_us, n, sum_micro = max(last_us, t), n + 1, sum_micro + _dec_micro(v)
 
-    state.update((start_ms, last_ms, n, total))
-    # close the open session once event time passes last_ms + gap
-    state.setTimeoutTimestamp(last_ms + SESSION_GAP_MS)
+    state.update((start_us, last_us, n, sum_micro))
+    # close the open session once event time passes last + gap
+    # (timeout API is millis; floor is safe — fires at the same or an
+    # earlier watermark than the exact micro boundary)
+    state.setTimeoutTimestamp(last_us // 1_000 + SESSION_GAP_US // 1_000)
     yield from out
 
 

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from golang_mapreduce_spark.streaming.jobs import EVENTS_SCHEMA
 from golang_mapreduce_spark.streaming.stateful import (
-    SESSION_GAP_MS,
+    SESSION_GAP_US,
     sessionize_with_state,
 )
 
@@ -28,7 +28,7 @@ def _batch_sessions(sf_dir: str) -> set[tuple]:
         WITH flagged AS (
           SELECT user_id, ts, value,
                  CASE WHEN lag(ts) OVER w IS NULL
-                        OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MS // 60000} MINUTE
+                        OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_US // 60_000_000} MINUTE
                       THEN 1 ELSE 0 END AS new_s
           FROM '{sf_dir}/events.parquet'
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
