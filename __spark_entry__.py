@@ -22,7 +22,9 @@ from golang_mapreduce_spark.operators import (
     relational,
     similarity,
     skew,
+    temporal,
     textstats,
+    tpch_extra,
     windows,
 )
 from golang_mapreduce_spark.streaming import jobs as streaming_jobs
@@ -30,6 +32,8 @@ from golang_mapreduce_spark.streaming import jobs as streaming_jobs
 _MODULES = [
     mr_parity,
     relational,
+    tpch_extra,
+    temporal,
     windows,
     streaming_jobs,
     mapreduce,
@@ -69,6 +73,25 @@ _PRIORITY = [
     # upgraded this round from rows-only to oracle-backed (drained
     # watermark flush => closed sessions equal the batch oracle)
     "stateful_sessionize",
+    # re-blocked this round (IVF cluster id instead of label) — needs a
+    # fresh correctness row
+    "emb_neardup_pairs",
+    # new this round: remaining TPC-H shapes + temporal joins
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_rich_customers",
+    "asof_purchase_click",
+    "range_clicks_before_error",
 ]
 
 #: Round-1-green queries pushed past the driver's 50-entry window this

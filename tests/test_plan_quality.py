@@ -60,3 +60,37 @@ def test_no_cartesian_products_in_relational_suite(spark, sf_dir):
     for name, fn in relational.QUERIES.items():
         plan = formatted_plan(fn(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_asof_join_is_union_sort_not_join(spark, sf_dir):
+    """The merge-asof must compile to union + one shuffle + in-partition
+    sort + window — NO join operator at all (the join-then-argmax form
+    explodes on skewed keys)."""
+    from golang_mapreduce_spark.operators.temporal import asof_purchase_click
+
+    plan = formatted_plan(asof_purchase_click(spark, sf_dir))
+    assert count_nodes(plan, "Exchange") == 1, plan
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert count_nodes(plan, join_op) == 0, plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bounded range join must execute as an equi-join on
+    (user, bucket) with the inequality as post-condition — never a
+    nested-loop/cartesian over the time ranges."""
+    from golang_mapreduce_spark.operators.temporal import (
+        range_clicks_before_error,
+    )
+
+    plan = formatted_plan(range_clicks_before_error(spark, sf_dir))
+    assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0, plan
+    assert count_nodes(plan, "CartesianProduct") == 0, plan
+
+
+def test_q7_broadcasts_nation_dims(spark, sf_dir):
+    from golang_mapreduce_spark.operators.tpch_extra import q7_volume_shipping
+
+    plan = formatted_plan(q7_volume_shipping(spark, sf_dir))
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2, plan
+    assert count_nodes(plan, "CartesianProduct") == 0, plan
