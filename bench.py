@@ -54,6 +54,22 @@ HEADLINE = [
     "salted_join_revenue",
 ]
 
+#: Operators added after round 1 — timed separately so the 26-query
+#: HEADLINE list (and its suite total) stays per-query comparable with
+#: BENCH_r01.
+EXTRA = [
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q16_supplier_counts",
+    "q19_discounted_revenue",
+    "q21_waiting_suppliers",
+    "asof_purchase_click",
+    "range_clicks_before_error",
+    "emb_neardup_pairs",
+    "stateful_sessionize",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -82,6 +98,12 @@ def main() -> None:
         force(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        t0 = time.perf_counter()
+        force(queries[name](spark, sf_dir))
+        extra[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -94,6 +116,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_extra": extra,
                 "sf": sf,
             }
         )
