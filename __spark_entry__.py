@@ -19,6 +19,7 @@ from golang_mapreduce_spark.operators import (
     dedup,
     mr_parity,
     multimodal,
+    pipeline,
     relational,
     similarity,
     skew,
@@ -34,6 +35,7 @@ _MODULES = [
     relational,
     tpch_extra,
     temporal,
+    pipeline,
     windows,
     streaming_jobs,
     mapreduce,
@@ -92,6 +94,7 @@ _PRIORITY = [
     "q22_dormant_rich_customers",
     "asof_purchase_click",
     "range_clicks_before_error",
+    "clean_corpus",
 ]
 
 #: Round-1-green queries pushed past the driver's 50-entry window this

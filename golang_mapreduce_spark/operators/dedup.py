@@ -85,12 +85,11 @@ def _shingles(n: int) -> F.Column:
     )
 
 
-def _signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, m0..m15) minhash columns over 3-gram shingles.  One
-    explode + one groupBy with 16 algebraic min aggregates — partial
-    aggregation applies, so the shuffle carries 16 longs per doc per map
-    partition."""
-    docs = load_table(spark, sf_dir, "documents")
+def _signatures_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15) minhash columns over 3-gram shingles of any
+    (doc_id, text) relation.  One explode + one groupBy with 16 algebraic
+    min aggregates — partial aggregation applies, so the shuffle carries
+    16 longs per doc per map partition."""
     sh = (
         docs.select("doc_id", ws_words("text").alias("toks"))
         .where(F.size("toks") >= 3)
@@ -102,6 +101,10 @@ def _signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (a, b) in enumerate(SEEDS)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _signatures_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signatures_from(load_table(spark, sf_dir, "documents"))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,13 +125,14 @@ def _sql_seed_lists() -> tuple[str, str]:
     return f"[{a_list}]", f"[{b_list}]"
 
 
-def _sql_signature_cte() -> str:
-    """Shared oracle CTEs computing (doc_id, i, mv) minhash rows."""
+def _sql_signature_cte(src: str = "documents") -> str:
+    """Shared oracle CTEs computing (doc_id, i, mv) minhash rows over any
+    (doc_id, text) relation ``src``."""
     a_list, b_list = _sql_seed_lists()
     return f"""
 toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -157,11 +161,11 @@ GROUP BY doc_id
 """
 
 
-def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: band the 16-value signature into 4 bands of 4;
-    docs sharing any band bucket are candidates; keep pairs whose
-    estimated Jaccard (matching signature positions / 16) clears the
-    threshold.
+def minhash_pairs_from(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs over any (doc_id, text) relation: band the
+    16-value signature into 4 bands of 4; docs sharing any band bucket
+    are candidates; keep pairs whose estimated Jaccard (matching
+    signature positions / 16) clears the threshold.
 
     Scale shape: bucket join shuffles on (band, band_key) — collisions,
     not cross products.  The signature re-join to score pairs is two
@@ -172,7 +176,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pair scoring join); persist it so it's computed once, exactly
     # as a production pipeline materializes signatures before LSH.
     sig = (
-        _signatures_df(spark, sf_dir)
+        _signatures_from(docs)
         .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -211,8 +215,15 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_MINHASH_PAIRS_SQL = f"""
-WITH {_sql_signature_cte()},
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs_from(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_pairs_sql(src: str = "documents") -> str:
+    """Full LSH candidate-pair oracle SQL over any (doc_id, text)
+    relation ``src`` — embeddable as a CTE body in larger pipelines."""
+    return f"""
+WITH {_sql_signature_cte(src)},
 sig AS (
   SELECT doc_id, list(mv ORDER BY i) AS sig FROM mh GROUP BY doc_id
 ),
@@ -235,6 +246,9 @@ JOIN sig sb ON sb.doc_id = doc_b
 WHERE len(list_filter(generate_series(1, {NUM_HASHES}),
                       i -> sa.sig[i] = sb.sig[i])) / {NUM_HASHES}.0 >= {MINHASH_EST_THRESHOLD}
 """
+
+
+DEDUP_MINHASH_PAIRS_SQL = minhash_pairs_sql()
 
 
 # --- SimHash -----------------------------------------------------------
@@ -380,9 +394,15 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     round's cache is dropped, and lineage is truncated with
     ``localCheckpoint`` every 5 rounds so the plan never accumulates a
     20-join tree.  The oracle replicates it with a recursive CTE."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return clusters_from(pairs)
+
+
+def clusters_from(pairs: DataFrame) -> DataFrame:
+    """Connected components (min-label propagation) over any
+    (doc_a, doc_b) edge list; see :func:`neardup_clusters`."""
     from pyspark.storagelevel import StorageLevel
 
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
         .distinct()

@@ -1,0 +1,105 @@
+"""End-to-end corpus-cleaning pipeline — the LLM-training-data flagship:
+
+    quality filter  →  exact dedup (md5, keep-min)  →  MinHash+LSH
+    near-dup clustering  →  keep one representative per cluster
+
+composed from the same building blocks the individual queries() entries
+expose (textstats.quality_scores, dedup.minhash_pairs_from,
+dedup.clusters_from), all stages parameterized by source relation so the
+oracle replicates the whole chain in one WITH RECURSIVE statement.
+
+Scale shape of the composition: stage boundaries are all id-keyed
+joins/semi-joins (shuffle carries ids + hashes, never text bodies except
+the single signature pass); the only iterative piece is the min-label
+propagation, which converges in O(cluster diameter) rounds with constant
+driver traffic (1-row convergence counts).  At 100 TB each stage is the
+exact shape you would materialize as an intermediate table; composing
+them in one DAG lets Spark pipeline the scans instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from golang_mapreduce_spark.operators.dedup import (
+    clusters_from,
+    minhash_pairs_from,
+    minhash_pairs_sql,
+)
+from golang_mapreduce_spark.operators.textstats import QUALITY_SQL, quality_scores
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+QUALITY_MIN = 0.5
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving documents (doc_id, lang, n_chars) after quality
+    filtering, exact dedup, and near-dup keep-one-per-cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    good = quality_scores(spark, sf_dir).where(
+        F.col("quality_score") >= QUALITY_MIN
+    ).select("doc_id")
+    docs_f = docs.join(good, "doc_id")
+
+    keep_exact = (
+        docs_f.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # survivors of exact dedup, reused by the signature pass AND the
+    # final projection — persist once
+    docs_d = docs_f.join(keep_exact, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
+
+    pairs = minhash_pairs_from(docs_d.select("doc_id", "text")).select(
+        "doc_a", "doc_b"
+    )
+    clusters = clusters_from(pairs)
+    drop = clusters.where(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return docs_d.join(drop, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+CLEAN_CORPUS_SQL = f"""
+WITH RECURSIVE q AS (
+  {QUALITY_SQL.strip()}
+),
+docs_f AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM q WHERE quality_score >= {QUALITY_MIN})
+),
+keep1 AS (
+  SELECT MIN(doc_id) AS doc_id FROM docs_f GROUP BY md5(lower(trim(text)))
+),
+docs_d AS (
+  SELECT * FROM docs_f WHERE doc_id IN (SELECT doc_id FROM keep1)
+),
+pairs AS (
+  {minhash_pairs_sql("docs_d").strip()}
+),
+edges(a, b) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+),
+dropped AS (
+  SELECT doc_id FROM clusters WHERE cluster_id <> doc_id
+)
+SELECT doc_id, lang, n_chars
+FROM docs_d
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+QUERIES = {"clean_corpus": clean_corpus}
+ORACLES = {"clean_corpus": CLEAN_CORPUS_SQL}
