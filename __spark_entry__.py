@@ -95,6 +95,9 @@ _PRIORITY = [
     "asof_purchase_click",
     "range_clicks_before_error",
     "clean_corpus",
+    "emb_neardup_multiprobe",
+    "streaming_click_attribution",
+    "bpe_token_stats",
 ]
 
 #: Round-1-green queries pushed past the driver's 50-entry window this

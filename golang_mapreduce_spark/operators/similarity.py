@@ -108,10 +108,11 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Assignment pass: nearest centroid per vector (broadcast join, one
-    scan of the collection).  At scale this runs once at ingest and
-    `cluster` is written as a partition column."""
+def _ivf_assign(emb: DataFrame, cent: DataFrame, n_probe: int = 1) -> DataFrame:
+    """Assignment pass: top-``n_probe`` nearest centroids per vector
+    (broadcast join, one scan of the collection).  At scale this runs
+    once at ingest and `cluster` is written as a partition column;
+    n_probe > 1 multi-assigns boundary vectors for dedup recall."""
     aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     return (
         emb.join(cent)
@@ -119,7 +120,7 @@ def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
             "vec_id", "emb", F.col("cid"), _cos("emb", "c_emb").alias("csim")
         )
         .withColumn("arn", F.row_number().over(aw))
-        .where(F.col("arn") == 1)
+        .where(F.col("arn") <= n_probe)
         .select("vec_id", "emb", F.col("cid").alias("cluster"))
     )
 
@@ -315,11 +316,60 @@ def knn_numpy_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("rank") <= TOP_K)
 
 
+def emb_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with multi-probe assignment: every vector joins
+    its top-2 nearest clusters, so near-identical vectors split by a
+    Voronoi boundary still collide in at least one shared cluster — the
+    standard recall patch over single-assignment blocking at 2× the
+    assignment fan-out (pair product still O(N²/C) per cluster).  Pairs
+    sharing both clusters dedupe via DISTINCT on the scored row."""
+    emb = _emb(spark, sf_dir)
+    assign = _ivf_assign(emb, _centroids(emb), n_probe=2)
+    a = assign.select(
+        "cluster", F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
+    b = assign.select(
+        "cluster", F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
+    )
+    return (
+        a.join(b, "cluster")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", _cos("emb_a", "emb_b").alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_COS)
+        .distinct()
+    )
+
+
+EMB_NEARDUP_MULTIPROBE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, emb AS c_emb FROM emb WHERE vec_id % {CENTROID_STEP} = 0
+),
+assign AS (
+  SELECT vec_id, emb, cid AS cluster FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS arn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE arn <= 2
+)
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
+FROM assign a
+JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {NEARDUP_COS}
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_numpy_batched": knn_numpy_batched,
     "ann_ivf_topk": ann_ivf_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
+    "emb_neardup_multiprobe": emb_neardup_multiprobe,
 }
 
 ORACLES = {
@@ -327,4 +377,5 @@ ORACLES = {
     "knn_numpy_batched": KNN_SQL,  # must equal the JVM brute force exactly
     "ann_ivf_topk": ANN_IVF_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
+    "emb_neardup_multiprobe": EMB_NEARDUP_MULTIPROBE_SQL,
 }

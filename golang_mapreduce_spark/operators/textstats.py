@@ -347,6 +347,50 @@ GROUP BY doc_id
 """
 
 
+def _bpe_case_expr() -> str:
+    """Shared CASE mapping word -> frozen BPE token count (unknown words
+    fall back to character count, the byte-level-tokenizer analog)."""
+    from golang_mapreduce_spark.functions.bpe import BPE_COUNTS
+
+    whens = " ".join(
+        f"WHEN '{w}' THEN {n}" for w, n in sorted(BPE_COUNTS.items())
+    )
+    return f"CASE w {whens} ELSE length(w) END"
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under a REAL trained BPE: a character
+    BPE with deterministic tie-breaks is trained at import time on the
+    corpus's closed vocabulary (functions/bpe.py), and the frozen
+    word→token-count table is evaluated entirely JVM-side as a CASE over
+    the token array — the closed-vocab form of broadcasting a tokenizer's
+    merge table.  Zero shuffles: the whole query is a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    case = _bpe_case_expr()
+    base = docs.select("doc_id", ws_words("text").alias("toks"))
+    return base.select(
+        "doc_id",
+        F.coalesce(F.size("toks"), F.lit(0)).alias("n_words"),
+        F.coalesce(
+            F.expr(
+                f"aggregate(transform(toks, w -> CAST(({case}) AS BIGINT)), "
+                "0L, (acc, x) -> acc + x)"
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_bpe_tokens"),
+    )
+
+
+BPE_TOKEN_SQL = f"""
+SELECT doc_id,
+       COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 0) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+         w -> {_bpe_case_expr()})), 0) AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
 QUERIES = {
     "lang_doc_stats": lang_doc_stats,
     "lang_id_heuristic": lang_id_heuristic,
@@ -355,6 +399,7 @@ QUERIES = {
     "doc_fingerprints": doc_fingerprints,
     "bigram_counts": bigram_counts,
     "winnow_fingerprints": winnow_fingerprints,
+    "bpe_token_stats": bpe_token_stats,
 }
 
 ORACLES = {
@@ -365,4 +410,5 @@ ORACLES = {
     "quality_scores": QUALITY_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
+    "bpe_token_stats": BPE_TOKEN_SQL,
 }

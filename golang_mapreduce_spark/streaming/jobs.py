@@ -186,6 +186,74 @@ GROUP BY user_id, session_id
 """
 
 
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks, drained end-to-end:
+    purchases joined to the same user's clicks within the preceding
+    10 minutes.  Inner matches emit as both sides arrive — the
+    watermarks only bound join state (each side buffers at most
+    30 minutes of events), so the drained result equals the batch
+    interval join exactly and the oracle is plain SQL.
+
+    Scale: state is keyed by user and pruned by watermark; the join
+    shuffles both streams on user_id once, identically to the batch
+    plan, but with O(watermark window) memory instead of O(history)."""
+    import uuid
+
+    base = read_events_stream(spark, sf_dir)
+    clicks = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
+
+    name = "attr_" + uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+CLICK_ATTRIBUTION_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       p.ts AS purchase_ts,
+       c.event_id AS click_id,
+       c.ts AS click_ts
+FROM events p
+JOIN events c
+  ON p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+"""
+
+
 # oracle identical to the batch tumbling query: a drained complete-mode
 # stream over the same files must produce the same table.
 from golang_mapreduce_spark.operators.windows import TUMBLING_SQL  # noqa: E402
@@ -193,8 +261,10 @@ from golang_mapreduce_spark.operators.windows import TUMBLING_SQL  # noqa: E402
 QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "stateful_sessionize": stateful_sessionize,
+    "streaming_click_attribution": streaming_click_attribution,
 }
 ORACLES = {
     "streaming_tumbling_hourly": TUMBLING_SQL,
     "stateful_sessionize": STATEFUL_SESSION_SQL,
+    "streaming_click_attribution": CLICK_ATTRIBUTION_SQL,
 }

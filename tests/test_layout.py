@@ -60,3 +60,33 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir):
 
     counts = {r["dir"]: r["n_files"] for r in partition_file_counts(spark, out).collect()}
     assert sum(counts.values()) == 2
+
+
+def test_ivf_cluster_partitioned_layout_prunes(spark, sf_dir):
+    """The IVF write-path claim made in operators/similarity.py: assign
+    once at ingest, write cluster as a partition column, and a probe
+    query scans ONLY its probed partitions (PartitionFilters, not a
+    full-collection scan)."""
+    from golang_mapreduce_spark.operators.similarity import (
+        _centroids,
+        _emb,
+        _ivf_assign,
+    )
+
+    emb = _emb(spark, sf_dir)
+    assign = _ivf_assign(emb, _centroids(emb))
+    base = tempfile.mkdtemp(prefix="gmrs_ivf_") + "/emb_by_cluster"
+    write_partitioned(
+        assign.select("vec_id", "emb", "cluster"), base, ["cluster"]
+    )
+
+    clusters = sorted(glob.glob(base + "/cluster=*"))
+    assert len(clusters) >= 2, clusters
+
+    # probing one cluster must prune to its directory
+    one = assign.select("cluster").limit(1).collect()[0]["cluster"]
+    probed = spark.read.parquet(base).where(F.col("cluster") == one)
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan
+    assert "cluster" in plan.split("PartitionFilters")[1][:200]
+    assert probed.count() == assign.where(F.col("cluster") == one).count()
