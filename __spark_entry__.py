@@ -98,6 +98,7 @@ _PRIORITY = [
     "emb_neardup_multiprobe",
     "streaming_click_attribution",
     "bpe_token_stats",
+    "ngram_jaccard_pruned",
 ]
 
 #: Round-1-green queries pushed past the driver's 50-entry window this

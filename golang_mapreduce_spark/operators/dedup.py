@@ -377,6 +377,101 @@ WHERE ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) >= {JA
 """
 
 
+PRUNED_NGRAM = 3
+PRUNED_MAX_DF = 20
+PRUNED_THRESHOLD = 0.5
+
+
+def ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-gram variant of exact Jaccard WITH high-document-frequency
+    shingle pruning — the caveat the 5-gram query's docstring names, made
+    real.  Shingles appearing in more than {max_df} documents are dropped
+    BEFORE the inverted-index self-join, capping its per-shingle fan-out
+    at C(max_df, 2) pairs; intersection AND union sizes are computed on
+    the pruned sets, so the score is exactly replicable (it approximates
+    true Jaccard from below for docs sharing only stop-shingles, the
+    standard trade: stop-shingles carry no dedup signal).
+
+    At 100 TB the DF side is one extra groupBy over (shingle) with a
+    HAVING — linear, partial-agg friendly — and the pruning is what keeps
+    3-gram inverted indexes from quadratic blow-up on boilerplate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.storagelevel import StorageLevel
+
+    doc_sh_all = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= PRUNED_NGRAM)
+        .select("doc_id", F.explode(_shingles(PRUNED_NGRAM)).alias("s"))
+        .distinct()
+    )
+    rare = doc_sh_all.groupBy("s").agg(F.count("*").alias("df")).where(
+        F.col("df") <= PRUNED_MAX_DF
+    )
+    doc_sh = (
+        doc_sh_all.join(rare.select("s"), "s")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    common = (
+        a.join(b, "s")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= PRUNED_THRESHOLD)
+    )
+
+
+NGRAM_JACCARD_PRUNED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+doc_sh_all AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= {PRUNED_NGRAM}
+),
+rare AS (
+  SELECT s FROM doc_sh_all GROUP BY s HAVING COUNT(*) <= {PRUNED_MAX_DF}
+),
+doc_sh AS (
+  SELECT doc_id, d.s FROM doc_sh_all d JOIN rare r ON d.s = r.s
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM doc_sh GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM doc_sh a JOIN doc_sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6) >= {PRUNED_THRESHOLD}
+"""
+
+
 # --- near-dup clustering (iterative) -----------------------------------
 
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,6 +569,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash_signatures": simhash_signatures,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_jaccard_pruned": ngram_jaccard_pruned,
     "neardup_clusters": neardup_clusters,
 }
 
@@ -484,4 +580,5 @@ ORACLES = {
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "simhash_signatures": SIMHASH_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+    "ngram_jaccard_pruned": NGRAM_JACCARD_PRUNED_SQL,
 }
