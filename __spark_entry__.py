@@ -99,6 +99,8 @@ _PRIORITY = [
     "streaming_click_attribution",
     "bpe_token_stats",
     "ngram_jaccard_pruned",
+    "pq_codes",
+    "pq_adc_topk",
 ]
 
 #: Round-1-green queries pushed past the driver's 50-entry window this

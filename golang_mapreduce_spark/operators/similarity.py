@@ -364,12 +364,199 @@ WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {NEARDUP_COS}
 """
 
 
+# --- product quantization ----------------------------------------------
+
+PQ_SUBSPACES = 8          # 64 dims -> 8 subvectors of 8
+PQ_SUBDIM = 8
+
+
+def _sub(col: str, s: int) -> str:
+    """SQL slice of subspace s (1-indexed slice, length PQ_SUBDIM)."""
+    return f"slice({col}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+
+
+def _l2sq(a: str, b: str) -> str:
+    """Rounded squared L2 between two array<double> SQL expressions."""
+    return (
+        f"round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+    )
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding: split each 64-dim vector into 8
+    subvectors and store only the id of the nearest codebook entry per
+    subspace — 8 small ints instead of 256 float bytes (the compression
+    that lets a 100 TB collection's codes fit in memory).
+
+    Codebooks are data-derived and deterministic (the same every-53rd
+    rows the IVF quantizer uses, one codebook per subspace); assignment
+    ties break on code id, distances rounded at 6 dp, so the oracle
+    replicates encoding exactly.  One broadcast join + per-row argmin —
+    no shuffle of the collection."""
+    emb = _emb(spark, sf_dir)
+    cent = F.broadcast(
+        emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
+            F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb")
+        )
+    )
+    per_code = emb.join(cent).select(
+        "vec_id",
+        "cid",
+        *[
+            F.expr(_l2sq(_sub("emb", s), _sub("c_emb", s))).alias(f"d{s}")
+            for s in range(PQ_SUBSPACES)
+        ],
+    )
+    aggs = [
+        F.expr(f"min_by(cid, struct(d{s}, cid))").alias(f"code{s}")
+        for s in range(PQ_SUBSPACES)
+    ]
+    return per_code.groupBy("vec_id").agg(*aggs)
+
+
+def _sql_l2sq(s: int, a: str = "e.emb", b: str = "c.c_emb") -> str:
+    """DuckDB rounded squared L2 on subspace s of two DOUBLE[] columns."""
+    return (
+        f"round(list_sum(list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> ({a}[{s * PQ_SUBDIM} + i] - {b}[{s * PQ_SUBDIM} + i])"
+        f" * ({a}[{s * PQ_SUBDIM} + i] - {b}[{s * PQ_SUBDIM} + i]))), 6)"
+    )
+
+
+#: shared oracle CTEs: emb, cent, and codes = (vec_id, sub, code)
+_PQ_BASE_CTES = f"""
+emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, emb AS c_emb FROM emb WHERE vec_id % {CENTROID_STEP} = 0
+),
+subdist AS (
+{" UNION ALL ".join(
+    f'''  SELECT e.vec_id, {s} AS sub, c.cid, {_sql_l2sq(s)} AS d
+  FROM emb e CROSS JOIN cent c'''
+    for s in range(PQ_SUBSPACES))}
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT vec_id, sub, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+    FROM subdist
+  ) WHERE rn = 1
+)"""
+
+
+PQ_CODES_SQL = f"""
+WITH {_PQ_BASE_CTES}
+SELECT vec_id,
+       {", ".join(f"MAX(CASE WHEN sub = {s} THEN code END) AS code{s}" for s in range(PQ_SUBSPACES))}
+FROM codes
+GROUP BY vec_id
+"""
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-5: queries stay exact, the collection is
+    its PQ codes; approx distance = Σ_s ||q_s − codebook[code_s]||².
+    At scale the per-query sub-distance table (C×8 floats) is the
+    broadcast — the collection side touches only its 8-int codes, never
+    the original vectors.  Here the LUT join is expressed relationally:
+    codes unpivot to (vec_id, sub, code), join the broadcast per-query
+    LUT on (sub, code), then one groupBy sums the 8 partial distances."""
+    emb = _emb(spark, sf_dir)
+    cent = F.broadcast(
+        emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
+            F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb")
+        )
+    )
+    codes = pq_codes(spark, sf_dir)
+    code_rows = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(f"struct({s} AS sub, code{s} AS code)")
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sc"),
+    ).select("vec_id", F.col("sc.sub").alias("sub"), F.col("sc.code").alias("code"))
+
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    lut = F.broadcast(
+        q.join(cent).select(
+            "query_id",
+            F.col("cid").alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"struct({s} AS sub, {_l2sq(_sub('q_emb', s), _sub('c_emb', s))} AS d)"
+                        )
+                        for s in range(PQ_SUBSPACES)
+                    ]
+                )
+            ).alias("sd"),
+        ).select("query_id", "code", F.col("sd.sub").alias("sub"), F.col("sd.d").alias("d"))
+    )
+    # d values are 6-dp-rounded: sum them exactly as integer micro-units
+    # so the total is independent of partial-agg addition order
+    scored = (
+        code_rows.join(lut, ["sub", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(d * 1000000) AS BIGINT)) AS DOUBLE) / 1000000"
+            ).alias("approx_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_dist"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", "approx_dist", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= TOP_K)
+
+
+PQ_ADC_SQL = f"""
+WITH {_PQ_BASE_CTES},
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM emb WHERE vec_id < {N_QUERIES}
+),
+lut AS (
+{" UNION ALL ".join(
+    f'''  SELECT q.query_id, c.cid AS code, {s} AS sub, {_sql_l2sq(s, "q.q_emb")} AS d
+  FROM q CROSS JOIN cent c'''
+    for s in range(PQ_SUBSPACES))}
+),
+scored AS (
+  SELECT l.query_id, cr.vec_id AS neighbor_id,
+         CAST(CAST(SUM(CAST(round(l.d * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000 AS approx_dist
+  FROM codes cr
+  JOIN lut l ON l.sub = cr.sub AND l.code = cr.code
+  WHERE cr.vec_id <> l.query_id
+  GROUP BY l.query_id, cr.vec_id
+)
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+  SELECT query_id, neighbor_id, approx_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_numpy_batched": knn_numpy_batched,
     "ann_ivf_topk": ann_ivf_topk,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_neardup_multiprobe": emb_neardup_multiprobe,
+    "pq_codes": pq_codes,
+    "pq_adc_topk": pq_adc_topk,
 }
 
 ORACLES = {
@@ -378,4 +565,6 @@ ORACLES = {
     "ann_ivf_topk": ANN_IVF_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "emb_neardup_multiprobe": EMB_NEARDUP_MULTIPROBE_SQL,
+    "pq_codes": PQ_CODES_SQL,
+    "pq_adc_topk": PQ_ADC_SQL,
 }
