@@ -21,6 +21,7 @@ from golang_mapreduce_spark.operators import (
     multimodal,
     pipeline,
     relational,
+    sampling,
     similarity,
     skew,
     temporal,
@@ -36,6 +37,7 @@ _MODULES = [
     tpch_extra,
     temporal,
     pipeline,
+    sampling,
     windows,
     streaming_jobs,
     mapreduce,
@@ -101,6 +103,8 @@ _PRIORITY = [
     "ngram_jaccard_pruned",
     "pq_codes",
     "pq_adc_topk",
+    "hash_sample_docs",
+    "dataset_split_counts",
 ]
 
 #: Round-1-green queries pushed past the driver's 50-entry window this

@@ -1,0 +1,101 @@
+"""Deterministic sampling and dataset splitting over ``documents`` —
+the reproducibility primitives a training-data pipeline needs.
+
+`df.sample()` is seed-deterministic only per Spark version/partitioning;
+these operators hash the ROW KEY instead, so membership is a pure
+function of the data: stable across engines, re-runs, repartitioning,
+and incremental appends (a new document never changes an old one's
+split).  That is exactly how production corpora pin train/val/test —
+hash(id) mod buckets — and it is trivially replicable in the oracle.
+
+Scale: both queries are single-scan narrow projections plus one bounded
+aggregation; sampling pushes nothing to the driver and needs no global
+coordination (contrast reservoir sampling, which needs a merge pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_mapreduce_spark.functions.hashing import hash32
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+SAMPLE_PCT = 10           # hash_sample keeps buckets [0, 10) of 100
+TRAIN_PCT, VAL_PCT = 80, 10  # split: [0,80) train, [80,90) val, rest test
+
+#: hash the doc_id AS TEXT via md5 (cross-engine); bucket in [0, 100)
+_BUCKET = "h % 100"
+
+
+def _bucket_col() -> F.Column:
+    return (hash32(F.col("doc_id").cast("string")) % 100).alias("bucket")
+
+
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~{pct}% document sample: keep doc ids whose md5
+    bucket falls in [0, {pct}).  Membership is a pure function of
+    doc_id — the same rows are sampled on any cluster, any partitioning,
+    any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "lang", "n_chars", _bucket_col())
+        .where(F.col("bucket") < SAMPLE_PCT)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+HASH_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {SAMPLE_PCT}
+"""
+
+
+def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by hash bucket ([0,80) / [80,90) /
+    [90,100)), summarized per (split, lang).  Appending new documents
+    never reassigns existing ones — the property that keeps eval sets
+    stable as a corpus grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("bucket") < TRAIN_PCT, "train")
+        .when(F.col("bucket") < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars", _bucket_col())
+        .select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+DATASET_SPLIT_SQL = f"""
+SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+            WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT lang, n_chars,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "hash_sample_docs": hash_sample_docs,
+    "dataset_split_counts": dataset_split_counts,
+}
+
+ORACLES = {
+    "hash_sample_docs": HASH_SAMPLE_SQL,
+    "dataset_split_counts": DATASET_SPLIT_SQL,
+}
