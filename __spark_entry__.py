@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from golang_mapreduce_spark import mapreduce
 from golang_mapreduce_spark.operators import (
     advanced,
+    analytics,
     dedup,
     mr_parity,
     multimodal,
@@ -38,6 +39,7 @@ _MODULES = [
     temporal,
     pipeline,
     sampling,
+    analytics,
     windows,
     streaming_jobs,
     mapreduce,
@@ -105,6 +107,9 @@ _PRIORITY = [
     "pq_adc_topk",
     "hash_sample_docs",
     "dataset_split_counts",
+    "window_range_7day_spend",
+    "ntile_customer_quartiles",
+    "funnel_conversion",
 ]
 
 #: Round-1-green queries pushed past the driver's 50-entry window this

@@ -1,0 +1,144 @@
+"""Analytics window shapes beyond ROWS frames: RANGE-by-value frames,
+ntile bucketing, and event-sequence (funnel) analysis.
+
+These complete the window-function surface (SURVEY §2.4): running sums
+and top-k use ROWS frames (operators/relational.py); here RANGE frames
+bound by a VALUE interval (trailing 7 days, not 7 rows — the two differ
+whenever a key has gaps or multiple rows per day), ntile's standard
+larger-buckets-first distribution, and the min-timestamp-ordering form
+of funnel analysis (one aggregation, no self-joins per funnel step).
+
+Scale: all three shuffle once on their partition key; the funnel is a
+single groupBy(user) with conditional MINs — the O(steps) self-join
+formulation it replaces is the classic funnel anti-pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from golang_mapreduce_spark.operators.relational import _dec
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+
+def window_range_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: each order with the trailing-7-DAY order total — a
+    RANGE frame keyed on the order date VALUE (epoch days), so same-day
+    orders aggregate together and calendar gaps shrink the frame, which
+    no ROWS frame can express."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.expr(
+            f"CAST(SUM({_dec('o_totalprice')}) OVER ("
+            "PARTITION BY o_custkey ORDER BY unix_date(CAST(o_orderdate AS DATE)) "
+            "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        ).alias("trailing_7d_spend"),
+    )
+
+
+RANGE_7DAY_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUM({_dec('o_totalprice')}) OVER (
+         PARTITION BY o_custkey
+         ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d_spend
+FROM orders
+"""
+
+
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance quartiles: ntile(4) over a total order (ties broken by
+    custkey), rolled up to per-quartile count and decimal-exact balance
+    sum.  ntile's standard distribution (larger buckets first) is shared
+    by both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.expr(f"CAST(SUM({_dec('c_acctbal')}) AS DOUBLE)").alias("total_bal"),
+        )
+    )
+
+
+NTILE_SQL = f"""
+SELECT quartile, COUNT(*) AS n_customers,
+       CAST(SUM({_dec('c_acctbal')}) AS DOUBLE) AS total_bal
+FROM (
+  SELECT c_custkey, c_acctbal,
+         NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+  FROM customer
+)
+GROUP BY quartile
+"""
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: a user converts at a step if their
+    FIRST event of that type happens strictly after the previous step's
+    first event.  One groupBy(user) with conditional MINs replaces the
+    per-step self-join formulation (O(steps) scans and joins)."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count(F.col("t_view")).alias("users_viewed"),
+        F.count(
+            F.when(F.col("t_click") > F.col("t_view"), F.lit(1))
+        ).alias("users_view_then_click"),
+        F.count(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                F.lit(1),
+            )
+        ).alias("users_full_funnel"),
+    )
+
+
+FUNNEL_SQL = """
+SELECT CAST(COUNT(t_view) AS BIGINT) AS users_viewed,
+       CAST(COUNT(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT) AS users_view_then_click,
+       CAST(COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END) AS BIGINT)
+         AS users_full_funnel
+FROM (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events
+  GROUP BY user_id
+)
+"""
+
+
+QUERIES = {
+    "window_range_7day_spend": window_range_7day_spend,
+    "ntile_customer_quartiles": ntile_customer_quartiles,
+    "funnel_conversion": funnel_conversion,
+}
+
+ORACLES = {
+    "window_range_7day_spend": RANGE_7DAY_SQL,
+    "ntile_customer_quartiles": NTILE_SQL,
+    "funnel_conversion": FUNNEL_SQL,
+}
