@@ -68,6 +68,12 @@ EXTRA = [
     "range_clicks_before_error",
     "emb_neardup_pairs",
     "stateful_sessionize",
+    "clean_corpus",
+    "pq_adc_topk",
+    "bpe_token_stats",
+    "ngram_jaccard_pruned",
+    "hash_sample_docs",
+    "window_range_7day_spend",
 ]
 
 
