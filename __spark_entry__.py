@@ -110,6 +110,7 @@ _PRIORITY = [
     "window_range_7day_spend",
     "ntile_customer_quartiles",
     "funnel_conversion",
+    "json_events_typed",
 ]
 
 #: Round-1-green queries pushed past the driver's 50-entry window this

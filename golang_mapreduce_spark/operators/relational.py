@@ -600,6 +600,41 @@ GROUP BY event_type
 """
 
 
+def json_events_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path json_events' docstring names, implemented:
+    ``from_json`` with an explicit schema parses each props string ONCE
+    into a typed struct (get_json_object re-parses per extracted path —
+    at k paths that is k parses per row).  Distribution of k values per
+    event type, not just the sum, to exercise the typed field further."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").alias("p"),
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.expr("CAST(SUM(k) AS BIGINT)").alias("sum_k"),
+        F.expr("CAST(COUNT(DISTINCT k) AS BIGINT)").alias("n_distinct_k"),
+    )
+
+
+JSON_TYPED_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
 # --- more TPC-H query shapes -------------------------------------------
 
 def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -744,6 +779,7 @@ QUERIES = {
     "scalar_funcs": scalar_funcs,
     "date_funcs": date_funcs,
     "json_events": json_events,
+    "json_events_typed": json_events_typed,
 }
 
 ORACLES = {
@@ -768,4 +804,5 @@ ORACLES = {
     "scalar_funcs": SCALAR_SQL,
     "date_funcs": DATE_SQL,
     "json_events": JSON_SQL,
+    "json_events_typed": JSON_TYPED_SQL,
 }

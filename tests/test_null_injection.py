@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
-from golang_mapreduce_spark.operators import advanced, relational
+from golang_mapreduce_spark.operators import advanced, relational, tpch_extra
 from golang_mapreduce_spark.sources.fixtures import TABLES
 from tests.oracle import compare
 
@@ -46,6 +46,10 @@ FAMILY = [
     "distinct_stats",
     "pivot_segment_revenue",
     "grouping_sets_orders",
+    # tpch_extra shapes over nulled group keys / join keys / CASE inputs
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q22_dormant_rich_customers",
 ]
 
 
@@ -78,8 +82,8 @@ def null_duck(null_dir):
 
 @pytest.mark.parametrize("name", FAMILY)
 def test_null_injected_parity(name, spark, null_dir, null_duck):
-    queries = {**relational.QUERIES, **advanced.QUERIES}
-    oracles = {**relational.ORACLES, **advanced.ORACLES}
+    queries = {**relational.QUERIES, **advanced.QUERIES, **tpch_extra.QUERIES}
+    oracles = {**relational.ORACLES, **advanced.ORACLES, **tpch_extra.ORACLES}
     df = queries[name](spark, null_dir)
     compare(df, null_duck, oracles[name], name=f"nulls:{name}")
 

@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from golang_mapreduce_spark.operators import dedup, mr_parity, textstats
+from golang_mapreduce_spark.operators import dedup, mr_parity, pipeline, sampling, textstats
 from tests.oracle import compare
 
 EDGE_DOCS = [
@@ -30,7 +30,11 @@ EDGE_DOCS = [
 ]
 
 DOC_QUERIES = sorted(
-    set(mr_parity.ORACLES) | set(textstats.ORACLES) | set(dedup.ORACLES)
+    set(mr_parity.ORACLES)
+    | set(textstats.ORACLES)
+    | set(dedup.ORACLES)
+    | set(pipeline.ORACLES)   # exact-dup docs exercise the collapse stage
+    | set(sampling.ORACLES)
 )
 
 
@@ -62,7 +66,13 @@ def edge_duck(edge_dir):
 
 @pytest.mark.parametrize("name", DOC_QUERIES)
 def test_edge_corpus_parity(name, spark, edge_dir, edge_duck):
-    queries = {**mr_parity.QUERIES, **textstats.QUERIES, **dedup.QUERIES}
-    oracles = {**mr_parity.ORACLES, **textstats.ORACLES, **dedup.ORACLES}
+    queries = {
+        **mr_parity.QUERIES, **textstats.QUERIES, **dedup.QUERIES,
+        **pipeline.QUERIES, **sampling.QUERIES,
+    }
+    oracles = {
+        **mr_parity.ORACLES, **textstats.ORACLES, **dedup.ORACLES,
+        **pipeline.ORACLES, **sampling.ORACLES,
+    }
     df = queries[name](spark, edge_dir)
     compare(df, edge_duck, oracles[name], name=f"edge:{name}")
