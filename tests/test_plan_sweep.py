@@ -1,0 +1,57 @@
+"""Repo-wide plan gate: build (don't execute) the physical plan of every
+queries() entry and assert no CartesianProduct anywhere — an
+un-broadcast cross product is the one plan shape that can never survive
+100 TB.  BroadcastNestedLoopJoin is allowed only for the queries that
+cross-join a deliberately tiny broadcast side (1-row scalars, 8-row
+query sets, ~10-row centroid tables)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from golang_mapreduce_spark.plans.checks import formatted_plan
+from tests.test_plan_quality import count_nodes
+
+#: queries whose plan is only produced by actually running a stream or a
+#: driver-side iterative loop — excluded from the static sweep (their
+#: plan quality is covered by their own tests)
+EXECUTING = {
+    "streaming_tumbling_hourly",
+    "stateful_sessionize",
+    "streaming_click_attribution",
+    "neardup_clusters",
+    "clean_corpus",
+}
+
+#: deliberate broadcast cross joins (tiny side by construction)
+BNLJ_OK = {
+    "tfidf_top_terms",          # 1-row N
+    "q11_important_parts",      # 1-row total
+    "q15_top_supplier",         # 1-row max
+    "q17_small_quantity_revenue",
+    "q22_dormant_rich_customers",  # 1-row avg
+    "ann_ivf_topk",             # ~10-row centroid table
+    "emb_neardup_pairs",
+    "emb_neardup_multiprobe",
+    "pq_codes",
+    "pq_adc_topk",
+    "knn_bruteforce",           # 8-row query set (non-equi join)
+    "salted_join_revenue",      # deliberate S-row salt-range replication
+}
+
+QUERIES = {
+    name: fn
+    for name, fn in entry_mod.queries().items()
+    if name not in EXECUTING
+}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_unbroadcast_cartesian(name, spark, sf_dir):
+    plan = formatted_plan(QUERIES[name](spark, sf_dir))
+    assert count_nodes(plan, "CartesianProduct") == 0, f"{name}:\n{plan}"
+    if name not in BNLJ_OK:
+        assert count_nodes(plan, "BroadcastNestedLoopJoin") == 0, (
+            f"{name} has an unexpected nested-loop join:\n{plan}"
+        )
