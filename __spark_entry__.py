@@ -111,6 +111,8 @@ _PRIORITY = [
     "ntile_customer_quartiles",
     "funnel_conversion",
     "json_events_typed",
+    "audio_chunk_features",
+    "video_frame_sample",
 ]
 
 #: Round-1-green queries pushed past the driver's 50-entry window this

@@ -138,15 +138,107 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+def decode_audio(data: bytes, fake: bool = False) -> list[int]:
+    """Decode an audio blob to 16-bit PCM samples.  Real decoding needs
+    ffmpeg/soundfile (absent here); the deterministic fake interprets
+    consecutive byte pairs as little-endian int16 samples."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decoding needs ffmpeg/soundfile; pass fake=True "
+            "for the deterministic byte-pair stand-in"
+        )
+    usable = len(data) - (len(data) % 2)
+    return [
+        int.from_bytes(data[i : i + 2], "little", signed=True)
+        for i in range(0, usable, 2)
+    ]
+
+
+AUDIO_CHUNK_SAMPLES = 16  # samples per analysis chunk ("frame")
+
+AUDIO_SCHEMA = "doc_id bigint, chunk_idx int, n_samples int, rms double"
+
+
+def audio_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked audio analysis over (fake) PCM blobs: each blob fans out
+    to one row PER CHUNK (1→N output, unlike image_features' 1→1) with
+    the chunk's RMS energy — the framing shape a voice-activity or
+    loudness filter needs.  numpy does the per-batch math (Arrow in,
+    vectorized reshape/RMS, Arrow out); rounding at 6 dp keeps values
+    reproducible for the unit-test oracle."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_idx": [], "n_samples": [], "rms": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob)
+                usable = len(data) - (len(data) % 2)
+                samples = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64)
+                for ci in range(0, len(samples), AUDIO_CHUNK_SAMPLES):
+                    chunk = samples[ci : ci + AUDIO_CHUNK_SAMPLES]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(ci // AUDIO_CHUNK_SAMPLES)
+                    out["n_samples"].append(len(chunk))
+                    out["rms"].append(round(float(np.sqrt(np.mean(chunk**2))), 6))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
+VIDEO_FRAME_BYTES = 32   # fake "frame" size
+VIDEO_FRAME_STRIDE = 4   # keep every 4th frame
+
+VIDEO_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string, mean_byte double"
+
+
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride frame-sampling over (fake) video blobs: the blob splits
+    into fixed-size frames and only every {stride}-th frame is decoded
+    and fingerprinted — the keyframe-subsampling shape that makes video
+    corpora tractable (decode cost drops by the stride factor BEFORE any
+    heavy model runs).  1→N/stride output per blob."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "mean_byte": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob)
+                n_frames = len(data) // VIDEO_FRAME_BYTES
+                for fi in range(0, n_frames, VIDEO_FRAME_STRIDE):
+                    frame = data[fi * VIDEO_FRAME_BYTES : (fi + 1) * VIDEO_FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(fi)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                    out["mean_byte"].append(round(sum(frame) / len(frame), 6))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, schema=VIDEO_SCHEMA)
+
+
 QUERIES = {
     "multimodal_join": multimodal_join,
     "media_blob_stats": media_blob_stats,
     "image_features": image_features,
+    "audio_chunk_features": audio_chunk_features,
+    "video_frame_sample": video_frame_sample,
 }
 
-# image_features is python-side feature extraction — not SQL-expressible;
-# the driver records a rows-only check for it (tests assert its values
-# against an independent python computation instead).
+# image/audio/video feature extraction is python-side — not
+# SQL-expressible; the driver records rows-only checks for them (tests
+# assert their values against independent python computations instead).
 ORACLES = {
     "multimodal_join": MULTIMODAL_JOIN_SQL,
     "media_blob_stats": MEDIA_BLOB_SQL,

@@ -1,0 +1,77 @@
+"""Value-exact checks for the audio/video feature extractors (they are
+rows-only in the driver gate, so an independent pure-python computation
+over the same blobs is their oracle here — same treatment as
+image_features)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from golang_mapreduce_spark.operators.multimodal import (
+    AUDIO_CHUNK_SAMPLES,
+    VIDEO_FRAME_BYTES,
+    VIDEO_FRAME_STRIDE,
+    audio_chunk_features,
+    decode_audio,
+    video_frame_sample,
+)
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+
+def test_decode_audio_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00\x01")
+
+
+def _blobs(spark, sf_dir, limit=40):
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+        .orderBy("doc_id")
+        .limit(limit)
+        .collect()
+    )
+    return {r["doc_id"]: bytes(r["blob"]) for r in docs}
+
+
+def test_audio_chunks_value_exact(spark, sf_dir):
+    blobs = _blobs(spark, sf_dir)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_samples"], r["rms"])
+        for r in audio_chunk_features(spark, sf_dir).collect()
+        if r["doc_id"] in blobs
+    }
+    expected = {}
+    for doc_id, data in blobs.items():
+        samples = decode_audio(data, fake=True)
+        for ci in range(0, len(samples), AUDIO_CHUNK_SAMPLES):
+            chunk = samples[ci : ci + AUDIO_CHUNK_SAMPLES]
+            rms = round(math.sqrt(sum(s * s for s in chunk) / len(chunk)), 6)
+            expected[(doc_id, ci // AUDIO_CHUNK_SAMPLES)] = (len(chunk), rms)
+    assert got == expected
+    assert any(n > 1 for _, (n, _) in got.items())  # real fan-out happened
+
+
+def test_video_frames_value_exact_and_strided(spark, sf_dir):
+    blobs = _blobs(spark, sf_dir)
+    got = {}
+    for r in video_frame_sample(spark, sf_dir).collect():
+        if r["doc_id"] in blobs:
+            got[(r["doc_id"], r["frame_idx"])] = (r["frame_md5"], r["mean_byte"])
+    expected = {}
+    for doc_id, data in blobs.items():
+        n_frames = len(data) // VIDEO_FRAME_BYTES
+        for fi in range(0, n_frames, VIDEO_FRAME_STRIDE):
+            frame = data[fi * VIDEO_FRAME_BYTES : (fi + 1) * VIDEO_FRAME_BYTES]
+            expected[(doc_id, fi)] = (
+                hashlib.md5(frame).hexdigest(),
+                round(sum(frame) / len(frame), 6),
+            )
+    assert got == expected
+    # the stride actually skipped frames: indices are multiples of stride
+    assert all(fi % VIDEO_FRAME_STRIDE == 0 for _, fi in got)
