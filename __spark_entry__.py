@@ -83,6 +83,7 @@ _PRIORITY = [
     # fresh correctness row
     "emb_neardup_pairs",
     # new this round: remaining TPC-H shapes + temporal joins
+    "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
@@ -99,6 +100,8 @@ _PRIORITY = [
     "asof_purchase_click",
     "range_clicks_before_error",
     "clean_corpus",
+    "paragraph_dedup",
+    "simhash_neardup_pairs",
     "emb_neardup_multiprobe",
     "streaming_click_attribution",
     "bpe_token_stats",

@@ -58,6 +58,9 @@ HEADLINE = [
 #: HEADLINE list (and its suite total) stays per-query comparable with
 #: BENCH_r01.
 EXTRA = [
+    "q2_min_cost_supplier",
+    "paragraph_dedup",
+    "simhash_neardup_pairs",
     "q7_volume_shipping",
     "q9_product_profit",
     "q13_customer_distribution",

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from golang_mapreduce_spark.functions.hashing import (
     MINHASH_PRIME,
@@ -300,6 +302,88 @@ GROUP BY doc_id
 """
 
 
+#: Hamming radius for simhash near-dup candidate pairs.  With the 60-bit
+#: signature split into 4 bands of 15 bits, any pair within Hamming
+#: distance 3 agrees exactly on >=1 band (pigeonhole: 3 flipped bits
+#: cannot touch all 4 bands), so band-collision candidates have PERFECT
+#: recall at this radius — banding is a pruning step, not an
+#: approximation.
+SIMHASH_HAMMING_K = 3
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= 3, found via
+    band-collision join — the Manku/Jain/Sarma web-dedup shape.
+
+    Each 60-bit signature explodes into 4 (band, 15-bit value) keys; the
+    self-join runs on (band, value) equality only — never all-pairs —
+    and the exact Hamming check (bit_count of xor) runs on the collision
+    survivors.  Scale: signature table is one row per doc; the band join
+    shuffles 4 small keyed rows per doc; collisions beyond true
+    near-dups are ~|docs|^2 / 2^15 per band, vanishing once doc count
+    per band value stays bounded (at web scale, use more/wider bands —
+    the same pigeonhole arithmetic picks bands = K+1)."""
+    sigs = simhash_signatures(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"shiftright(simhash, {i * SIMHASH_BAND_BITS})"
+                            f" & {_BAND_MASK}"
+                        ).alias("bval"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "simhash", "bd.band", "bd.bval")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .distinct()  # a pair may collide in several bands
+        .where(F.col("hamming") <= SIMHASH_HAMMING_K)
+    )
+
+
+SIMHASH_NEARDUP_SQL = f"""
+WITH sigs AS (
+  {SIMHASH_SQL.strip()}
+),
+bands AS (
+  SELECT doc_id, simhash, i AS band,
+         (simhash >> (i * {SIMHASH_BAND_BITS})) & {_BAND_MASK} AS bval
+  FROM sigs, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {SIMHASH_HAMMING_K}
+"""
+
+
 # --- exact n-gram Jaccard ----------------------------------------------
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -563,22 +647,125 @@ GROUP BY node
 """
 
 
+#: Words per "paragraph" chunk.  Fixture texts are flat word streams
+#: (no newlines), so paragraph granularity is a fixed word stride; 4 is
+#: small enough that the 31-word fixture vocabulary produces real
+#: cross-document chunk collisions (~430 of ~7000 chunks at sf0.01),
+#: exercising the dedup path, while a production corpus would split on
+#: blank lines instead (swap the chunker, keep the rest of the plan).
+PARA_WORDS = 4
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup stats per document — the C4/RefinedWeb
+    "drop repeated paragraphs" pipeline stage.
+
+    Documents explode into fixed-stride word chunks (index-driven
+    ``explode(sequence(...))`` + ``slice`` — no posexplode/re-group, so
+    chunk text never depends on shuffle order); the first occurrence of
+    each chunk hash (ordered by doc_id, chunk_idx) is canonical, later
+    ones count as duplicates.  Scale: one shuffle on the 128-bit chunk
+    hash (uniform, unskewed), one on doc_id for the per-doc rollup;
+    chunk text itself never shuffles — only (doc_id, chunk_idx, hash).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("words"))
+    chunks = words.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size("words") / PARA_WORDS).cast("long") - 1,
+            )
+        ).alias("chunk_idx"),
+        "words",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    "words",
+                    F.col("chunk_idx") * PARA_WORDS + 1,
+                    PARA_WORDS,
+                ),
+            )
+        ).alias("h"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    )
+    marked = chunks.withColumn("rn", rn)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_paras",
+            "n_dup_paras",
+            F.round(
+                F.col("n_dup_paras").cast("double") / F.col("n_paras"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+idx AS (
+  SELECT doc_id, words,
+         unnest(range(0, CAST(ceil(len(words) / {PARA_WORDS}.0) AS BIGINT))) AS chunk_idx
+  FROM w
+),
+chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(array_to_string(
+           words[chunk_idx * {PARA_WORDS} + 1 : chunk_idx * {PARA_WORDS} + {PARA_WORDS}],
+           ' ')) AS h
+  FROM idx
+),
+marked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id, COUNT(*) AS n_paras,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+       ROUND(CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+         AS dup_ratio
+FROM marked
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "paragraph_dedup": paragraph_dedup,
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash_signatures": simhash_signatures,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_pruned": ngram_jaccard_pruned,
     "neardup_clusters": neardup_clusters,
 }
 
 ORACLES = {
+    "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_signatures": MINHASH_SIG_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "simhash_signatures": SIMHASH_SQL,
+    "simhash_neardup_pairs": SIMHASH_NEARDUP_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "ngram_jaccard_pruned": NGRAM_JACCARD_PRUNED_SQL,
 }

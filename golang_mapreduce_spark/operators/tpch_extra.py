@@ -1,5 +1,5 @@
-"""The remaining TPC-H query shapes (Q7–Q9, Q11–Q13, Q15–Q17, Q19–Q22)
-over the reduced fixture schema.
+"""The remaining TPC-H query shapes (Q2, Q7–Q9, Q11–Q13, Q15–Q17,
+Q19–Q22) over the reduced fixture schema.
 
 The fixtures carry no ``partsupp`` table and no ship-mode / commit-date /
 phone columns, so shapes that need them are re-anchored on what exists —
@@ -604,7 +604,72 @@ GROUP BY c_nationkey
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2: minimum-cost supplier per size-15 part, EUROPE only.
+
+    No ``partsupp`` in the fixtures, so the part↔supplier bridge is the
+    distinct (l_partkey, l_suppkey) pairs observed in lineitem, and
+    "supply cost" is the minimum extended price the supplier ever shipped
+    the part at (MIN is fold-order invariant — no decimal dance needed).
+    Q2's correlated minimum over region suppliers becomes a window MIN
+    over l_partkey after the region filter; every dim (supplier, nation,
+    region, filtered part) broadcasts, so the only shuffles are the
+    bridge aggregation and the per-part window — both keyed on partkey,
+    both fine at 100 TB because the bridge is |part|×|supp-per-part|,
+    orders of magnitude below lineitem."""
+    bridge = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        bridge.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("supply_cost").over(w))
+        .where(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH bridge AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT l_partkey, supply_cost, s_name, s_acctbal, n_name
+  FROM bridge
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+FROM eu JOIN part ON l_partkey = p_partkey
+WHERE p_size = 15
+  AND supply_cost = (SELECT MIN(e2.supply_cost) FROM eu e2
+                     WHERE e2.l_partkey = eu.l_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "q9_product_profit": q9_product_profit,
@@ -621,6 +686,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": Q2_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "q9_product_profit": Q9_SQL,

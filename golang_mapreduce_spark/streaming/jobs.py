@@ -145,16 +145,28 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     name = "sess_" + uuid.uuid4().hex[:12]
-    q = (
-        sessionize_with_state(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State-store partition count is fixed at the stream's first batch
+    # from spark.sql.shuffle.partitions.  The fixture has O(10) distinct
+    # users, so the session default (32) would pay per-partition
+    # state-store open/commit costs on mostly-empty partitions every
+    # micro-batch; pin it low for this query only and restore.  (At real
+    # scale the right number is ~#cores, set once at stream launch —
+    # this is the same knob, chosen per stream rather than per session.)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessionize_with_state(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).where(F.col("user_id") >= 0)
 
 

@@ -23,8 +23,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
-from golang_mapreduce_spark.operators import advanced, relational, tpch_extra
-from golang_mapreduce_spark.sources.fixtures import TABLES
+from golang_mapreduce_spark.operators import advanced, relational, tpch_extra, windows
+from golang_mapreduce_spark.sources.fixtures import TABLES, load_table
 from tests.oracle import compare
 
 #: (table, column, null-every-Nth-row) — deterministic injection
@@ -32,9 +32,17 @@ NULL_PLAN = {
     ("customer", "c_mktsegment", 7),
     ("orders", "o_orderpriority", 5),
     ("orders", "o_custkey", 11),
+    ("orders", "o_totalprice", 9),
     ("lineitem", "l_returnflag", 7),
     ("lineitem", "l_linestatus", 13),
     ("lineitem", "l_quantity", 17),
+    # event *values* only: ts stays null-free (a null event-time is a
+    # source-contract violation both engines would have to invent
+    # semantics for), and temporal.asof_purchase_click is deliberately
+    # NOT in FAMILY — Spark's last(ignorenulls=True) skips a null click
+    # value while DuckDB's ASOF JOIN carries it, a real semantic fork
+    # pinned here as documentation rather than papered over.
+    ("events", "value", 5),
 }
 
 FAMILY = [
@@ -50,6 +58,12 @@ FAMILY = [
     "q12_late_shipments",
     "q13_customer_distribution",
     "q22_dormant_rich_customers",
+    # event-time window family over nulled aggregation values (SUM/AVG
+    # must skip NULLs identically; window membership is ts-driven and
+    # unaffected)
+    "tumbling_hourly",
+    "sliding_10m_5m",
+    "session_windows_30m",
 ]
 
 
@@ -82,10 +96,48 @@ def null_duck(null_dir):
 
 @pytest.mark.parametrize("name", FAMILY)
 def test_null_injected_parity(name, spark, null_dir, null_duck):
-    queries = {**relational.QUERIES, **advanced.QUERIES, **tpch_extra.QUERIES}
-    oracles = {**relational.ORACLES, **advanced.ORACLES, **tpch_extra.ORACLES}
+    queries = {
+        **relational.QUERIES,
+        **advanced.QUERIES,
+        **tpch_extra.QUERIES,
+        **windows.QUERIES,
+    }
+    oracles = {
+        **relational.ORACLES,
+        **advanced.ORACLES,
+        **tpch_extra.ORACLES,
+        **windows.ORACLES,
+    }
     df = queries[name](spark, null_dir)
     compare(df, null_duck, oracles[name], name=f"nulls:{name}")
+
+
+def test_window_order_by_nullable_column_pinned(spark, null_dir, null_duck):
+    """Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST — a
+    window ORDER BY over a nullable column silently diverges unless the
+    null position is pinned.  Pin it explicitly on BOTH engines
+    (asc_nulls_last / NULLS LAST + full tie-break) and require exact
+    rank parity over the nulled o_totalprice column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, null_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
+    df = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rk"),
+    )
+    sql = """
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice ASC NULLS LAST,
+                                       o_orderkey ASC) AS rk
+    FROM orders
+    """
+    compare(df, null_duck, sql, name="nulls:window_order_pinned")
 
 
 def test_nulls_actually_injected(null_dir):
