@@ -105,6 +105,7 @@ _PRIORITY = [
     "emb_neardup_multiprobe",
     "streaming_click_attribution",
     "bpe_token_stats",
+    "quality_calibrated",
     "ngram_jaccard_pruned",
     "pq_codes",
     "pq_adc_topk",

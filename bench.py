@@ -61,6 +61,8 @@ EXTRA = [
     "q2_min_cost_supplier",
     "paragraph_dedup",
     "simhash_neardup_pairs",
+    "quality_calibrated",
+    "image_resize",
     "q7_volume_shipping",
     "q9_product_profit",
     "q13_customer_distribution",

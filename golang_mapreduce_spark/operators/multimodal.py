@@ -228,10 +228,70 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(extract, schema=VIDEO_SCHEMA)
 
 
+THUMB_W = 8
+THUMB_H = 8
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, src_w int, src_h int, thumb_w int, thumb_h int, "
+    "thumb_md5 string, thumb_mean double"
+)
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch thumbnailing over (fake) image blobs — the resize stage of
+    a multimodal ingest pipeline (decode → downsample → re-encode),
+    producing a fixed {THUMB_W}x{THUMB_H} thumbnail per image plus its
+    checksum.  The fake 'decoder' treats the blob bytes as a 1-channel
+    pixel buffer and the 'resize' is nearest-neighbor index sampling
+    (numpy fancy-indexing per Arrow batch); a real pipeline swaps the
+    two pure functions and keeps the identical mapInPandas plumbing.
+    1→1 output with BOUNDED row size — unlike feature extraction, the
+    thumbnail payload ships back through Arrow, which is the pattern to
+    check batch sizing against (64 bytes/row here; at 256x256x3 set
+    spark.sql.execution.arrow.maxRecordsPerBatch so a batch stays under
+    executor memory)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+    def extract(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "src_w": [], "src_h": [], "thumb_w": [],
+                "thumb_h": [], "thumb_md5": [], "thumb_mean": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob)
+                feats = decode_image(data, fake=True)
+                w, h = feats["width"], feats["height"]
+                # fake pixel plane: blob bytes tiled to w*h, row-major
+                pix = np.frombuffer(data, dtype=np.uint8)
+                pix = np.resize(pix, w * h).reshape(h, w)
+                ys = (np.arange(THUMB_H) * h) // THUMB_H
+                xs = (np.arange(THUMB_W) * w) // THUMB_W
+                thumb = pix[np.ix_(ys, xs)]
+                out["doc_id"].append(doc_id)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["thumb_w"].append(THUMB_W)
+                out["thumb_h"].append(THUMB_H)
+                out["thumb_md5"].append(hashlib.md5(thumb.tobytes()).hexdigest())
+                out["thumb_mean"].append(round(float(thumb.mean()), 6))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(extract, schema=RESIZE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_join": multimodal_join,
     "media_blob_stats": media_blob_stats,
     "image_features": image_features,
+    "image_resize": image_resize,
     "audio_chunk_features": audio_chunk_features,
     "video_frame_sample": video_frame_sample,
 }

@@ -391,7 +391,98 @@ FROM documents
 """
 
 
+def quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality calibration: each document's quality score
+    re-expressed as a z-score against its language's mean/stddev, plus a
+    within-language quartile — raw quality scores are not comparable
+    across languages (different stopword inventories, script-dependent
+    punctuation rates), so corpus filtering thresholds must be
+    per-language.
+
+    Moments are exact: quality_score is a 6-dp quantity, so its square
+    is an exactly-representable 12-dp quantity — SUM(DECIMAL(18,6)) /
+    SUM(DECIMAL(28,12)) are bit-identical across engines and partition
+    orders, and the z-score double math runs on identical inputs.  The
+    per-language stats are a tiny broadcast; the only wide ops are one
+    groupBy(lang) and the quartile window.  At 100 TB the NTILE's
+    per-language global sort is the scale limit — swap in
+    approx_percentile bucket boundaries there; the z-score path needs no
+    change."""
+    from pyspark.sql.window import Window
+
+    qs = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = qs.join(lang, "doc_id")
+    sum1 = "CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)"
+    sum2 = (
+        "CAST(SUM(CAST(quality_score * quality_score AS DECIMAL(28,12)))"
+        " AS DOUBLE)"
+    )
+    stats = (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_lang"),
+            F.expr(sum1).alias("s1"),
+            F.expr(sum2).alias("s2"),
+        )
+        .select(
+            "lang",
+            F.expr("s1 / n_lang").alias("lang_mean"),
+            # NULLIF: a single-document language has no sample variance —
+            # NULL std (and NULL z-score) on both engines, instead of an
+            # ANSI divide-by-zero error here and +inf in DuckDB
+            # GREATEST(...,0): an all-identical-score language has exact
+            # zero variance, but the double s1*s1/n_lang can land 1 ulp
+            # above s2 — clamp so SQRT never sees a negative (Spark
+            # would yield NaN, DuckDB would error: different failures)
+            F.expr(
+                "SQRT(GREATEST((s2 - s1 * s1 / n_lang)"
+                " / NULLIF(n_lang - 1, 0), 0.0))"
+            ).alias("lang_std"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    return (
+        d.join(F.broadcast(stats), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            F.round(
+                F.expr("(quality_score - lang_mean) / NULLIF(lang_std, 0.0)"), 6
+            ).alias("z_score"),
+            F.ntile(4).over(w).alias("lang_quartile"),
+        )
+    )
+
+
+QUALITY_CALIBRATED_SQL = f"""
+WITH q AS (
+  {QUALITY_SQL.strip()}
+),
+d AS (
+  SELECT q.doc_id, documents.lang, q.quality_score
+  FROM q JOIN documents USING (doc_id)
+),
+stats AS (
+  SELECT lang, COUNT(*) AS n_lang,
+         CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(quality_score * quality_score AS DECIMAL(28,12))) AS DOUBLE) AS s2
+  FROM d GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.quality_score,
+       ROUND((d.quality_score - s1 / n_lang)
+             / NULLIF(SQRT(GREATEST((s2 - s1 * s1 / n_lang)
+                                    / NULLIF(n_lang - 1, 0), 0.0)), 0.0), 6)
+         AS z_score,
+       NTILE(4) OVER (PARTITION BY d.lang
+                      ORDER BY d.quality_score, d.doc_id) AS lang_quartile
+FROM d JOIN stats USING (lang)
+"""
+
+
 QUERIES = {
+    "quality_calibrated": quality_calibrated,
     "lang_doc_stats": lang_doc_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "quality_scores": quality_scores,
@@ -403,6 +494,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_calibrated": QUALITY_CALIBRATED_SQL,
     "bigram_counts": BIGRAM_SQL,
     "winnow_fingerprints": WINNOW_SQL,
     "lang_doc_stats": LANG_STATS_SQL,

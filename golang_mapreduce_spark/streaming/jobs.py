@@ -111,13 +111,21 @@ def _write_sentinel(path: str, ts_ns: int) -> None:
 def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom arbitrary-state sessionization (applyInPandasWithState),
     fully DRAINED: the events file is followed by two far-future sentinel
-    files (separate micro-batches via maxFilesPerTrigger=1), so the
-    event-time watermark advances past every real session's
-    last-event + gap and the state machine's timeouts flush ALL sessions
-    — closed output therefore equals the batch gaps-and-islands oracle
-    exactly (hash-checkable), not just the sessions closed by a
-    subsequent event.  Two sentinels because a batch's timeouts fire
-    against the watermark established by the *previous* batch.
+    files, so the event-time watermark advances past every real
+    session's last-event + gap and the state machine's timeouts flush
+    ALL sessions — closed output therefore equals the batch
+    gaps-and-islands oracle exactly (hash-checkable), not just the
+    sessions closed by a subsequent event.
+
+    Drain shape: maxFilesPerTrigger=2 packs [events, sentinel A] into
+    micro-batch 1 — the watermark is computed at END of batch, so batch
+    2 (sentinel B) fires every timeout against an already-far-future
+    watermark.  Two batches is the floor: timeouts always run against
+    the PREVIOUS batch's watermark.  (Measured at sf0.1: 2 batches at
+    session-default partitions ≈ 8 s vs 3 batches ≈ 13 s; do NOT shrink
+    shuffle partitions here — ~100k sessions flush through the Python
+    state workers, so state-store partition count is the parallelism,
+    not overhead.)
 
     Cross-batch state survival is additionally asserted in
     tests/test_stateful_streaming.py with the real events split across
@@ -140,33 +148,21 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", 2)
         .parquet(src)
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     name = "sess_" + uuid.uuid4().hex[:12]
-    # State-store partition count is fixed at the stream's first batch
-    # from spark.sql.shuffle.partitions.  The fixture has O(10) distinct
-    # users, so the session default (32) would pay per-partition
-    # state-store open/commit costs on mostly-empty partitions every
-    # micro-batch; pin it low for this query only and restore.  (At real
-    # scale the right number is ~#cores, set once at stream launch —
-    # this is the same knob, chosen per stream rather than per session.)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            sessionize_with_state(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    q = (
+        sessionize_with_state(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     return spark.table(name).where(F.col("user_id") >= 0)
 
 

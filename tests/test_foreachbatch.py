@@ -53,3 +53,59 @@ def test_foreachbatch_idempotent_overwrite(spark, sf_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_foreachbatch_batchid_ledger_replay_safe(spark, sf_dir):
+    """Append-mode exactly-once via the batch-id ledger pattern: the
+    sink records which batch_ids are already committed and a replayed
+    batch (same batch_id, as after a driver restart) is a no-op, so
+    at-least-once delivery + idempotent commit = exactly-once totals.
+    This is the incremental counterpart to the complete-mode overwrite
+    test above — the pattern MERGE-capable targets implement natively."""
+    import os
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="gmrs_ledger_src_")
+    for i in range(3):  # 3 files -> 3 micro-batches at maxFilesPerTrigger=1
+        shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                    os.path.join(src, f"{i:02d}_events.parquet"))
+    target = tempfile.mkdtemp(prefix="gmrs_ledger_tgt_") + "/rows"
+    committed: set[int] = set()
+    replayable = {}
+
+    def upsert(batch_df, batch_id: int):
+        if batch_id in committed:  # replayed batch: already durable, skip
+            return
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(target)
+        committed.add(batch_id)
+        replayable[batch_id] = batch_df
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
+        .queryName("ledger_" + uuid.uuid4().hex[:8])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(committed) >= 3
+
+    n_before = spark.read.parquet(target).count()
+    # simulate post-restart replay of every batch: all must no-op
+    for bid, bdf in replayable.items():
+        upsert(bdf, bid)
+    assert spark.read.parquet(target).count() == n_before
+    # exactly-once totals: 3 file copies, each event exactly 3 times
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert n_before == 3 * n_events

@@ -75,3 +75,41 @@ def test_video_frames_value_exact_and_strided(spark, sf_dir):
     assert got == expected
     # the stride actually skipped frames: indices are multiples of stride
     assert all(fi % VIDEO_FRAME_STRIDE == 0 for _, fi in got)
+
+
+def test_image_resize_value_exact(spark, sf_dir):
+    from golang_mapreduce_spark.operators.multimodal import (
+        THUMB_H,
+        THUMB_W,
+        decode_image,
+        image_resize,
+    )
+
+    blobs = _blobs(spark, sf_dir)
+    got = {
+        r["doc_id"]: (
+            r["src_w"], r["src_h"], r["thumb_w"], r["thumb_h"],
+            r["thumb_md5"], r["thumb_mean"],
+        )
+        for r in image_resize(spark, sf_dir).collect()
+        if r["doc_id"] in blobs
+    }
+    import numpy as np
+
+    expected = {}
+    for doc_id, data in blobs.items():
+        feats = decode_image(data, fake=True)
+        w, h = feats["width"], feats["height"]
+        pix = np.resize(np.frombuffer(data, dtype=np.uint8), w * h).reshape(h, w)
+        ys = (np.arange(THUMB_H) * h) // THUMB_H
+        xs = (np.arange(THUMB_W) * w) // THUMB_W
+        thumb = pix[np.ix_(ys, xs)]
+        expected[doc_id] = (
+            w, h, THUMB_W, THUMB_H,
+            hashlib.md5(thumb.tobytes()).hexdigest(),
+            round(float(thumb.mean()), 6),
+        )
+    assert got == expected
+    # every thumbnail is the fixed target size regardless of source dims
+    sizes = {(tw, th) for (_, _, tw, th, _, _) in got.values()}
+    assert sizes == {(THUMB_W, THUMB_H)}
