@@ -115,6 +115,11 @@ _PRIORITY = [
     "ntile_customer_quartiles",
     "funnel_conversion",
     "json_events_typed",
+    "label_centroids",
+    "nearest_centroid_confusion",
+    # NOTE: entries 51-52 — past the driver's 50-entry window this
+    # round (both rows-only there anyway; their value-exact unit tests
+    # and rows-only registration remain)
     "audio_chunk_features",
     "video_frame_sample",
 ]

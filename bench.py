@@ -63,6 +63,8 @@ EXTRA = [
     "simhash_neardup_pairs",
     "quality_calibrated",
     "image_resize",
+    "label_centroids",
+    "nearest_centroid_confusion",
     "q7_volume_shipping",
     "q9_product_profit",
     "q13_customer_distribution",

@@ -591,7 +591,7 @@ def clusters_from(pairs: DataFrame) -> DataFrame:
         "node", F.col("node").alias("label")
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    prev = labels
+    pending = [labels]  # caches to drop at the next materialization point
     for rnd in range(20):  # >= graph diameter for any realistic pair graph
         nbr_min = (
             edges.join(labels, edges.doc_b == labels.node)
@@ -612,17 +612,26 @@ def clusters_from(pairs: DataFrame) -> DataFrame:
             )
             .withColumnRenamed("label2", "label")
         )
-        if (rnd + 1) % 5 == 0:
+        checkpoint_round = (rnd + 1) % 5 == 0
+        if checkpoint_round:
             # eager localCheckpoint: stores partitions AND cuts lineage
             new_labels = new_labels.localCheckpoint()
         else:
             new_labels = new_labels.persist(StorageLevel.MEMORY_AND_DISK)
-        n_changed = new_labels.agg(F.sum("changed")).collect()[0][0]
-        prev.unpersist()  # new_labels is materialized; old round's cache can go
-        prev = new_labels
+        pending.append(new_labels)
         labels = new_labels.select("node", "label")
-        if not n_changed:
-            break
+        # Convergence check every SECOND round: the count is the only
+        # action, so skipping it lets two propagation steps materialize
+        # in one job — per-round scheduler latency is the dominant cost
+        # of this loop at low SF, and monotone min-propagation makes the
+        # worst case exactly one extra (cheap, already-converged) round.
+        if rnd % 2 == 1 or checkpoint_round or rnd == 19:
+            n_changed = new_labels.agg(F.sum("changed")).collect()[0][0]
+            for c in pending[:-1]:  # materialized: earlier caches can go
+                c.unpersist()
+            pending = [new_labels]
+            if not n_changed:
+                break
 
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 

@@ -549,7 +549,121 @@ WHERE rank <= {TOP_K}
 """
 
 
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, long format (label, dim, centroid_val)
+    — the class-centroid primitive behind IVF init, nearest-centroid
+    classification, and embedding-drift monitoring.
+
+    posexplode fans each vector into (label, dim, val) — narrow, no
+    shuffle — then one partial-agg groupBy(label, dim) whose shuffle
+    carries labels × dims rows total regardless of corpus size.  The
+    per-dim sums are exact DECIMAL(28,12) (float inputs widen to ~12
+    significant digits; decimal addition is fold-order invariant), so
+    the mean is bit-identical across engines and partitionings;
+    `+ 0.0` normalizes a rounded -0.0.  At 100 TB this is THE shape for
+    any per-group vector mean: never collect vectors, explode + sum."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode("emb").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("SUM(CAST(v AS DECIMAL(28,12)))").alias("s"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            F.expr("ROUND(CAST(s AS DOUBLE) / n, 6) + 0.0").alias("centroid_val"),
+        )
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH expl AS (
+  SELECT label, u.dim - 1 AS dim, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS dim) u
+)
+SELECT label, dim, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0
+         AS centroid_val
+FROM expl
+GROUP BY label, dim
+"""
+
+
+def nearest_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion matrix: assign every
+    vector to its closest per-label centroid (squared L2) and count
+    (true_label, pred_label) cells — the cheap embedding-quality probe
+    run after any re-embedding at scale.
+
+    The ROUNDED centroids from :func:`label_centroids` are the shared
+    classifier parameters (6-dp values identical across engines), and
+    the distance sums are exact DECIMAL(38,18) so per-vector argmins are
+    deterministic; ties break on pred_label.  Shape: the centroid table
+    (labels × dims) broadcasts; the exploded vector stream joins it on
+    dim and partial-aggregates to (vec, candidate-label) — shuffle rows
+    = |vectors| × |labels|, never |vectors|²."""
+    cent = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("pred_label"), "dim", "centroid_val"
+    )
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.posexplode("emb").alias("dim", "v")
+    )
+    d2 = (
+        e.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "pred_label")
+        .agg(
+            F.expr(
+                "ROUND(CAST(SUM(CAST((v - centroid_val) * (v - centroid_val)"
+                " AS DECIMAL(38,18))) AS DOUBLE), 6)"
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "pred_label")
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy(F.col("label").alias("true_label"), "pred_label")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+
+
+NEAREST_CENTROID_SQL = f"""
+WITH cent AS (
+  {LABEL_CENTROIDS_SQL.strip()}
+),
+expl AS (
+  SELECT vec_id, label, u.dim - 1 AS dim, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS dim) u
+),
+d2 AS (
+  SELECT e.vec_id, e.label AS true_label, c.label AS pred_label,
+         ROUND(CAST(SUM(CAST((e.v - c.centroid_val) * (e.v - c.centroid_val)
+                             AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+  FROM expl e JOIN cent c ON e.dim = c.dim
+  GROUP BY e.vec_id, e.label, c.label
+),
+pred AS (
+  SELECT vec_id, true_label, pred_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, pred_label) AS rn
+  FROM d2
+)
+SELECT true_label, pred_label, COUNT(*) AS n_vecs
+FROM pred WHERE rn = 1
+GROUP BY true_label, pred_label
+"""
+
+
 QUERIES = {
+    "label_centroids": label_centroids,
+    "nearest_centroid_confusion": nearest_centroid_confusion,
     "knn_bruteforce": knn_bruteforce,
     "knn_numpy_batched": knn_numpy_batched,
     "ann_ivf_topk": ann_ivf_topk,
@@ -560,6 +674,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "label_centroids": LABEL_CENTROIDS_SQL,
+    "nearest_centroid_confusion": NEAREST_CENTROID_SQL,
     "knn_bruteforce": KNN_SQL,
     "knn_numpy_batched": KNN_SQL,  # must equal the JVM brute force exactly
     "ann_ivf_topk": ANN_IVF_SQL,

@@ -90,6 +90,40 @@ def s3a_conf(
     return conf
 
 
+def rocksdb_state_conf(
+    bounded_memory_mb: int | None = None,
+    changelog_checkpointing: bool = True,
+) -> dict[str, str]:
+    """Large-state streaming config surface: RocksDB state store.
+
+    The default HDFS-backed state store keeps every key in executor heap
+    — fine for the fixture's O(100k) sessions, fatal for a 100 TB
+    pipeline tracking hundreds of millions of open sessions.  RocksDB
+    spills state to local SSD with bounded block-cache memory, and
+    changelog checkpointing uploads per-batch deltas instead of full
+    snapshots (the snapshot upload otherwise dominates commit latency as
+    state grows).  Pass to ``get_session(extra_conf=...)`` before the
+    first stream starts — the provider is fixed per checkpoint location.
+    """
+    conf = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled":
+            str(changelog_checkpointing).lower(),
+        # compaction on commit keeps read amplification bounded for
+        # long-running sessionization state
+        "spark.sql.streaming.stateStore.rocksdb.compactOnCommit": "true",
+    }
+    if bounded_memory_mb is not None:
+        conf["spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage"] = "true"
+        conf["spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB"] = str(
+            bounded_memory_mb
+        )
+    return conf
+
+
 def get_session(
     app_name: str = "golang-mapreduce-spark",
     master: str | None = None,

@@ -262,6 +262,44 @@ JOIN events c
 """
 
 
+def kafka_stream_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """Kafka source config surface — the production swap-in for the file
+    source used throughout this module (no broker in this container, so
+    this is option assembly + the documented wiring, same treatment as
+    ``session.s3a_conf``).
+
+    Usage::
+
+        raw = (spark.readStream.format("kafka")
+               .options(**kafka_stream_options("broker:9092", "events"))
+               .load())
+        events = raw.select(
+            F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA)
+            .alias("e")).select("e.*")
+
+    then every downstream operator (watermarks, windows, sessionization,
+    stream-stream joins) is unchanged.  ``maxOffsetsPerTrigger`` is the
+    backpressure knob — it bounds micro-batch size the way
+    ``maxFilesPerTrigger`` does for the file source; offsets are tracked
+    in the checkpoint, giving the same exactly-once recovery contract.
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 # oracle identical to the batch tumbling query: a drained complete-mode
 # stream over the same files must produce the same table.
 from golang_mapreduce_spark.operators.windows import TUMBLING_SQL  # noqa: E402
