@@ -70,7 +70,6 @@ _PRIORITY = [
     "nested_customer_profile",
     "salted_word_count",
     "salted_join_revenue",
-    "approx_distinct_users",
     "approx_percentile_prices",
     "image_features",
     # hash-failed in round 1 (HUGEINT oracle types; fixed this round)
@@ -117,9 +116,11 @@ _PRIORITY = [
     "json_events_typed",
     "label_centroids",
     "nearest_centroid_confusion",
-    # NOTE: entries 51-52 — past the driver's 50-entry window this
-    # round (both rows-only there anyway; their value-exact unit tests
-    # and rows-only registration remain)
+    "hotkey_salted_join_revenue",
+    # NOTE: entries 51+ — past the driver's 50-entry window this round
+    # (all rows-only there anyway; their compensating value-exact /
+    # bounded-error unit tests and rows-only registration remain)
+    "approx_distinct_users",
     "audio_chunk_features",
     "video_frame_sample",
 ]

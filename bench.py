@@ -65,6 +65,7 @@ EXTRA = [
     "image_resize",
     "label_centroids",
     "nearest_centroid_confusion",
+    "hotkey_salted_join_revenue",
     "q7_volume_shipping",
     "q9_product_profit",
     "q13_customer_distribution",

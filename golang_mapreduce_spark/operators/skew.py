@@ -87,12 +87,66 @@ GROUP BY o_orderpriority
 """
 
 
+#: keys with at least this many fact rows count as "hot" (fixture orders
+#: carry 1-7 lineitems, so >=6 selects a real non-empty subset)
+HOT_KEY_THRESHOLD = 6
+
+
+def hotkey_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of salted_join_revenue: salt ONLY the hot
+    keys.  A frequency pass finds keys above HOT_KEY_THRESHOLD (at
+    100 TB this is a sample-based sketch, not an exact count — the list
+    just has to be a superset of the true stragglers); the hot slice of
+    the probe side gets a salt and only the matching build keys are
+    replicated S×, while the cold majority joins completely unsalted.
+    Replication cost drops from S × |build| to S × |hot build keys| —
+    the difference between salting being free and doubling the job.
+    Results provably identical to the plain join (same oracle as the
+    fully-salted variant)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hot = F.broadcast(
+        l.groupBy("l_orderkey")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= HOT_KEY_THRESHOLD)
+        .select(F.col("l_orderkey").alias("hk"))
+    )
+    l_hot = l.join(hot, l.l_orderkey == F.col("hk"), "left_semi").withColumn(
+        "salt",
+        F.pmod(F.hash("l_linenumber", "l_partkey"), F.lit(SALT_BUCKETS)).cast("int"),
+    )
+    l_cold = l.join(hot, l.l_orderkey == F.col("hk"), "left_anti").withColumn(
+        "salt", F.lit(0).cast("int")
+    )
+    salts = F.broadcast(
+        spark.range(SALT_BUCKETS).select(F.col("id").cast("int").alias("salt"))
+    )
+    o_hot = o.join(hot, o.o_orderkey == F.col("hk"), "left_semi").crossJoin(salts)
+    o_cold = o.join(hot, o.o_orderkey == F.col("hk"), "left_anti").withColumn(
+        "salt", F.lit(0).cast("int")
+    )
+    lu = l_hot.unionByName(l_cold)
+    ou = o_hot.unionByName(o_cold)
+    return (
+        lu.join(ou, (lu.l_orderkey == ou.o_orderkey) & (lu.salt == ou.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                f"CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE)"
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "salted_word_count": salted_word_count,
     "salted_join_revenue": salted_join_revenue,
+    "hotkey_salted_join_revenue": hotkey_salted_join_revenue,
 }
 
 ORACLES = {
     "salted_word_count": SALTED_WC_SQL,
     "salted_join_revenue": SALTED_JOIN_SQL,
+    "hotkey_salted_join_revenue": SALTED_JOIN_SQL,
 }

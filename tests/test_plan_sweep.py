@@ -38,6 +38,7 @@ BNLJ_OK = {
     "pq_adc_topk",
     "knn_bruteforce",           # 8-row query set (non-equi join)
     "salted_join_revenue",      # deliberate S-row salt-range replication
+    "hotkey_salted_join_revenue",  # same S-row salt range, hot keys only
 }
 
 QUERIES = {
