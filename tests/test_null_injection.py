@@ -36,6 +36,7 @@ NULL_PLAN = {
     ("lineitem", "l_returnflag", 7),
     ("lineitem", "l_linestatus", 13),
     ("lineitem", "l_quantity", 17),
+    ("lineitem", "l_extendedprice", 19),
     # event *values* only: ts stays null-free (a null event-time is a
     # source-contract violation both engines would have to invent
     # semantics for), and temporal.asof_purchase_click is deliberately
@@ -58,6 +59,9 @@ FAMILY = [
     "q12_late_shipments",
     "q13_customer_distribution",
     "q22_dormant_rich_customers",
+    # MIN over a nulled measure + NULL==NULL filter semantics in the
+    # correlated-minimum rewrite (both engines drop all-null groups)
+    "q2_min_cost_supplier",
     # event-time window family over nulled aggregation values (SUM/AVG
     # must skip NULLs identically; window membership is ts-driven and
     # unaffected)
