@@ -70,7 +70,6 @@ _PRIORITY = [
     "nested_customer_profile",
     "salted_word_count",
     "salted_join_revenue",
-    "approx_percentile_prices",
     "image_features",
     # hash-failed in round 1 (HUGEINT oracle types; fixed this round)
     "json_events",
@@ -117,10 +116,12 @@ _PRIORITY = [
     "label_centroids",
     "nearest_centroid_confusion",
     "hotkey_salted_join_revenue",
+    "ann_recall_at_k",
     # NOTE: entries 51+ — past the driver's 50-entry window this round
     # (all rows-only there anyway; their compensating value-exact /
     # bounded-error unit tests and rows-only registration remain)
     "approx_distinct_users",
+    "approx_percentile_prices",
     "audio_chunk_features",
     "video_frame_sample",
 ]

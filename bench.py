@@ -66,6 +66,7 @@ EXTRA = [
     "label_centroids",
     "nearest_centroid_confusion",
     "hotkey_salted_join_revenue",
+    "ann_recall_at_k",
     "q7_volume_shipping",
     "q9_product_profit",
     "q13_customer_distribution",

@@ -661,9 +661,60 @@ GROUP BY true_label, pred_label
 """
 
 
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, per query —
+    the number that decides whether an ANN config ships.  Joins the two
+    top-k sets on (query, neighbor); a query whose probed clusters
+    missed every true neighbor still appears (recall 0) via the left
+    join.  Scale: both sides are top-k outputs (queries × k rows), so
+    the recall join is trivially small no matter the collection size —
+    the expensive part is the exact side, which is why production runs
+    it on a sampled query set (the N_QUERIES bound here)."""
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    ks = exact.groupBy("query_id").agg(F.count("*").alias("k"))
+    nh = F.coalesce(F.col("h"), F.lit(0))
+    return (
+        ks.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            nh.cast("long").alias("n_hits"),
+            F.round(nh.cast("double") / F.col("k"), 6).alias("recall_at_k"),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH exact_k AS (
+  {KNN_SQL.strip()}
+),
+approx_k AS (
+  {ANN_IVF_SQL.strip()}
+),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS h
+  FROM exact_k e JOIN approx_k a USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+),
+ks AS (
+  SELECT query_id, COUNT(*) AS k FROM exact_k GROUP BY query_id
+)
+SELECT ks.query_id,
+       CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / k, 6) AS recall_at_k
+FROM ks LEFT JOIN hits USING (query_id)
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
+    "ann_recall_at_k": ann_recall_at_k,
     "knn_bruteforce": knn_bruteforce,
     "knn_numpy_batched": knn_numpy_batched,
     "ann_ivf_topk": ann_ivf_topk,
@@ -676,6 +727,7 @@ QUERIES = {
 ORACLES = {
     "label_centroids": LABEL_CENTROIDS_SQL,
     "nearest_centroid_confusion": NEAREST_CENTROID_SQL,
+    "ann_recall_at_k": ANN_RECALL_SQL,
     "knn_bruteforce": KNN_SQL,
     "knn_numpy_batched": KNN_SQL,  # must equal the JVM brute force exactly
     "ann_ivf_topk": ANN_IVF_SQL,
