@@ -70,7 +70,6 @@ _PRIORITY = [
     "nested_customer_profile",
     "salted_word_count",
     "salted_join_revenue",
-    "image_features",
     # hash-failed in round 1 (HUGEINT oracle types; fixed this round)
     "json_events",
     "simhash_signatures",
@@ -117,9 +116,11 @@ _PRIORITY = [
     "nearest_centroid_confusion",
     "hotkey_salted_join_revenue",
     "ann_recall_at_k",
+    "lsh_rp_topk",
     # NOTE: entries 51+ — past the driver's 50-entry window this round
     # (all rows-only there anyway; their compensating value-exact /
     # bounded-error unit tests and rows-only registration remain)
+    "image_features",
     "approx_distinct_users",
     "approx_percentile_prices",
     "audio_chunk_features",

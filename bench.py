@@ -67,6 +67,7 @@ EXTRA = [
     "nearest_centroid_confusion",
     "hotkey_salted_join_revenue",
     "ann_recall_at_k",
+    "lsh_rp_topk",
     "q7_volume_shipping",
     "q9_product_profit",
     "q13_customer_distribution",

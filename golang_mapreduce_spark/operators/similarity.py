@@ -661,6 +661,126 @@ GROUP BY true_label, pred_label
 """
 
 
+#: Random-hyperplane LSH: number of sign bits (2^6 = 64 buckets over the
+#: 2000-vector fixture, ~30 candidates per bucket).  Plane weights are
+#: md5-derived rationals computed ONCE in python and inlined as literals
+#: into both engines — bit-identical by construction.
+RP_PLANES = 6
+EMB_DIM = 64
+
+
+def _rp_weights() -> list[tuple[int, int, float]]:
+    import hashlib
+
+    out = []
+    for p in range(RP_PLANES):
+        for d in range(EMB_DIM):
+            h = int(hashlib.md5(f"rp:{p}:{d}".encode()).hexdigest()[:8], 16)
+            out.append((p, d, (h % 2001 - 1000) / 1000.0))
+    return out
+
+
+def lsh_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k via random-hyperplane LSH bucketing — the
+    LSH-bucketed alternative to the IVF scale path: bucket = the sign
+    pattern of {RP_PLANES} fixed hyperplane projections, candidates =
+    same-bucket vectors only, then exact cosine rerank.
+
+    Projections are exact DECIMAL(38,18) dot products (3-dp plane
+    weights × double components — fold-order invariant), so bucket ids
+    are deterministic in both engines.  Scale: bucketing is one narrow
+    projection pass + a (vec, plane)-keyed partial agg; the search join
+    is bucket-equality, never all-pairs; recall grows with multi-probe
+    (flip one bit) exactly like IVF's nprobe — same recipe, no learned
+    centroids to maintain."""
+    planes = F.broadcast(
+        spark.createDataFrame(_rp_weights(), "p int, d int, w double")
+    )
+    e = _emb(spark, sf_dir)
+    expl = e.select("vec_id", F.posexplode("emb").alias("d", "v"))
+    dots = (
+        expl.join(planes, "d")
+        .groupBy("vec_id", "p")
+        .agg(F.expr("SUM(CAST(v * w AS DECIMAL(38,18)))").alias("dot"))
+    )
+    buckets = dots.groupBy("vec_id").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN dot > 0 THEN CAST(shiftleft(1, p) AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END) AS BIGINT)"
+        ).alias("bucket")
+    )
+    eb = e.join(buckets, "vec_id")
+    q = eb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        "bucket",
+    )
+    cand = eb.join(F.broadcast(q), "bucket").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos("q_emb", "emb").alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", "sim", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= TOP_K)
+
+
+def _rp_values_sql() -> str:
+    return ", ".join(f"({p}, {d}, {w!r})" for p, d, w in _rp_weights())
+
+
+LSH_RP_SQL = f"""
+WITH planes(p, d, w) AS (
+  VALUES {_rp_values_sql()}
+),
+emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+expl AS (
+  SELECT vec_id, u.dim - 1 AS d, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS dim) u
+),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         SUM(CAST(e.v * CAST(pl.w AS DOUBLE) AS DECIMAL(38,18))) AS dot
+  FROM expl e JOIN planes pl ON e.d = pl.d
+  GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM dots GROUP BY vec_id
+),
+eb AS (
+  SELECT e.vec_id, e.emb, b.bucket FROM emb e JOIN buckets b USING (vec_id)
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, bucket
+  FROM eb WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.q_emb, c.emb), 6) AS sim
+  FROM q JOIN eb c USING (bucket)
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF index against exact brute force, per query —
     the number that decides whether an ANN config ships.  Joins the two
@@ -715,6 +835,7 @@ QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
     "ann_recall_at_k": ann_recall_at_k,
+    "lsh_rp_topk": lsh_rp_topk,
     "knn_bruteforce": knn_bruteforce,
     "knn_numpy_batched": knn_numpy_batched,
     "ann_ivf_topk": ann_ivf_topk,
@@ -728,6 +849,7 @@ ORACLES = {
     "label_centroids": LABEL_CENTROIDS_SQL,
     "nearest_centroid_confusion": NEAREST_CENTROID_SQL,
     "ann_recall_at_k": ANN_RECALL_SQL,
+    "lsh_rp_topk": LSH_RP_SQL,
     "knn_bruteforce": KNN_SQL,
     "knn_numpy_batched": KNN_SQL,  # must equal the JVM brute force exactly
     "ann_ivf_topk": ANN_IVF_SQL,
