@@ -14,11 +14,33 @@ raises NotImplementedError unless ``fake=True``.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from golang_mapreduce_spark.sources.fixtures import load_table
+
+
+def round6_half_up(x: float) -> float:
+    """Round to 6 dp with the HALF_UP-on-shortest-repr rule both engines
+    share (Spark's round goes through BigDecimal.valueOf(Double.toString),
+    DuckDB ROUND measured identical, e.g. 2.675 -> 2.68, 0.0078125 ->
+    0.007813).  Python's builtin round() is half-even on the binary value
+    (2.675 -> 2.67), so UDF-side rounding must use this helper for any
+    value that later meets an oracle."""
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+
+
+#: 256-row hex-pair -> byte-value lookup used by the media oracles: the
+#: blobs are only reachable in ANSI SQL through hex(encode(text)), and a
+#: printf('%02X') equality join is the engine-agnostic way back to byte
+#: values (no DuckDB-specific byte indexing).
+_BYTE_LUT_SQL = (
+    "SELECT CAST(i AS INT) AS v, printf('%02X', i) AS h FROM range(256) t(i)"
+)
 
 
 def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,6 +160,36 @@ def image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+#: The fake decode is pure byte arithmetic, so it is SQL-expressible:
+#: width/height from octet_length, mean of the first 64 byte values via
+#: the hex-pair lookup join.  sum(head)/len(head) is an exact integer sum
+#: (< 2^53) divided once in double — bit-identical across engines.
+IMAGE_FEATURES_SQL = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+lut AS ({_BYTE_LUT_SQL}),
+pos AS (
+  SELECT doc_id, unnest(range(least(n, 64))) AS p FROM b
+),
+head AS (
+  SELECT pos.doc_id, SUM(l.v) AS s, COUNT(*) AS c
+  FROM pos
+  JOIN b USING (doc_id)
+  JOIN lut l ON substr(b.hx, CAST(2 * pos.p + 1 AS INT), 2) = l.h
+  GROUP BY pos.doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS INT) AS n_bytes,
+       CAST(1 + b.n % 512 AS INT) AS width,
+       CAST(1 + b.n // 512 AS INT) AS height,
+       COALESCE(CAST(h.s AS DOUBLE) / GREATEST(h.c, 1), 0.0) AS mean_byte
+FROM b LEFT JOIN head h USING (doc_id)
+"""
+
+
 def decode_audio(data: bytes, fake: bool = False) -> list[int]:
     """Decode an audio blob to 16-bit PCM samples.  Real decoding needs
     ffmpeg/soundfile (absent here); the deterministic fake interprets
@@ -185,10 +237,43 @@ def audio_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["doc_id"].append(doc_id)
                     out["chunk_idx"].append(ci // AUDIO_CHUNK_SAMPLES)
                     out["n_samples"].append(len(chunk))
-                    out["rms"].append(round(float(np.sqrt(np.mean(chunk**2))), 6))
+                    out["rms"].append(
+                        round6_half_up(float(np.sqrt(np.mean(chunk**2))))
+                    )
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
+#: Byte pairs -> signed int16 samples -> 16-sample chunks, all in SQL:
+#: the per-chunk sum of squares is an exact integer (<= 16 * 32768^2),
+#: so sqrt(sum/count) is the same correctly-rounded double both sides.
+AUDIO_CHUNK_SQL = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+lut AS ({_BYTE_LUT_SQL}),
+idx AS (
+  SELECT doc_id, unnest(range(n // 2)) AS si FROM b
+),
+samp AS (
+  SELECT idx.doc_id, idx.si,
+         (lo.v + 256 * hi.v)
+           - CASE WHEN hi.v >= 128 THEN 65536 ELSE 0 END AS s
+  FROM idx
+  JOIN b USING (doc_id)
+  JOIN lut lo ON substr(b.hx, CAST(4 * idx.si + 1 AS INT), 2) = lo.h
+  JOIN lut hi ON substr(b.hx, CAST(4 * idx.si + 3 AS INT), 2) = hi.h
+)
+SELECT doc_id,
+       CAST(si // {AUDIO_CHUNK_SAMPLES} AS INT) AS chunk_idx,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       ROUND(sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+FROM samp
+GROUP BY doc_id, si // {AUDIO_CHUNK_SAMPLES}
+"""
 
 
 VIDEO_FRAME_BYTES = 32   # fake "frame" size
@@ -202,7 +287,12 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     into fixed-size frames and only every {stride}-th frame is decoded
     and fingerprinted — the keyframe-subsampling shape that makes video
     corpora tractable (decode cost drops by the stride factor BEFORE any
-    heavy model runs).  1→N/stride output per blob."""
+    heavy model runs).  1→N/stride output per blob.
+
+    The fingerprint is md5 over the frame's UPPERCASE HEX encoding (not
+    the raw bytes): byte-for-byte deterministic, and reachable from ANSI
+    SQL (md5(substr(hex(blob), ...))) so the driver can oracle-check the
+    values — md5-of-bytes would be invisible to the SQL oracle gate."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("blob")
     )
@@ -221,11 +311,49 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                     frame = data[fi * VIDEO_FRAME_BYTES : (fi + 1) * VIDEO_FRAME_BYTES]
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(fi)
-                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
-                    out["mean_byte"].append(round(sum(frame) / len(frame), 6))
+                    out["frame_md5"].append(
+                        hashlib.md5(frame.hex().upper().encode()).hexdigest()
+                    )
+                    out["mean_byte"].append(
+                        round6_half_up(sum(frame) / len(frame))
+                    )
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, schema=VIDEO_SCHEMA)
+
+
+VIDEO_FRAME_SQL = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+lut AS ({_BYTE_LUT_SQL}),
+kidx AS (
+  SELECT doc_id,
+         unnest(range((n // {VIDEO_FRAME_BYTES}
+                       + {VIDEO_FRAME_STRIDE - 1}) // {VIDEO_FRAME_STRIDE}))
+           AS k
+  FROM b
+),
+frames AS (
+  SELECT kidx.doc_id,
+         CAST({VIDEO_FRAME_STRIDE} * kidx.k AS INT) AS frame_idx,
+         substr(b.hx,
+                CAST({2 * VIDEO_FRAME_BYTES * VIDEO_FRAME_STRIDE} * kidx.k + 1
+                     AS INT),
+                {2 * VIDEO_FRAME_BYTES}) AS fhex
+  FROM kidx JOIN b USING (doc_id)
+)
+SELECT fr.doc_id, fr.frame_idx,
+       md5(fr.fhex) AS frame_md5,
+       ROUND(CAST(SUM(l.v) AS DOUBLE) / {VIDEO_FRAME_BYTES}, 6) AS mean_byte
+FROM frames fr,
+     (SELECT unnest(range({VIDEO_FRAME_BYTES})) AS j) q,
+     lut l
+WHERE substr(fr.fhex, CAST(2 * q.j + 1 AS INT), 2) = l.h
+GROUP BY fr.doc_id, fr.frame_idx, fr.fhex
+"""
 
 
 THUMB_W = 8
@@ -280,11 +408,55 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["src_h"].append(h)
                 out["thumb_w"].append(THUMB_W)
                 out["thumb_h"].append(THUMB_H)
-                out["thumb_md5"].append(hashlib.md5(thumb.tobytes()).hexdigest())
-                out["thumb_mean"].append(round(float(thumb.mean()), 6))
+                # md5 over the UPPERCASE HEX of the thumbnail bytes — the
+                # SQL-reachable fingerprint convention (see
+                # video_frame_sample docstring)
+                out["thumb_md5"].append(
+                    hashlib.md5(
+                        thumb.tobytes().hex().upper().encode()
+                    ).hexdigest()
+                )
+                out["thumb_mean"].append(round6_half_up(float(thumb.mean())))
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(extract, schema=RESIZE_SCHEMA)
+
+
+#: Nearest-neighbor sampling is index arithmetic, so the whole resize is
+#: SQL-expressible: thumb cell (r,c) reads byte ((r*h//8)*w + c*w//8) mod
+#: n (np.resize tiles the blob cyclically), the fingerprint is md5 over
+#: the ordered hex pairs, and the mean is an exact /64 division.
+IMAGE_RESIZE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+lut AS ({_BYTE_LUT_SQL}),
+dims AS (
+  SELECT doc_id, hx, n, 1 + n % 512 AS w, 1 + n // 512 AS h FROM b
+),
+cells AS (
+  SELECT d.doc_id, d.w, d.h, r.r, c.c,
+         substr(d.hx,
+                CAST(2 * ((((r.r * d.h) // {THUMB_H}) * d.w
+                           + ((c.c * d.w) // {THUMB_W})) % d.n) + 1 AS INT),
+                2) AS hp
+  FROM dims d,
+       (SELECT unnest(range({THUMB_H})) AS r) r,
+       (SELECT unnest(range({THUMB_W})) AS c) c
+)
+SELECT cells.doc_id,
+       CAST(cells.w AS INT) AS src_w,
+       CAST(cells.h AS INT) AS src_h,
+       CAST({THUMB_W} AS INT) AS thumb_w,
+       CAST({THUMB_H} AS INT) AS thumb_h,
+       md5(string_agg(cells.hp, '' ORDER BY cells.r, cells.c)) AS thumb_md5,
+       ROUND(CAST(SUM(l.v) AS DOUBLE) / {THUMB_W * THUMB_H}, 6) AS thumb_mean
+FROM cells, lut l
+WHERE cells.hp = l.h
+GROUP BY cells.doc_id, cells.w, cells.h
+"""
 
 
 QUERIES = {
@@ -296,10 +468,17 @@ QUERIES = {
     "video_frame_sample": video_frame_sample,
 }
 
-# image/audio/video feature extraction is python-side — not
-# SQL-expressible; the driver records rows-only checks for them (tests
-# assert their values against independent python computations instead).
+# The decode stubs are deterministic byte arithmetic, so every media
+# query is oracle-backed: the SQL reaches the blob bytes through
+# hex(encode(text)) + the 256-row hex-pair lookup (value-exact unit
+# tests in tests/test_multimodal_av.py additionally pin the python
+# computation).  A real (PIL/ffmpeg) decoder would demote image/audio/
+# video back to rows-only — the SQL gate is a property of the fake.
 ORACLES = {
     "multimodal_join": MULTIMODAL_JOIN_SQL,
     "media_blob_stats": MEDIA_BLOB_SQL,
+    "image_features": IMAGE_FEATURES_SQL,
+    "image_resize": IMAGE_RESIZE_SQL,
+    "audio_chunk_features": AUDIO_CHUNK_SQL,
+    "video_frame_sample": VIDEO_FRAME_SQL,
 }

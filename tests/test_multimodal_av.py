@@ -18,6 +18,7 @@ from golang_mapreduce_spark.operators.multimodal import (
     VIDEO_FRAME_STRIDE,
     audio_chunk_features,
     decode_audio,
+    round6_half_up,
     video_frame_sample,
 )
 from golang_mapreduce_spark.sources.fixtures import load_table
@@ -51,7 +52,7 @@ def test_audio_chunks_value_exact(spark, sf_dir):
         samples = decode_audio(data, fake=True)
         for ci in range(0, len(samples), AUDIO_CHUNK_SAMPLES):
             chunk = samples[ci : ci + AUDIO_CHUNK_SAMPLES]
-            rms = round(math.sqrt(sum(s * s for s in chunk) / len(chunk)), 6)
+            rms = round6_half_up(math.sqrt(sum(s * s for s in chunk) / len(chunk)))
             expected[(doc_id, ci // AUDIO_CHUNK_SAMPLES)] = (len(chunk), rms)
     assert got == expected
     assert any(n > 1 for _, (n, _) in got.items())  # real fan-out happened
@@ -69,8 +70,8 @@ def test_video_frames_value_exact_and_strided(spark, sf_dir):
         for fi in range(0, n_frames, VIDEO_FRAME_STRIDE):
             frame = data[fi * VIDEO_FRAME_BYTES : (fi + 1) * VIDEO_FRAME_BYTES]
             expected[(doc_id, fi)] = (
-                hashlib.md5(frame).hexdigest(),
-                round(sum(frame) / len(frame), 6),
+                hashlib.md5(frame.hex().upper().encode()).hexdigest(),
+                round6_half_up(sum(frame) / len(frame)),
             )
     assert got == expected
     # the stride actually skipped frames: indices are multiples of stride
@@ -106,8 +107,8 @@ def test_image_resize_value_exact(spark, sf_dir):
         thumb = pix[np.ix_(ys, xs)]
         expected[doc_id] = (
             w, h, THUMB_W, THUMB_H,
-            hashlib.md5(thumb.tobytes()).hexdigest(),
-            round(float(thumb.mean()), 6),
+            hashlib.md5(thumb.tobytes().hex().upper().encode()).hexdigest(),
+            round6_half_up(float(thumb.mean())),
         )
     assert got == expected
     # every thumbnail is the fixed target size regardless of source dims
