@@ -260,21 +260,33 @@ WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {NEARDUP_COS}
 """
 
 
-def knn_numpy_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 computed as one matrix multiply per Arrow
-    batch in mapInPandas (numpy/BLAS) — the vectorized-Python scale path
-    for wide fan-out scoring where per-element JVM folds lose to BLAS.
+#: Per-batch candidates kept beyond TOP_K by the batched KNN: the global
+#: top-k ranks on ROUNDED sim (6 dp) while the batch-local cut ranks on
+#: raw sim, so slack absorbs raw-order/rounded-order disagreements inside
+#: one 1e-6 bucket at the cut.  27 + TOP_K(5) = 32 per query per batch.
+KNN_BATCH_SLACK = 27
 
-    Must produce exactly the same result as knn_bruteforce (same oracle):
-    raw float64 sims come back from numpy (BLAS pairwise summation differs
-    from a left fold by ~1e-16) and the 6 dp rounding happens JVM-side so
-    the rounding rule matches the oracle.  The 8×64 query matrix is
-    collected once (bounded, id-filtered) and shipped in the UDF closure —
-    the moral equivalent of a broadcast variable.
 
-    At scale: emit per-batch local top-k (with slack) before the global
-    top-k shuffle; here all pairs are emitted because the collection is
-    small and exact-oracle parity matters more than shuffle bytes."""
+def knn_batched_scored(
+    spark: SparkSession, sf_dir: str, exhaustive: bool = False
+) -> DataFrame:
+    """Candidate stream for knn_numpy_batched: cosine sims computed as one
+    BLAS matrix multiply per Arrow batch, emitting only each batch's local
+    top-(TOP_K+KNN_BATCH_SLACK) per query (raw-sim desc, id asc —
+    deterministic under ties) unless ``exhaustive=True``.
+
+    The local cut is what survives 100×: the downstream global top-k
+    shuffle receives O(batches × queries × (k+slack)) rows instead of
+    O(N × queries) — at 10^9 vectors × 8 queries that is ~10^5 rows/query
+    vs 8×10^9.  Exactness vs the exhaustive path: the global rank orders
+    by (round(sim,6) DESC, id ASC); the local cut orders by raw sim.  Any
+    globally-ranked candidate is, within its batch, raw-ordered below
+    only candidates with ≥ its rounded sim, so it is dropped only if
+    >slack batch-mates occupy its 1e-6 rounding bucket at the cut — with
+    64-dim float64 sims that needs adversarial near-ties
+    (exact-duplicate vectors are safe: equal raw sims cut by id, keeping
+    the globally-preferred smaller ids).  tests/test_knn_batched.py pins
+    result equality with knn_bruteforce and the emission bound."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -286,6 +298,7 @@ def knn_numpy_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    limit = TOP_K + KNN_BATCH_SLACK
 
     def score(batches):
         import pandas as pd
@@ -296,19 +309,56 @@ def knn_numpy_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             sims = Vn @ Qn.T  # (batch, n_queries)
             n, m = sims.shape
+            if exhaustive:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(q_ids, n),
+                        "neighbor_id": np.tile(ids, m),
+                        "sim_raw": sims.T.reshape(-1),
+                    }
+                )
+                continue
+            qcol, ncol, scol = [], [], []
+            for j in range(m):
+                valid = np.flatnonzero(ids != q_ids[j])
+                # total order (raw sim desc, id asc): lexsort's LAST key
+                # is primary; deterministic even with duplicate sims
+                order = valid[np.lexsort((ids[valid], -sims[valid, j]))]
+                keep = order[:limit]
+                qcol.append(np.full(keep.size, q_ids[j], dtype=np.int64))
+                ncol.append(ids[keep])
+                scol.append(sims[keep, j])
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(q_ids, n),
-                    "neighbor_id": np.tile(ids, m),
-                    "sim_raw": sims.T.reshape(-1),
+                    "query_id": np.concatenate(qcol),
+                    "neighbor_id": np.concatenate(ncol),
+                    "sim_raw": np.concatenate(scol),
                 }
             )
 
-    scored = (
+    return (
         emb.select("vec_id", "embedding")
         .mapInPandas(score, schema="query_id long, neighbor_id long, sim_raw double")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim"))
+    )
+
+
+def knn_numpy_batched(
+    spark: SparkSession, sf_dir: str, exhaustive: bool = False
+) -> DataFrame:
+    """Brute-force cosine top-5 via per-Arrow-batch BLAS scoring with a
+    batch-local top-(k+slack) cut before the global top-k shuffle (see
+    knn_batched_scored) — the vectorized-Python scale path for wide
+    fan-out scoring.  ``exhaustive=True`` restores the emit-every-pair
+    behavior (shuffle O(N×Q) rows; only for auditing the cut).
+
+    Produces exactly the same result as knn_bruteforce (same oracle): raw
+    float64 sims come back from numpy and the 6 dp rounding happens
+    JVM-side so the rounding rule matches the oracle.  The 8×64 query
+    matrix is collected once (bounded, id-filtered) and shipped in the
+    UDF closure — the moral equivalent of a broadcast variable."""
+    scored = knn_batched_scored(spark, sf_dir, exhaustive=exhaustive).select(
+        "query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return scored.select(
