@@ -52,89 +52,66 @@ _MODULES = [
 ]
 
 #: The external driver records correctness for the FIRST 50 registered
-#: queries only (round-1 output truncated at exactly 50 entries).  With
-#: more than 50 queries, registration order decides which get a driver
-#: row, so order explicitly: queries that never had a driver row (or
-#: failed last round) first, then round-1-green queries — stable simple
-#: relational shapes last, since they are re-proven every round by the
-#: local type-sensitive parity suite (tests/test_oracle_parity.py) and
-#: were green in CORRECTNESS_r01.
-_PRIORITY = [
-    # never driver-checked in round 1 (registered past the 50-entry cap)
-    "pivot_segment_revenue",
-    "grouping_sets_orders",
-    "stats_summary",
-    "tfidf_top_terms",
-    "percentile_prices",
-    "window_order_gaps",
-    "nested_customer_profile",
-    "salted_word_count",
-    "salted_join_revenue",
-    # hash-failed in round 1 (HUGEINT oracle types; fixed this round)
-    "json_events",
-    "simhash_signatures",
-    # upgraded this round from rows-only to oracle-backed (drained
-    # watermark flush => closed sessions equal the batch oracle)
-    "stateful_sessionize",
-    # re-blocked this round (IVF cluster id instead of label) — needs a
-    # fresh correctness row
-    "emb_neardup_pairs",
-    # new this round: remaining TPC-H shapes + temporal joins
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q19_discounted_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_rich_customers",
-    "asof_purchase_click",
-    "range_clicks_before_error",
-    "clean_corpus",
-    "paragraph_dedup",
-    "simhash_neardup_pairs",
-    "emb_neardup_multiprobe",
-    "streaming_click_attribution",
-    "bpe_token_stats",
-    "quality_calibrated",
-    "ngram_jaccard_pruned",
-    "pq_codes",
-    "pq_adc_topk",
-    "hash_sample_docs",
-    "dataset_split_counts",
-    "window_range_7day_spend",
-    "ntile_customer_quartiles",
-    "funnel_conversion",
-    "json_events_typed",
-    "label_centroids",
-    "nearest_centroid_confusion",
-    "hotkey_salted_join_revenue",
-    "ann_recall_at_k",
-    "lsh_rp_topk",
-    # NOTE: entries 51+ — past the driver's 50-entry window this round
-    # (all rows-only there anyway; their compensating value-exact /
-    # bounded-error unit tests and rows-only registration remain)
+#: queries only, so _ROUND3_WINDOW IS the round's driver window: exactly the
+#: first 50 names below get a CORRECTNESS row; EVERYTHING after entry 50
+#: is unchecked by the driver this round and is covered instead by the
+#: mandatory local type-sensitive parity suite
+#: (tests/test_oracle_parity.py, parameterized over all 100 oracle-backed
+#: queries — keep it green in CI; it is the compensating gate).
+#:
+#: Round-3 window: (a) the four media queries whose fake-decode paths
+#: gained SQL oracles this round (previously rows-only — never
+#: value-checked by the driver), (b) knn_numpy_batched, whose default
+#: path changed to per-batch local top-k this round, then (c) the 45
+#: remaining round-1-green queries that round 2 rotated out — their last
+#: driver row predates round 2's shared-helper changes (decimal sums,
+#: oracle gate), so they re-certify before the already-r2-green cohort
+#: rotates back out.  Most trivially-stable shapes (pure scalar/date
+#: functions) sit at the tail so any later insertion displaces them
+#: first.
+_ROUND3_WINDOW = [
+    # (a) oracle-backed this round for the first time
     "image_features",
-    "approx_distinct_users",
-    "approx_percentile_prices",
+    "image_resize",
     "audio_chunk_features",
     "video_frame_sample",
-]
-
-#: Round-1-green queries pushed past the driver's 50-entry window this
-#: round (rotation): the most stable shapes, each still proven every
-#: round by the local parity suite.  stateful_sessionize already holds
-#: its round-1 rows-only record.
-_DEPRIORITIZED = [
-    "scalar_funcs",
-    "date_funcs",
-    "set_ops_segments",
+    # (b) default path changed this round (per-batch local top-k)
+    "knn_numpy_batched",
+    # (c) round-1-green cohort, last driver-certified in r1 —
+    # composite / helper-sensitive shapes first
+    "neardup_clusters",
+    "ngram_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "minhash_signatures",
+    "dedup_exact",
+    "knn_bruteforce",
+    "ann_ivf_topk",
+    "mr_wc",
+    "wc",
+    "indexer",
+    "file_counts",
+    "file_profile",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_priority_count",
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "tumbling_hourly",
+    "sliding_10m_5m",
+    "session_windows_30m",
+    "streaming_tumbling_hourly",
+    "lang_doc_stats",
+    "lang_id_heuristic",
+    "quality_scores",
+    "token_stats",
+    "doc_fingerprints",
+    "bigram_counts",
+    "winnow_fingerprints",
+    "multimodal_join",
+    "media_blob_stats",
     "window_running_spend",
     "topk_orders_per_customer",
     "distinct_stats",
@@ -144,21 +121,17 @@ _DEPRIORITIZED = [
     "join_semi_big_spenders",
     "join_anti_inactive_customers",
     "correlated_min_price_parts",
-    "q18_large_orders",
-    "q14_promo_revenue",
-    "q10_returned_items",
+    "set_ops_segments",
+    "scalar_funcs",
+    "date_funcs",
 ]
-
 
 def _ordered(dicts: list[dict]) -> dict:
     merged: dict = {}
     for d in dicts:
         merged.update(d)
-    out = {name: merged[name] for name in _PRIORITY if name in merged}
-    out.update(
-        {k: v for k, v in merged.items() if k not in _DEPRIORITIZED}
-    )
-    out.update({name: merged[name] for name in _DEPRIORITIZED if name in merged})
+    out = {name: merged[name] for name in _ROUND3_WINDOW if name in merged}
+    out.update({k: v for k, v in merged.items() if k not in out})
     return out
 
 
