@@ -29,12 +29,6 @@ def window_range_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders aggregate together and calendar gaps shrink the frame, which
     no ROWS frame can express."""
     o = load_table(spark, sf_dir, "orders")
-    day = F.unix_date(F.col("o_orderdate").cast("date"))
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(day)
-        .rangeBetween(-6, Window.currentRow)
-    )
     return o.select(
         "o_custkey",
         "o_orderkey",

@@ -86,15 +86,27 @@ def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT DuckDB's ASOF JOIN: under click-timestamp ties ASOF picks an
+# arbitrary row, while the Spark union-and-sort side deterministically
+# takes the highest event_id among clicks at the max ts <= purchase ts.
+# The explicit ROW_NUMBER tie-break (c.ts DESC, c.event_id DESC) pins the
+# same choice, so the oracle stays deterministic even if a regenerated
+# fixture introduces duplicate (user_id, ts) click pairs (ADVICE r2).
 ASOF_SQL = """
-SELECT p.user_id,
-       p.event_id AS purchase_id,
-       p.ts AS purchase_ts,
-       c.ts AS last_click_ts,
-       c.value AS last_click_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+SELECT user_id, purchase_id, purchase_ts, last_click_ts, last_click_value
+FROM (
+  SELECT p.user_id,
+         p.event_id AS purchase_id,
+         p.ts AS purchase_ts,
+         c.ts AS last_click_ts,
+         c.value AS last_click_value,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+)
+WHERE rn = 1
 """
 
 

@@ -40,6 +40,22 @@ DEFAULT_CONF = {
 }
 
 
+def ensure_session_invariants(spark: SparkSession, events: bool = False) -> None:
+    """Pin the two session settings every oracle-checked read depends on,
+    on sessions the engine did not build (the external driver constructs
+    its own SparkSession with unknown timezone and no nanos conf; a
+    hostile-TZ run is part of the robustness suite).  Guarded set —
+    only written when the value actually differs — so repeated
+    load_table calls on a get_session() session never churn conf.
+    This is the single conf-mutation point outside the builder."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if events and (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true"
+    ):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def s3a_conf(
     endpoint: str | None = None,
     access_key: str | None = None,

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from golang_mapreduce_spark.session import ensure_session_invariants
+
 TABLES = (
     "region",
     "nation",
@@ -46,15 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision above 2^53 ns).  DuckDB truncates NANOS→micros the same
     way, so oracle comparisons stay exact.
     """
-    # every timestamp rendering/truncation must agree with the DuckDB
-    # oracle's naive-UTC timestamps regardless of the caller's session;
-    # guard instead of blind-set so repeated loads don't churn session
-    # conf (callers using get_session() already have both defaults)
-    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # timestamp rendering/truncation must agree with the DuckDB oracle's
+    # naive-UTC timestamps regardless of the caller's session (the
+    # external driver builds its own, possibly non-UTC, session)
+    ensure_session_invariants(spark, events=(name == "events"))
     if name == "events":
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return (
             spark.read.parquet(f"{sf_dir}/events.parquet")
             .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

@@ -15,6 +15,7 @@ bounded batches.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -23,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from golang_mapreduce_spark.operators.relational import _dec
+from golang_mapreduce_spark.session import ensure_session_invariants
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -38,7 +40,7 @@ EVENTS_SCHEMA = T.StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (ts: nanos → micros)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_invariants(spark, events=True)
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
@@ -67,15 +69,22 @@ def run_stream_to_batch(result: DataFrame, spark: SparkSession) -> DataFrame:
     output mode emits every window regardless of watermark position, so a
     fully-drained stream equals the batch query over the same files."""
     name = "s_" + uuid.uuid4().hex[:12]
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="gmrs_ckpt_")
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # the memory sink holds the drained rows; a terminated query
+        # never reads its checkpoint again (bench/correctness call these
+        # repeatedly — leaked dirs add up, ADVICE r2)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -131,38 +140,43 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_stateful_streaming.py with the real events split across
     three micro-batches."""
     import os
-    import shutil
-    import uuid
 
     from golang_mapreduce_spark.streaming.stateful import sessionize_with_state
 
     src = tempfile.mkdtemp(prefix="gmrs_drain_src_")
-    real = os.path.join(src, "00_events.parquet")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
-    # far future (2100/2101): beyond any fixture timestamp at every SF
-    _write_sentinel(os.path.join(src, "01_sentinel.parquet"), 4_102_444_800 * 10**9)
-    _write_sentinel(os.path.join(src, "02_sentinel.parquet"), 4_133_980_800 * 10**9)
-    now = os.path.getmtime(real)
-    for i, f in enumerate(sorted(os.listdir(src))):
-        os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
+    ckpt = tempfile.mkdtemp(prefix="gmrs_ckpt_")
+    try:
+        real = os.path.join(src, "00_events.parquet")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
+        # far future (2100/2101): beyond any fixture timestamp at every SF
+        _write_sentinel(os.path.join(src, "01_sentinel.parquet"), 4_102_444_800 * 10**9)
+        _write_sentinel(os.path.join(src, "02_sentinel.parquet"), 4_133_980_800 * 10**9)
+        now = os.path.getmtime(real)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
-    name = "sess_" + uuid.uuid4().hex[:12]
-    q = (
-        sessionize_with_state(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+        name = "sess_" + uuid.uuid4().hex[:12]
+        q = (
+            sessionize_with_state(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # drained memory sink keeps the rows; source copy + checkpoint
+        # are dead weight after termination (leaked per call, ADVICE r2)
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name).where(F.col("user_id") >= 0)
 
 
@@ -234,15 +248,19 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
     name = "attr_" + uuid.uuid4().hex[:12]
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="gmrs_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="gmrs_ckpt_")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -74,9 +74,8 @@ def _spark_kind(dt) -> str:
     return dt.simpleString()
 
 
-def assert_types_match(spark_df, con, sql: str, name: str = "?"):
+def assert_types_match(spark_df, duck_schema, name: str = "?"):
     """Driver-strictness type gate: Spark schema kinds == DuckDB Arrow kinds."""
-    duck_schema = con.execute(sql).arrow().schema
     duck_kinds = {f.name: _arrow_kind(f.type) for f in duck_schema}
     spark_kinds = {f.name: _spark_kind(f.dataType) for f in spark_df.schema.fields}
     mismatches = {
@@ -109,12 +108,18 @@ def _norm_rows(rows, cols):
 
 
 def compare(spark_df, con, sql: str, name: str = "?"):
-    assert_types_match(spark_df, con, sql, name)
+    # single oracle execution: the Arrow table supplies both the schema
+    # (type gate) and the row values — heavy recursive-CTE oracles
+    # (clean_corpus, neardup_clusters) run across three suites, so the
+    # double execution ADVICE r2 flagged was real wall-clock
+    duck_tbl = con.execute(sql).arrow()
+    assert_types_match(spark_df, duck_tbl.schema, name)
     spark_rows = [tuple(r) for r in spark_df.collect()]
     spark_cols = list(spark_df.columns)
-    rel = con.execute(sql)
-    duck_cols = [d[0] for d in rel.description]
-    duck_rows = rel.fetchall()
+    duck_cols = duck_tbl.column_names
+    duck_rows = list(zip(*(c.to_pylist() for c in duck_tbl.columns)))
+    if not duck_rows and duck_tbl.num_rows:  # pragma: no cover
+        raise AssertionError(f"{name}: arrow materialization lost rows")
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
