@@ -22,6 +22,8 @@ Scale paths:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -30,8 +32,46 @@ from golang_mapreduce_spark.sources.fixtures import load_table
 
 TOP_K = 5
 N_QUERIES = 8          # query set: vec_id < 8
-CENTROID_STEP = 53     # centroids: vec_id % 53 == 0  (data-derived, deterministic)
-N_PROBE = 2            # IVF: probe the 2 nearest centroids
+
+
+def centroid_step(n: int) -> int:
+    """Modulus for the ``vec_id % step == 0`` centroid family, sized so
+    the family holds ~sqrt(n) members: with C = sqrt(N) centroids the
+    assignment pass costs N·C = N^1.5 instead of the N²/const a FIXED
+    step degrades to (a fixed step grows C linearly with N — measured
+    7-8× superlinear wall on the 10× bench before this was adaptive, see
+    SCALE.md).  ceil-division in exact integer arithmetic; the oracle
+    computes the identical value as
+    (COUNT(*) + floor(sqrt(COUNT(*))) - 1) // floor(sqrt(COUNT(*)))."""
+    if n <= 0:
+        return 1
+    fs = math.isqrt(n)
+    return max(1, -(-n // fs))
+
+
+def ivf_n_probe(n_cent: int) -> int:
+    """Probed clusters per query: a fixed ~10% of the centroid count
+    (min 2), so recall stays roughly constant as C grows with sqrt(N)
+    instead of decaying like a fixed probe count would."""
+    return max(2, n_cent // 10)
+
+
+#: shared oracle CTE fragment (expects an ``emb(vec_id, emb)`` CTE in
+#: scope): the adaptive centroid family, integer-exact mirror of
+#: centroid_step().
+_CENT_CTES = """stepc AS (
+  SELECT GREATEST(1,
+           (COUNT(*) + CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) - 1)
+           // CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)) AS st
+  FROM emb
+),
+cent AS (
+  SELECT vec_id AS cid, emb AS c_emb FROM emb
+  WHERE vec_id % (SELECT st FROM stepc) = 0
+)"""
+
+#: SQL mirror of ivf_n_probe()
+_N_PROBE_SQL = "(SELECT GREATEST(2, COUNT(*) // 10) FROM cent)"
 NEARDUP_COS = 0.30   # fixture embeddings are near-random; 0.30 ≈ top percentile
 
 
@@ -97,12 +137,15 @@ WHERE rank <= {TOP_K}
 
 
 def _centroids(emb: DataFrame) -> DataFrame:
-    """Deterministic coarse centroids: every {CENTROID_STEP}-th vector is a
-    centroid row (data-derived; pyspark.ml KMeans|| centroids slot into the
-    same shape, see tests/test_kmeans_ivf.py).  Small by construction →
-    broadcast."""
+    """Deterministic coarse centroids: every ``centroid_step(N)``-th
+    vector is a centroid row (data-derived; pyspark.ml KMeans|| centroids
+    slot into the same shape, see tests/test_kmeans_ivf.py).  ~sqrt(N)
+    rows by construction → broadcast; the count() is one cheap
+    metadata-backed job and at production scale the step is computed once
+    at ingest, not per query."""
+    step = centroid_step(emb.count())
     return F.broadcast(
-        emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
+        emb.where(F.col("vec_id") % step == 0).select(
             F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb")
         )
     )
@@ -127,8 +170,9 @@ def _ivf_assign(emb: DataFrame, cent: DataFrame, n_probe: int = 1) -> DataFrame:
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-5: assign vectors to deterministic coarse
-    centroids (vec_id % {step} == 0), probe the 2 nearest centroids per
-    query, brute-force only inside probed clusters.
+    centroids (the adaptive ~sqrt(N) family, centroid_step), probe
+    ~10% of the centroids per query, brute-force only inside probed
+    clusters.
 
     Deterministic by construction (centroids are data rows, similarities
     rounded, ties broken by id), so the oracle replicates the algorithm
@@ -138,7 +182,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cent = _centroids(emb)
     assign = _ivf_assign(emb, cent)
-    # probe pass: top-2 centroids per query vector
+    # probe pass: top-n_probe centroids per query vector (~10% of C)
+    n_probe = ivf_n_probe(cent.count())
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
     )
@@ -147,7 +192,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(cent)
         .select("query_id", "q_emb", "cid", _cos("q_emb", "c_emb").alias("csim"))
         .withColumn("prn", F.row_number().over(pw))
-        .where(F.col("prn") <= N_PROBE)
+        .where(F.col("prn") <= n_probe)
         .select("query_id", "q_emb", F.col("cid").alias("cluster"))
     )
     # search only probed clusters
@@ -170,9 +215,7 @@ ANN_IVF_SQL = f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
-cent AS (
-  SELECT vec_id AS cid, emb AS c_emb FROM emb WHERE vec_id % {CENTROID_STEP} = 0
-),
+{_CENT_CTES},
 assign AS (
   SELECT vec_id, emb, cid AS cluster FROM (
     SELECT e.vec_id, e.emb, c.cid,
@@ -190,7 +233,7 @@ probes AS (
                                        c.cid) AS prn
     FROM emb q CROSS JOIN cent c
     WHERE q.vec_id < {N_QUERIES}
-  ) WHERE prn <= {N_PROBE}
+  ) WHERE prn <= {_N_PROBE_SQL}
 ),
 scored AS (
   SELECT p.query_id, a.vec_id AS neighbor_id,
@@ -240,9 +283,7 @@ EMB_NEARDUP_SQL = f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
-cent AS (
-  SELECT vec_id AS cid, emb AS c_emb FROM emb WHERE vec_id % {CENTROID_STEP} = 0
-),
+{_CENT_CTES},
 assign AS (
   SELECT vec_id, emb, cid AS cluster FROM (
     SELECT e.vec_id, e.emb, c.cid,
@@ -394,9 +435,7 @@ EMB_NEARDUP_MULTIPROBE_SQL = f"""
 WITH emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
-cent AS (
-  SELECT vec_id AS cid, emb AS c_emb FROM emb WHERE vec_id % {CENTROID_STEP} = 0
-),
+{_CENT_CTES},
 assign AS (
   SELECT vec_id, emb, cid AS cluster FROM (
     SELECT e.vec_id, e.emb, c.cid,
@@ -439,17 +478,14 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace — 8 small ints instead of 256 float bytes (the compression
     that lets a 100 TB collection's codes fit in memory).
 
-    Codebooks are data-derived and deterministic (the same every-53rd
-    rows the IVF quantizer uses, one codebook per subspace); assignment
+    Codebooks are data-derived and deterministic (the same adaptive
+    ~sqrt(N) centroid family the IVF quantizer uses, one codebook per
+    subspace); assignment
     ties break on code id, distances rounded at 6 dp, so the oracle
     replicates encoding exactly.  One broadcast join + per-row argmin —
     no shuffle of the collection."""
     emb = _emb(spark, sf_dir)
-    cent = F.broadcast(
-        emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
-            F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb")
-        )
-    )
+    cent = _centroids(emb)
     per_code = emb.join(cent).select(
         "vec_id",
         "cid",
@@ -479,9 +515,7 @@ _PQ_BASE_CTES = f"""
 emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
-cent AS (
-  SELECT vec_id AS cid, emb AS c_emb FROM emb WHERE vec_id % {CENTROID_STEP} = 0
-),
+{_CENT_CTES},
 subdist AS (
 {" UNION ALL ".join(
     f'''  SELECT e.vec_id, {s} AS sub, c.cid, {_sql_l2sq(s)} AS d
@@ -515,11 +549,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes unpivot to (vec_id, sub, code), join the broadcast per-query
     LUT on (sub, code), then one groupBy sums the 8 partial distances."""
     emb = _emb(spark, sf_dir)
-    cent = F.broadcast(
-        emb.where(F.col("vec_id") % CENTROID_STEP == 0).select(
-            F.col("vec_id").alias("cid"), F.col("emb").alias("c_emb")
-        )
-    )
+    cent = _centroids(emb)
     codes = pq_codes(spark, sf_dir)
     code_rows = codes.select(
         "vec_id",

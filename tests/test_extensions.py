@@ -94,8 +94,8 @@ def test_pq_codes_compress_and_cover(spark, sf_dir):
     """PQ encoding must cover every vector with one code per subspace,
     codes drawn from the centroid id set."""
     from golang_mapreduce_spark.operators.similarity import (
-        CENTROID_STEP,
         PQ_SUBSPACES,
+        centroid_step,
         pq_codes,
     )
 
@@ -105,8 +105,9 @@ def test_pq_codes_compress_and_cover(spark, sf_dir):
     n = emb.count()
     codes = pq_codes(spark, sf_dir)
     assert codes.count() == n
+    step = centroid_step(n)
     cids = {
-        r["vec_id"] for r in emb.where(F.col("vec_id") % CENTROID_STEP == 0)
+        r["vec_id"] for r in emb.where(F.col("vec_id") % step == 0)
         .select("vec_id").collect()
     }
     row = codes.limit(5).collect()
