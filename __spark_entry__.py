@@ -17,6 +17,7 @@ from golang_mapreduce_spark import mapreduce
 from golang_mapreduce_spark.operators import (
     advanced,
     analytics,
+    corpus,
     dedup,
     mr_parity,
     multimodal,
@@ -49,6 +50,7 @@ _MODULES = [
     multimodal,
     advanced,
     skew,
+    corpus,
 ]
 
 #: The external driver records correctness for the FIRST 50 registered
@@ -56,28 +58,43 @@ _MODULES = [
 #: first 50 names below get a CORRECTNESS row; EVERYTHING after entry 50
 #: is unchecked by the driver this round and is covered instead by the
 #: mandatory local type-sensitive parity suite
-#: (tests/test_oracle_parity.py, parameterized over all 100 oracle-backed
+#: (tests/test_oracle_parity.py, parameterized over all 106 oracle-backed
 #: queries — keep it green in CI; it is the compensating gate).
 #:
-#: Round-3 window: (a) the four media queries whose fake-decode paths
+#: Round-3 window: (a) the six operators NEW this round (corpus
+#: pipeline, int8 quantization, streaming dedup — never driver-checked),
+#: (b) the four IVF/PQ-family queries whose shared centroid family
+#: changed to the adaptive ~sqrt(N) step this round (r2-green, but on
+#: the old code), (c) the four media queries whose fake-decode paths
 #: gained SQL oracles this round (previously rows-only — never
-#: value-checked by the driver), (b) knn_numpy_batched, whose default
-#: path changed to per-batch local top-k this round, then (c) the 45
-#: remaining round-1-green queries that round 2 rotated out — their last
-#: driver row predates round 2's shared-helper changes (decimal sums,
-#: oracle gate), so they re-certify before the already-r2-green cohort
-#: rotates back out.  Most trivially-stable shapes (pure scalar/date
-#: functions) sit at the tail so any later insertion displaces them
-#: first.
+#: value-checked by the driver), (d) knn_numpy_batched, whose default
+#: path changed to per-batch local top-k this round, then (e) the
+#: round-1-green cohort that round 2 rotated out — their last driver row
+#: predates round 2's shared-helper changes.  The 10 stablest relational
+#: shapes of that cohort (distinct/cube/rollup/join-variants/set-ops/
+#: scalar/date) fell past entry 50 to make room for (a)+(b) and queue
+#: for round 4.
 _ROUND3_WINDOW = [
-    # (a) oracle-backed this round for the first time
+    # (a) new this round
+    "decontaminate_docs",
+    "boilerplate_ngrams",
+    "source_mixture_sample",
+    "packed_sequences",
+    "int8_quant_topk",
+    "streaming_dedup",
+    # (b) shared centroid family changed this round (adaptive step)
+    "emb_neardup_pairs",
+    "emb_neardup_multiprobe",
+    "pq_codes",
+    "pq_adc_topk",
+    # (c) oracle-backed this round for the first time
     "image_features",
     "image_resize",
     "audio_chunk_features",
     "video_frame_sample",
-    # (b) default path changed this round (per-batch local top-k)
+    # (d) default path changed this round (per-batch local top-k)
     "knn_numpy_batched",
-    # (c) round-1-green cohort, last driver-certified in r1 —
+    # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",
     "ngram_jaccard_pairs",
@@ -114,16 +131,6 @@ _ROUND3_WINDOW = [
     "media_blob_stats",
     "window_running_spend",
     "topk_orders_per_customer",
-    "distinct_stats",
-    "agg_cube_orders",
-    "agg_rollup_returns",
-    "join_left_order_counts",
-    "join_semi_big_spenders",
-    "join_anti_inactive_customers",
-    "correlated_min_price_parts",
-    "set_ops_segments",
-    "scalar_funcs",
-    "date_funcs",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:

@@ -84,6 +84,12 @@ EXTRA = [
     "ngram_jaccard_pruned",
     "hash_sample_docs",
     "window_range_7day_spend",
+    "decontaminate_docs",
+    "boilerplate_ngrams",
+    "source_mixture_sample",
+    "packed_sequences",
+    "int8_quant_topk",
+    "streaming_dedup",
 ]
 
 
@@ -113,6 +119,10 @@ BIG_QUERIES = [
     "pq_adc_topk",
     "asof_purchase_click",
     "session_windows_30m",
+    "decontaminate_docs",
+    "boilerplate_ngrams",
+    "packed_sequences",
+    "int8_quant_topk",
 ]
 
 

@@ -1,0 +1,293 @@
+"""Corpus-construction operators a production LLM training-data pipeline
+runs between raw crawl and tokenized shards — benchmark decontamination,
+boilerplate detection, source mixing, and sequence packing.  Extends the
+dedup/quality family (no analog in the reference, whose text surface is
+wc/indexer tokenization, 6.5840/src/mrapps/wc.go:19-40); every operator
+here is oracle-backed.
+
+Scale design notes per operator are on the functions; the common theme:
+shuffles carry (id, 64-bit hash) pairs — never text bodies — and the
+only Python boundary is the per-group Arrow fold in packed_sequences,
+whose per-partition state is O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from golang_mapreduce_spark.functions.hashing import hash32, sql_hash32
+from golang_mapreduce_spark.functions.text import ws_words
+from golang_mapreduce_spark.operators.dedup import _shingles
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+#: Decontamination: the held-out "benchmark" slice is every doc with
+#: doc_id % DECON_MOD == 0 (a stand-in for an eval set like MMLU); a
+#: training doc is contaminated if it shares any DECON_NGRAM-gram with
+#: that slice.  13-grams are the published convention (GPT-3 appendix C);
+#: fixture docs are 10-99 tokens, so 5 keeps the check meaningful.
+DECON_MOD = 5
+DECON_NGRAM = 5
+
+#: Boilerplate: a 3-gram occurring in >= BOILER_MIN_DF distinct docs
+#: (headers, footers, licence lines in a real crawl).
+BOILER_NGRAM = 3
+BOILER_MIN_DF = 3
+
+#: Mixture sampling rates by source group (source id % 4): domain
+#: up/down-weighting in corpus assembly.
+MIX_PCTS = (100, 50, 25, 10)
+
+#: Sequence packing: token budget per packed training sequence.
+PACK_BUDGET = 128
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that share at least one {DECON_NGRAM}-gram with the
+    held-out benchmark slice, with the count of distinct shared shingles
+    — the decontamination report a pipeline acts on before training.
+
+    Scale shape: the benchmark side is distinct shingle HASHES of the
+    eval slice — eval sets are
+    tiny (thousands of docs) against a 100 TB corpus, so it broadcasts
+    and the corpus side is a map-side semi-probe with no shuffle of
+    shingle strings; the only wide exchange is the per-doc
+    count-distinct keyed on doc_id, carrying (doc_id, hash) longs."""
+    docs = load_table(spark, sf_dir, "documents")
+    ng = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= DECON_NGRAM)
+        .select("doc_id", F.explode(_shingles(DECON_NGRAM)).alias("s"))
+        .select("doc_id", hash32("s").alias("h"))
+    )
+    bench = (
+        ng.where(F.col("doc_id") % DECON_MOD == 0).select("h").distinct()
+    )
+    return (
+        ng.where(F.col("doc_id") % DECON_MOD != 0)
+        .join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("shared_ngrams"))
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+ng AS (
+  SELECT doc_id,
+         {sql_hash32("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {DECON_NGRAM - 1})) AS g(i)
+  WHERE len(t) >= {DECON_NGRAM}
+),
+bench AS (
+  SELECT DISTINCT h FROM ng WHERE doc_id % {DECON_MOD} = 0
+)
+SELECT ng.doc_id, COUNT(DISTINCT ng.h) AS shared_ngrams
+FROM ng JOIN bench USING (h)
+WHERE ng.doc_id % {DECON_MOD} <> 0
+GROUP BY ng.doc_id
+"""
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate ratio: the fraction of a doc's distinct
+    {BOILER_NGRAM}-grams that occur in >= {BOILER_MIN_DF} distinct
+    documents corpus-wide (the C4/RefinedWeb repeated-line filter,
+    shingle-granularity since fixture text has no newlines).
+
+    Scale shape: one exchange keyed on shingle hash computes document
+    frequency via a window count over the DISTINCT (hash, doc) stream
+    (no second join against a DF table), then one exchange keyed on
+    doc_id folds the per-doc ratio.  Both shuffles carry two longs per
+    row; partial aggregation applies to the final fold."""
+    docs = load_table(spark, sf_dir, "documents")
+    ng = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= BOILER_NGRAM)
+        .select("doc_id", F.explode(_shingles(BOILER_NGRAM)).alias("s"))
+        .select("doc_id", hash32("s").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("h")
+    return (
+        ng.withColumn("df", F.count("*").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_ngrams"),
+            F.sum((F.col("df") >= BOILER_MIN_DF).cast("bigint")).alias(
+                "n_boiler"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_ngrams"), 6).alias(
+                "boiler_ratio"
+            ),
+        )
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+ng AS (
+  SELECT DISTINCT doc_id,
+         {sql_hash32("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {BOILER_NGRAM - 1})) AS g(i)
+  WHERE len(t) >= {BOILER_NGRAM}
+),
+flagged AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS df FROM ng
+)
+SELECT doc_id,
+       COUNT(*) AS n_ngrams,
+       CAST(SUM(CASE WHEN df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       round(SUM(CASE WHEN df >= {BOILER_MIN_DF} THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS boiler_ratio
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+def source_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing: each source keeps
+    MIX_PCTS[src_num % 4] percent of its documents, membership decided
+    by md5 bucket of 'source:doc_id' — the domain-reweighting step of
+    corpus assembly, reproducible across engines/partitionings/appends
+    like the hash split in sampling.py.  Summarized per source.
+
+    Scale shape: pure narrow projection + one bounded agg (one row per
+    source); no sampling state, no driver coordination."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    pct = (
+        F.when(src_num % 4 == 0, MIX_PCTS[0])
+        .when(src_num % 4 == 1, MIX_PCTS[1])
+        .when(src_num % 4 == 2, MIX_PCTS[2])
+        .otherwise(MIX_PCTS[3])
+    )
+    bucket = (
+        hash32(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    return (
+        docs.select("source", (bucket < pct).cast("bigint").alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+    )
+
+
+SOURCE_MIXTURE_SQL = f"""
+SELECT source,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN bucket < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM (
+  SELECT source,
+         {sql_hash32("source || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4
+           WHEN 0 THEN {MIX_PCTS[0]} WHEN 1 THEN {MIX_PCTS[1]}
+           WHEN 2 THEN {MIX_PCTS[2]} ELSE {MIX_PCTS[3]} END AS pct
+  FROM documents
+)
+GROUP BY source
+"""
+
+
+_PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("n_toks", LongType()),
+        StructField("bin_id", LongType()),
+    ]
+)
+
+
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence packing: within each language, docs in
+    doc_id order accumulate into bins of at most {PACK_BUDGET} tokens; a
+    doc that would overflow starts the next bin (an oversized doc gets a
+    bin alone).  This is the packing step that turns variable-length
+    documents into fixed-budget training sequences without splitting
+    docs.
+
+    Inherently sequential per group, so it runs as an Arrow
+    `applyInPandas` fold over the (lang) partition — O(1) state, one
+    pass, one shuffle keyed on lang.  At 100 TB the group key becomes
+    (lang, shard) with shards pre-bucketed by doc_id range so each
+    packing task stays bounded; each shard packs independently from bin
+    0 and a cheap per-shard bin-count scan offsets the ids afterward.
+    The oracle replays the same greedy fold as a recursive CTE."""
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, acc, cur = [], 0, 0
+        for n in pdf["n_toks"]:
+            if acc and acc + n > PACK_BUDGET:
+                cur += 1
+                acc = 0
+            acc += n
+            bins.append(cur)
+        pdf["bin_id"] = bins
+        return pdf
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(ws_words("text")).cast("bigint").alias("n_toks")
+    )
+    return toks.groupBy("lang").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+PACKED_SEQUENCES_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk(lang, rn, doc_id, n_toks, bin_id, acc) AS (
+  SELECT lang, rn, doc_id, n_toks, CAST(0 AS BIGINT), n_toks
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.rn, d.doc_id, d.n_toks,
+         CASE WHEN w.acc + d.n_toks <= {PACK_BUDGET} THEN w.bin_id
+              ELSE w.bin_id + 1 END,
+         CASE WHEN w.acc + d.n_toks <= {PACK_BUDGET} THEN w.acc + d.n_toks
+              ELSE d.n_toks END
+  FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1
+)
+SELECT doc_id, lang, n_toks, bin_id FROM walk
+"""
+
+
+QUERIES = {
+    "decontaminate_docs": decontaminate_docs,
+    "boilerplate_ngrams": boilerplate_ngrams,
+    "source_mixture_sample": source_mixture_sample,
+    "packed_sequences": packed_sequences,
+}
+
+ORACLES = {
+    "decontaminate_docs": DECONTAMINATE_SQL,
+    "boilerplate_ngrams": BOILERPLATE_SQL,
+    "source_mixture_sample": SOURCE_MIXTURE_SQL,
+    "packed_sequences": PACKED_SEQUENCES_SQL,
+}

@@ -51,3 +51,39 @@ def partition_file_counts(spark: SparkSession, path: str) -> DataFrame:
         .groupBy("dir")
         .agg(F.count("*").alias("n_files"))
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    num_shards: int,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a dataset as globally-shuffled, deterministic training
+    shards: rows are ordered by the md5 hash of their id (a reproducible
+    "random" permutation — same order on any cluster, any partitioning,
+    any engine), range-partitioned into ``num_shards`` shard files, each
+    sorted by the hash so shard contents AND intra-shard order are a
+    pure function of the data.  This is the epoch-order materialization
+    step of a training pipeline: downstream loaders read shards
+    sequentially and still see hash-shuffled data.
+
+    Scale: one range-partitioned exchange (Spark samples the hash range)
+    + a sort within each shard; ``max_records_per_file`` caps file size
+    for object-store-friendly chunks without changing order (files
+    within a shard stay lexically ordered by part number).
+    """
+    from golang_mapreduce_spark.functions.hashing import hash32
+
+    keyed = df.withColumn("__shuffle_key", hash32(F.col(id_col).cast("string")))
+    out = (
+        keyed.repartitionByRange(num_shards, "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key")
+        .drop("__shuffle_key")
+    )
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -280,6 +280,80 @@ JOIN events c
 """
 
 
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup over an at-least-once source, drained:
+    the source directory holds the events file TWICE (duplicate delivery,
+    the failure mode S3-retry ingestion actually produces), read one file
+    per micro-batch so the dedup state must survive a batch boundary.
+    ``withWatermark + dropDuplicates`` on (event_id, ts) keeps the first
+    copy and bounds state: keys older than the watermark are evicted, and
+    a duplicate arriving after eviction is discarded by the late-data
+    filter instead — either path yields exactly one copy downstream.
+
+    Summarized per event_type (count / distinct users / DECIMAL-exact
+    value sum), so the drained result equals plain single-copy batch
+    aggregation — the oracle never sees the duplication.
+
+    Scale: state is hash-partitioned on the dedup key and bounded by the
+    watermark horizon; this is the standard idempotent-ingest front of a
+    streaming pipeline (reference analog: the at-least-once task retry +
+    idempotent rename in worker.go:156,223 — same contract, record
+    granularity instead of task granularity)."""
+    import os
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="gmrs_dup_src_")
+    ckpt = tempfile.mkdtemp(prefix="gmrs_ckpt_")
+    name = "dedup_" + uuid.uuid4().hex[:12]
+    try:
+        for i in (0, 1):
+            shutil.copy(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, f"0{i}_events.parquet"),
+            )
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id", "ts"])
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 def kafka_stream_options(
     bootstrap_servers: str,
     topic: str,
@@ -326,9 +400,11 @@ QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "stateful_sessionize": stateful_sessionize,
     "streaming_click_attribution": streaming_click_attribution,
+    "streaming_dedup": streaming_dedup,
 }
 ORACLES = {
     "streaming_tumbling_hourly": TUMBLING_SQL,
     "stateful_sessionize": STATEFUL_SESSION_SQL,
     "streaming_click_attribution": CLICK_ATTRIBUTION_SQL,
+    "streaming_dedup": STREAMING_DEDUP_SQL,
 }

@@ -90,3 +90,37 @@ def test_ivf_cluster_partitioned_layout_prunes(spark, sf_dir):
     assert "PartitionFilters" in plan
     assert "cluster" in plan.split("PartitionFilters")[1][:200]
     assert probed.count() == assign.where(F.col("cluster") == one).count()
+
+
+def test_training_shards_deterministic_order(spark, sf_dir, tmp_path):
+    """Shard contents and intra-shard order must be a pure function of
+    the data: two writes agree file-by-file, rows are hash-ordered, and
+    every shard is non-trivially filled."""
+    import glob
+
+    from golang_mapreduce_spark.functions.hashing import hash32
+    from golang_mapreduce_spark.sources.fixtures import load_table
+    from golang_mapreduce_spark.sources.layout import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for path in (a, b):
+        write_training_shards(docs, path, id_col="doc_id", num_shards=4)
+
+    files_a = sorted(glob.glob(f"{a}/part-*.parquet"))
+    assert len(files_a) == 4
+    total = 0
+    for fa, fb in zip(files_a, sorted(glob.glob(f"{b}/part-*.parquet"))):
+        rows_a = [r["doc_id"] for r in spark.read.parquet(fa).collect()]
+        rows_b = [r["doc_id"] for r in spark.read.parquet(fb).collect()]
+        assert rows_a == rows_b  # deterministic across writes
+        keys = [
+            r["h"]
+            for r in spark.read.parquet(fa)
+            .select(hash32(F.col("doc_id").cast("string")).alias("h"))
+            .collect()
+        ]
+        assert keys == sorted(keys)  # hash-ordered within shard
+        assert rows_a != sorted(rows_a)  # genuinely shuffled vs id order
+        total += len(rows_a)
+    assert total == docs.count()
