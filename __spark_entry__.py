@@ -82,6 +82,7 @@ _ROUND3_WINDOW = [
     "packed_sequences",
     "int8_quant_topk",
     "streaming_dedup",
+    "doc_perplexity",
     # (b) shared centroid family changed this round (adaptive step)
     "emb_neardup_pairs",
     "emb_neardup_multiprobe",
@@ -130,7 +131,6 @@ _ROUND3_WINDOW = [
     "multimodal_join",
     "media_blob_stats",
     "window_running_spend",
-    "topk_orders_per_customer",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:

@@ -90,6 +90,7 @@ EXTRA = [
     "packed_sequences",
     "int8_quant_topk",
     "streaming_dedup",
+    "doc_perplexity",
 ]
 
 

@@ -211,6 +211,22 @@ GROUP BY source
 """
 
 
+def greedy_pack(sizes: list[int], budget: int) -> list[int]:
+    """Bin id per element for greedy sequential packing: accumulate in
+    order, start a new bin when adding the next element would exceed
+    ``budget``; an oversized element always gets a bin of its own.  Pure
+    function shared by the Arrow fold and the property tests (the oracle
+    SQL replays the identical recurrence)."""
+    bins, acc, cur = [], 0, 0
+    for n in sizes:
+        if acc and acc + n > budget:
+            cur += 1
+            acc = 0
+        acc += n
+        bins.append(cur)
+    return bins
+
+
 _PACK_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -239,14 +255,7 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        bins, acc, cur = [], 0, 0
-        for n in pdf["n_toks"]:
-            if acc and acc + n > PACK_BUDGET:
-                cur += 1
-                acc = 0
-            acc += n
-            bins.append(cur)
-        pdf["bin_id"] = bins
+        pdf["bin_id"] = greedy_pack(list(pdf["n_toks"]), PACK_BUDGET)
         return pdf
 
     docs = load_table(spark, sf_dir, "documents")

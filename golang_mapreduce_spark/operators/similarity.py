@@ -485,7 +485,13 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates encoding exactly.  One broadcast join + per-row argmin —
     no shuffle of the collection."""
     emb = _emb(spark, sf_dir)
-    cent = _centroids(emb)
+    return _pq_codes_from(emb, _centroids(emb))
+
+
+def _pq_codes_from(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """PQ encoding against an already-built centroid family — shared by
+    pq_codes and pq_adc_topk so the ADC query derives the family (and
+    its sizing count job) exactly once."""
     per_code = emb.join(cent).select(
         "vec_id",
         "cid",
@@ -550,7 +556,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LUT on (sub, code), then one groupBy sums the 8 partial distances."""
     emb = _emb(spark, sf_dir)
     cent = _centroids(emb)
-    codes = pq_codes(spark, sf_dir)
+    codes = _pq_codes_from(emb, cent)
     code_rows = codes.select(
         "vec_id",
         F.explode(

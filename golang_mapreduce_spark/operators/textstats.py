@@ -481,8 +481,87 @@ FROM d JOIN stats USING (lang)
 """
 
 
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality signal (the CCNet-style perplexity
+    filter): build the corpus's own unigram frequency table, score every
+    document by its mean token surprisal −ln(count(t)/T), and expose a
+    perplexity proxy exp(mean).  Low = in-distribution text, high =
+    noise/outliers — the third quality axis next to heuristic scores and
+    stopword ratios.
+
+    Determinism: each distinct token's surprisal is rounded to 6 dp
+    (double ln differs across engines by ≤1 ulp ≈ 1e-15, five orders
+    inside the quantum — the same argument the cosine rounding makes),
+    then per-doc totals sum the rounded values exactly as integer
+    micro-units, so the mean is independent of addition order and
+    engine.
+
+    Scale shape: the vocab pass is the canonical map-side-combined
+    word-count (shuffle carries distinct (token, count) per partition);
+    scoring joins the token stream against the vocab keyed on token — at
+    100 TB both sides hash-partition on token, and the per-doc fold is
+    one exchange on doc_id carrying two longs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(ws_words("text")).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.expr(
+            "CAST(round(round(-ln(CAST(cnt AS DOUBLE) / total), 6) * 1000000) "
+            "AS BIGINT)"
+        ).alias("surprisal_u"),
+    )
+    return (
+        tok.join(scored_vocab, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr(
+                "round(CAST(SUM(surprisal_u) AS DOUBLE) / 1000000 / COUNT(*), 6)"
+            ).alias("avg_surprisal"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_surprisal",
+            F.round(F.exp("avg_surprisal"), 6).alias("ppl_proxy"),
+        )
+    )
+
+
+DOC_PERPLEXITY_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+vocab AS (
+  SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab
+),
+sv AS (
+  SELECT t,
+         CAST(round(round(-ln(CAST(cnt AS DOUBLE) / total), 6) * 1000000) AS BIGINT)
+           AS surprisal_u
+  FROM vocab, tot
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         round(CAST(SUM(surprisal_u) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal
+  FROM tok JOIN sv USING (t)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_surprisal,
+       round(exp(avg_surprisal), 6) AS ppl_proxy
+FROM per_doc
+"""
+
+
 QUERIES = {
     "quality_calibrated": quality_calibrated,
+    "doc_perplexity": doc_perplexity,
     "lang_doc_stats": lang_doc_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "quality_scores": quality_scores,
@@ -495,6 +574,7 @@ QUERIES = {
 
 ORACLES = {
     "quality_calibrated": QUALITY_CALIBRATED_SQL,
+    "doc_perplexity": DOC_PERPLEXITY_SQL,
     "bigram_counts": BIGRAM_SQL,
     "winnow_fingerprints": WINNOW_SQL,
     "lang_doc_stats": LANG_STATS_SQL,

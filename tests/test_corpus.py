@@ -133,3 +133,35 @@ def test_streaming_dedup_absorbs_duplicate_delivery(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+# --- pure greedy-pack property tests (no Spark) -------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from golang_mapreduce_spark.operators.corpus import greedy_pack
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=200), max_size=80),
+    budget=st.integers(min_value=1, max_value=150),
+)
+@settings(max_examples=300, deadline=None)
+def test_greedy_pack_properties(sizes, budget):
+    bins = greedy_pack(sizes, budget)
+    assert len(bins) == len(sizes)
+    if not sizes:
+        return
+    # bin ids are dense, non-decreasing, starting at 0
+    assert bins[0] == 0
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(bins, bins[1:]))
+    totals: dict[int, list[int]] = {}
+    for n, b in zip(sizes, bins):
+        totals.setdefault(b, []).append(n)
+    for b, members in totals.items():
+        # within budget unless a single oversized element owns the bin
+        assert sum(members) <= budget or len(members) == 1
+        # greedy: the first element of bin b+1 would not have fit in b
+        if b + 1 in totals:
+            assert sum(members) + totals[b + 1][0] > budget

@@ -38,6 +38,7 @@ BNLJ_OK = {
     "pq_adc_topk",
     "knn_bruteforce",           # 8-row query set (non-equi join)
     "int8_quant_topk",          # 1-row per-dim stats + 8-row query set
+    "doc_perplexity",           # 1-row corpus token total
     "ann_recall_at_k",          # composes knn_bruteforce + ann_ivf_topk
     "salted_join_revenue",      # deliberate S-row salt-range replication
     "hotkey_salted_join_revenue",  # same S-row salt range, hot keys only
