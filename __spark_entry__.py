@@ -19,6 +19,7 @@ from golang_mapreduce_spark.operators import (
     analytics,
     corpus,
     dedup,
+    incremental,
     mr_parity,
     multimodal,
     pipeline,
@@ -51,6 +52,7 @@ _MODULES = [
     advanced,
     skew,
     corpus,
+    incremental,
 ]
 
 #: The external driver records correctness for the FIRST 50 registered
@@ -73,9 +75,14 @@ _MODULES = [
 #: predates round 2's shared-helper changes.  The 10 stablest relational
 #: shapes of that cohort (distinct/cube/rollup/join-variants/set-ops/
 #: scalar/date) fell past entry 50 to make room for (a)+(b) and queue
-#: for round 4.
+#: for round 4, as do the final r1-green entries this list no longer
+#: fits (multimodal_join, media_blob_stats, window_running_spend —
+#: positions 51-53).
 _ROUND3_WINDOW = [
     # (a) new this round
+    "merge_upsert_orders",
+    "runtime_filtered_join",
+    "resample_gapfill_hourly",
     "decontaminate_docs",
     "boilerplate_ngrams",
     "source_mixture_sample",

@@ -91,6 +91,9 @@ EXTRA = [
     "int8_quant_topk",
     "streaming_dedup",
     "doc_perplexity",
+    "merge_upsert_orders",
+    "runtime_filtered_join",
+    "resample_gapfill_hourly",
 ]
 
 

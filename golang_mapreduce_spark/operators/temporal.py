@@ -165,12 +165,105 @@ WHERE e.event_type = 'error'
 """
 
 
+RESAMPLE_USER_MOD = 20  # resample the 1-in-20 user slice (bounds output rows)
+
+
+def resample_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample with gap filling: the last observed event
+    value in each hour, forward-filled across hours with no events —
+    the standard feature-store "latest known value on a regular grid"
+    materialization (pandas resample().ffill(), at Spark scale).
+
+    Three distributed steps, each shuffling on user_id only:
+    1. last value per (user, hour): row_number over (ts, event_id) DESC
+       — event_id breaks ts ties deterministically (same discipline as
+       the as-of join above);
+    2. the hourly grid per user: sequence(min hour, max hour, 1h) from a
+       tiny per-user aggregate, exploded — grid rows ~ users x hours,
+       generated distributed, never on the driver;
+    3. left join grid<-observed on (user, hour), then forward fill via
+       last(value, ignorenulls) over an unbounded-preceding ROWS frame.
+    No leading-null case exists: each user's grid starts at an observed
+    hour.  At 100 TB the grid join and the fill reuse the same hash
+    partitioning on user_id, so steps 2-3 are one Exchange."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("user_id") % RESAMPLE_USER_MOD == 0
+    )
+    hourly = e.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_last = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    observed = (
+        hourly.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "hour", F.col("value").alias("obs_value"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h_lo"), F.max("hour").alias("h_hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h_lo", "h_hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(observed, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.last("obs_value", ignorenulls=True).over(w_fill).alias("value"),
+            F.col("obs_value").isNotNull().alias("observed"),
+        )
+    )
+
+
+RESAMPLE_SQL = f"""
+WITH slice AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id, value
+  FROM events WHERE user_id % {RESAMPLE_USER_MOD} = 0
+), observed AS (
+  SELECT user_id, hour, value AS obs_value
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY user_id, hour ORDER BY ts DESC, event_id DESC) AS rn
+    FROM slice
+  ) WHERE rn = 1
+), grid AS (
+  SELECT user_id, UNNEST(generate_series(h_lo, h_hi, INTERVAL 1 HOUR)) AS hour
+  FROM (SELECT user_id, MIN(hour) AS h_lo, MAX(hour) AS h_hi
+        FROM slice GROUP BY user_id)
+)
+SELECT g.user_id, g.hour,
+       LAST_VALUE(o.obs_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       o.obs_value IS NOT NULL AS observed
+FROM grid g LEFT JOIN observed o
+  ON g.user_id = o.user_id AND g.hour = o.hour
+"""
+
+
 QUERIES = {
     "asof_purchase_click": asof_purchase_click,
     "range_clicks_before_error": range_clicks_before_error,
+    "resample_gapfill_hourly": resample_gapfill_hourly,
 }
 
 ORACLES = {
     "asof_purchase_click": ASOF_SQL,
     "range_clicks_before_error": RANGE_SQL,
+    "resample_gapfill_hourly": RESAMPLE_SQL,
 }
