@@ -26,8 +26,10 @@ DEFAULT_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Deterministic session semantics for oracle parity.
     "spark.sql.session.timeZone": "UTC",
-    # events.parquet is INT64 TIMESTAMP(NANOS); read as raw nanos (see
-    # sources/fixtures.load_table, which truncates to micros exactly).
+    # Older fixture generations shipped events.parquet as INT64
+    # TIMESTAMP(NANOS), which Spark's reader rejects without this conf;
+    # harmless for the current TIMESTAMP(MICROS) layout (see
+    # sources/fixtures.normalize_events_ts, which handles both).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for every pandas UDF / mapInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",

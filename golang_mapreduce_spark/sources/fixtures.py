@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from golang_mapreduce_spark.session import ensure_session_invariants
 
@@ -38,24 +39,37 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to the session-TZ timestamp type.
+
+    ``events.ts`` has shipped in two physical layouts across fixture
+    generations: INT64 TIMESTAMP(NANOS) (read as raw nanos via
+    ``legacy.parquet.nanosAsLong`` and truncated to micros with integer
+    division — double division would lose precision above 2^53 ns) and
+    plain TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ, cast to the
+    session-TZ timestamp type so downstream window/interval arithmetic is
+    identical either way).  The branch keys off the scan schema, so both
+    generations produce the same logical column; DuckDB reads the same
+    file with the same micros values, so oracle comparisons stay exact.
+    """
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Lazy; pushdown/pruning apply at the scan.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects outright; read it as raw nanos
-    (``legacy.parquet.nanosAsLong``) and truncate to microsecond
-    timestamps with integer division (double division would lose
-    precision above 2^53 ns).  DuckDB truncates NANOS→micros the same
-    way, so oracle comparisons stay exact.
+    ``events`` gets its ``ts`` column normalized across fixture physical
+    layouts — see :func:`normalize_events_ts`.
     """
     # timestamp rendering/truncation must agree with the DuckDB oracle's
     # naive-UTC timestamps regardless of the caller's session (the
     # external driver builds its own, possibly non-UTC, session)
     ensure_session_invariants(spark, events=(name == "events"))
     if name == "events":
-        return (
+        return normalize_events_ts(
             spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -25,27 +25,45 @@ from pyspark.sql import types as T
 
 from golang_mapreduce_spark.operators.relational import _dec
 from golang_mapreduce_spark.session import ensure_session_invariants
+from golang_mapreduce_spark.sources.fixtures import normalize_events_ts
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def events_stream_schema(ts_type: T.DataType) -> T.StructType:
+    """Explicit read schema for the events file stream.  ``ts_type``
+    mirrors the file's physical layout (LongType for the INT64-nanos
+    fixture generation, TimestampNTZType for the TIMESTAMP(MICROS) one);
+    :func:`events_ts_layout` derives it from the footer."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def events_ts_layout(spark: SparkSession, events_path: str) -> T.DataType:
+    """The stream-schema ts type matching the file's physical layout
+    (one driver-side footer read; file streams need an explicit schema,
+    so the batch reader's automatic inference can't help here)."""
+    batch_type = spark.read.parquet(events_path).schema["ts"].dataType
+    if isinstance(batch_type, T.LongType):
+        return T.LongType()
+    return T.TimestampNTZType()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture (ts: nanos → micros)."""
+    """File-source stream over the events fixture, ts normalized to the
+    session-TZ timestamp type across fixture layouts."""
     ensure_session_invariants(spark, events=True)
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    ts_type = events_ts_layout(spark, f"{sf_dir}/events.parquet")
+    return normalize_events_ts(
+        spark.readStream.schema(events_stream_schema(ts_type))
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
 
 
@@ -98,16 +116,21 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(hourly_counts_stream(events), spark)
 
 
-def _write_sentinel(path: str, ts_ns: int) -> None:
+def _write_sentinel(path: str, ts_sec: int, nanos_layout: bool) -> None:
     """One far-future watermark-advancing event (user_id = -1) in the
-    events file schema (ts as raw int64 nanos)."""
+    events file's physical schema (raw int64 nanos or TIMESTAMP(MICROS),
+    matching the fixture generation being streamed)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if nanos_layout:
+        ts_arr = pa.array([ts_sec * 10**9], pa.int64())
+    else:
+        ts_arr = pa.array([ts_sec * 10**6], pa.timestamp("us"))
     table = pa.table(
         {
             "event_id": pa.array([-1], pa.int64()),
-            "ts": pa.array([ts_ns], pa.int64()),
+            "ts": ts_arr,
             "user_id": pa.array([-1], pa.int64()),
             "event_type": pa.array(["sentinel"], pa.string()),
             "value": pa.array([0.0], pa.float64()),
@@ -148,18 +171,19 @@ def stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         real = os.path.join(src, "00_events.parquet")
         shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
+        ts_type = events_ts_layout(spark, real)
+        nanos = isinstance(ts_type, T.LongType)
         # far future (2100/2101): beyond any fixture timestamp at every SF
-        _write_sentinel(os.path.join(src, "01_sentinel.parquet"), 4_102_444_800 * 10**9)
-        _write_sentinel(os.path.join(src, "02_sentinel.parquet"), 4_133_980_800 * 10**9)
+        _write_sentinel(os.path.join(src, "01_sentinel.parquet"), 4_102_444_800, nanos)
+        _write_sentinel(os.path.join(src, "02_sentinel.parquet"), 4_133_980_800, nanos)
         now = os.path.getmtime(real)
         for i, f in enumerate(sorted(os.listdir(src))):
             os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
 
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
+        stream = normalize_events_ts(
+            spark.readStream.schema(events_stream_schema(ts_type))
             .option("maxFilesPerTrigger", 2)
             .parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         )
         name = "sess_" + uuid.uuid4().hex[:12]
         q = (
@@ -311,14 +335,12 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(sf_dir, "events.parquet"),
                 os.path.join(src, f"0{i}_events.parquet"),
             )
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
+        ts_type = events_ts_layout(spark, os.path.join(src, "00_events.parquet"))
+        stream = normalize_events_ts(
+            spark.readStream.schema(events_stream_schema(ts_type))
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-            .withWatermark("ts", "1 hour")
-            .dropDuplicates(["event_id", "ts"])
-        )
+        ).withWatermark("ts", "1 hour").dropDuplicates(["event_id", "ts"])
         q = (
             stream.writeStream.format("memory")
             .queryName(name)
@@ -372,7 +394,8 @@ def kafka_stream_options(
                .options(**kafka_stream_options("broker:9092", "events"))
                .load())
         events = raw.select(
-            F.from_json(F.col("value").cast("string"), EVENTS_SCHEMA)
+            F.from_json(F.col("value").cast("string"),
+                        events_stream_schema(T.TimestampNTZType()))
             .alias("e")).select("e.*")
 
     then every downstream operator (watermarks, windows, sessionization,

@@ -49,16 +49,16 @@ def generate(
     marker = os.path.join(out_dir, f"_SCALED_x{k}")
     if os.path.exists(marker):
         return
-    ensure_session_invariants(spark, events=True)  # raw-nanos events read
+    ensure_session_invariants(spark, events=True)  # legacy-nanos events read
     os.makedirs(out_dir, exist_ok=True)
     for name in _DIMS:
         load_table(spark, src_dir, name).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
     for name, keys in _FACT_OFFSET_KEYS.items():
-        # events must keep its raw-nanos physical type on disk so the
-        # scaled dir reads through the same load_table path; re-derive
-        # the nanos column from the truncated micros (exact: micros*1000)
+        # read the raw file (no ts normalization) so the scaled dir keeps
+        # the source's physical layout and reads back through the same
+        # layout-adaptive load_table branch as the original
         base = spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
         replicas = []
         for i in range(k):

@@ -11,8 +11,12 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from golang_mapreduce_spark.sources.fixtures import load_table
-from golang_mapreduce_spark.streaming.jobs import EVENTS_SCHEMA
+from golang_mapreduce_spark.sources.fixtures import load_table, normalize_events_ts
+from golang_mapreduce_spark.streaming.jobs import (
+    events_stream_schema,
+    events_ts_layout,
+    read_events_stream,
+)
 
 
 def test_foreachbatch_idempotent_overwrite(spark, sf_dir):
@@ -25,13 +29,7 @@ def test_foreachbatch_idempotent_overwrite(spark, sf_dir):
         seen_batches.append(batch_id)
         batch_df.write.mode("overwrite").parquet(target)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = read_events_stream(spark, sf_dir)
     agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
     q = (
         agg.writeStream.foreachBatch(upsert)
@@ -82,14 +80,12 @@ def test_foreachbatch_batchid_ledger_replay_safe(spark, sf_dir):
         committed.add(batch_id)
         replayable[batch_id] = batch_df
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    ts_type = events_ts_layout(spark, os.path.join(src, "00_events.parquet"))
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .select("event_id", "user_id", "event_type")
-    )
+    ).select("event_id", "user_id", "event_type")
     q = (
         stream.writeStream.foreachBatch(upsert)
         .outputMode("append")

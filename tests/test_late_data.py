@@ -24,8 +24,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from golang_mapreduce_spark.streaming.jobs import EVENTS_SCHEMA
+from golang_mapreduce_spark.sources.fixtures import normalize_events_ts
+from golang_mapreduce_spark.streaming.jobs import events_stream_schema
 
 US = 10**6
 HOUR = 3600 * US
@@ -69,11 +71,12 @@ def test_late_rows_dropped_and_counted(spark):
     for i, f in enumerate(sorted(os.listdir(src))):
         os.utime(os.path.join(src, f), (t0 + 10 * i, t0 + 10 * i))
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    # these files are written in the legacy INT64-nanos layout above, so
+    # this test doubles as coverage of normalize_events_ts's nanos branch
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_stream_schema(T.LongType()))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     # append mode requires grouping on the watermarked window column
     # itself (projecting .start inside groupBy severs the watermark link)

@@ -13,9 +13,11 @@ import duckdb
 import pandas as pd
 import pytest
 
-from pyspark.sql import functions as F
-
-from golang_mapreduce_spark.streaming.jobs import EVENTS_SCHEMA
+from golang_mapreduce_spark.sources.fixtures import normalize_events_ts
+from golang_mapreduce_spark.streaming.jobs import (
+    events_stream_schema,
+    events_ts_layout,
+)
 from golang_mapreduce_spark.streaming.stateful import (
     SESSION_GAP_US,
     sessionize_with_state,
@@ -52,7 +54,6 @@ def _batch_sessions(sf_dir: str) -> set[tuple]:
 def test_stateful_sessionize_across_batches(spark, sf_dir):
     # split events into 3 time-ordered files => 3 micro-batches whose
     # watermark advances between batches
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts")
     n = events.count()
     pdf = events.toPandas().sort_values("ts").reset_index(drop=True)
@@ -62,11 +63,11 @@ def test_stateful_sessionize_across_batches(spark, sf_dir):
         part = pdf.iloc[i * third : (i + 1) * third]
         part.to_parquet(f"{src}/chunk-{i}.parquet", index=False)
 
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    ts_type = events_ts_layout(spark, f"{src}/chunk-0.parquet")
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_stream_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     name = "sess_" + uuid.uuid4().hex[:8]
     q = (
@@ -100,7 +101,6 @@ def test_stateful_sessionize_counts_most_sessions(spark, sf_dir):
     """The drained stream closes every session except at most one open
     session per user at stream end (availableNow stops before the final
     timeout batch for still-open state)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     n_users = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select("user_id")

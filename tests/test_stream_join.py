@@ -11,17 +11,11 @@ import uuid
 from pyspark.sql import functions as F
 
 from golang_mapreduce_spark.sources.fixtures import load_table
-from golang_mapreduce_spark.streaming.jobs import EVENTS_SCHEMA
+from golang_mapreduce_spark.streaming.jobs import read_events_stream
 
 
 def _streams(spark, sf_dir):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    base = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    base = read_events_stream(spark, sf_dir)
     clicks = (
         base.where(F.col("event_type") == "click")
         .select(
