@@ -101,5 +101,58 @@ WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
-QUERIES = {"clean_corpus": clean_corpus}
-ORACLES = {"clean_corpus": CLEAN_CORPUS_SQL}
+def clean_corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-construction chain: clean_corpus (quality → exact
+    dedup → near-dup keep-one) followed by benchmark DECONTAMINATION —
+    the held-out eval slice itself is excluded from training data, and so
+    is every surviving doc that shares an n-gram with it (the REMOVAL
+    composition of corpus.decontaminate_docs' report; cf. the GPT-3
+    appendix-C procedure).  This is the last filter a corpus passes
+    before tokenization/packing.
+
+    Scale shape: the contamination check runs on the raw corpus exactly
+    as in decontaminate_docs (broadcast eval-shingle hashes, map-side
+    probe), and its flagged-ids output joins the survivor set as a
+    left-anti on doc_id — ids only, no second pass over text.  The
+    eval-slice exclusion is a pushdown-able predicate."""
+    from golang_mapreduce_spark.operators.corpus import (
+        DECON_MOD,
+        decontaminate_docs,
+    )
+
+    survivors = clean_corpus(spark, sf_dir)
+    flagged = decontaminate_docs(spark, sf_dir).select("doc_id")
+    return (
+        survivors.where(F.col("doc_id") % DECON_MOD != 0)
+        .join(flagged, "doc_id", "left_anti")
+    )
+
+
+def _clean_corpus_decon_sql() -> str:
+    from golang_mapreduce_spark.operators.corpus import (
+        DECON_MOD,
+        DECONTAMINATE_SQL,
+    )
+
+    # splice the decontamination report in as one more CTE of the
+    # clean-corpus chain, then subtract eval slice + flagged ids
+    base = CLEAN_CORPUS_SQL.strip()
+    head, tail = base.rsplit("SELECT doc_id, lang, n_chars", 1)
+    decon_body = DECONTAMINATE_SQL.strip()
+    return f"""{head}, decon AS (
+{decon_body}
+)
+SELECT doc_id, lang, n_chars{tail}
+  AND doc_id % {DECON_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM decon)
+"""
+
+
+QUERIES = {
+    "clean_corpus": clean_corpus,
+    "clean_corpus_decontaminated": clean_corpus_decontaminated,
+}
+ORACLES = {
+    "clean_corpus": CLEAN_CORPUS_SQL,
+    "clean_corpus_decontaminated": _clean_corpus_decon_sql(),
+}

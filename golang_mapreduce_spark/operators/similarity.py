@@ -251,6 +251,130 @@ WHERE rank <= {TOP_K}
 """
 
 
+#: ann_ivf_adaptive probes clusters (nearest-centroid order) until this
+#: fraction of the COLLECTION's assigned vectors has been covered.
+PROBE_MASS = 0.2
+
+
+def ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 with per-query MASS-adaptive probing: instead of a fixed
+    probe count, each query walks its centroids in similarity order and
+    probes until the probed clusters' total member count reaches
+    ceil({PROBE_MASS} × N).  Under skewed cluster sizes (real embedding
+    distributions are never balanced) a fixed n_probe over-scans queries
+    that hit giant clusters and starves queries whose nearest clusters
+    are tiny; mass-based probing fixes the scan budget per query — the
+    per-query work is ~{PROBE_MASS}·N candidate scorings no matter how
+    the quantizer's cells are shaped.
+
+    Deterministic: cluster sizes come from the (deterministic) assignment
+    pass; the probe walk orders by (rounded csim DESC, cid), and the
+    running mass uses an exclusive window frame, so the cluster that
+    crosses the threshold is always included.  Scale: sizes are C rows
+    (broadcast); the walk is a window over queries × C rows; the search
+    join is identical to ann_ivf_topk's probed-cluster join."""
+    emb = _emb(spark, sf_dir)
+    cent = _centroids(emb)
+    assign = _ivf_assign(emb, cent)
+    sizes = F.broadcast(
+        assign.groupBy("cluster").agg(F.count("*").alias("csize"))
+    )
+    total = F.broadcast(
+        assign.agg(F.expr("CAST(ceil(count(*) * " + str(PROBE_MASS) + ") AS BIGINT)").alias("target"))
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    pw = (
+        Window.partitionBy("query_id")
+        .orderBy(F.desc("csim"), F.asc("cid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    probes = (
+        q.join(cent)
+        .select("query_id", "q_emb", "cid", _cos("q_emb", "c_emb").alias("csim"))
+        .join(sizes, F.col("cid") == F.col("cluster"), "left")
+        .select(
+            "query_id",
+            "q_emb",
+            "cid",
+            "csim",
+            F.coalesce(F.col("csize"), F.lit(0)).alias("csz"),
+        )
+        .withColumn("mass_before", F.coalesce(F.sum("csz").over(pw), F.lit(0)))
+        .crossJoin(total)
+        .where(F.col("mass_before") < F.col("target"))
+        .select("query_id", "q_emb", F.col("cid").alias("cluster"))
+    )
+    scored = (
+        probes.join(assign, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos("q_emb", "emb").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return scored.select(
+        "query_id", "neighbor_id", "sim", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= TOP_K)
+
+
+ANN_IVF_ADAPTIVE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+{_CENT_CTES},
+assign AS (
+  SELECT vec_id, emb, cid AS cluster FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS arn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE arn = 1
+),
+sizes AS (
+  SELECT cluster, COUNT(*) AS csize FROM assign GROUP BY cluster
+),
+tot AS (
+  SELECT CAST(ceil(COUNT(*) * {PROBE_MASS}) AS BIGINT) AS target FROM assign
+),
+walk AS (
+  SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cid,
+         ROUND(list_cosine_similarity(q.emb, c.c_emb), 6) AS csim,
+         COALESCE(s.csize, 0) AS csz
+  FROM emb q CROSS JOIN cent c
+  LEFT JOIN sizes s ON s.cluster = c.cid
+  WHERE q.vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, q_emb, cid AS cluster FROM (
+    SELECT query_id, q_emb, cid,
+           COALESCE(SUM(csz) OVER (PARTITION BY query_id
+                                   ORDER BY csim DESC, cid
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS mass_before
+    FROM walk
+  ) WHERE mass_before < (SELECT target FROM tot)
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(p.q_emb, a.emb), 6) AS sim
+  FROM probes p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by IVF cluster id:
     reuse the coarse-quantizer assignment pass (one broadcast-join scan),
@@ -1017,6 +1141,7 @@ QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "knn_numpy_batched": knn_numpy_batched,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_adaptive": ann_ivf_adaptive,
     "emb_neardup_pairs": emb_neardup_pairs,
     "emb_neardup_multiprobe": emb_neardup_multiprobe,
     "pq_codes": pq_codes,
@@ -1032,6 +1157,7 @@ ORACLES = {
     "knn_bruteforce": KNN_SQL,
     "knn_numpy_batched": KNN_SQL,  # must equal the JVM brute force exactly
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_ivf_adaptive": ANN_IVF_ADAPTIVE_SQL,
     "emb_neardup_pairs": EMB_NEARDUP_SQL,
     "emb_neardup_multiprobe": EMB_NEARDUP_MULTIPROBE_SQL,
     "pq_codes": PQ_CODES_SQL,

@@ -559,7 +559,88 @@ FROM per_doc
 """
 
 
+#: Per-language stopword inventory size (top-K most frequent tokens).
+STOP_TOP_K = 20
+
+
+def lang_stopword_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-aware stopword ratio: each language's stopword inventory
+    is derived from the corpus itself — its {STOP_TOP_K} most frequent
+    tokens (ties broken lexicographically) — and every document is scored
+    by the fraction of its tokens that are in-inventory for ITS language.
+    This replaces the global STOPWORDS list of quality_scores with the
+    per-language inventories real quality filters use (a high-frequency
+    function-word ratio is the classic fluency signal, cf. the CCNet/
+    Gopher filtering stacks), making scores comparable across languages.
+
+    Scale shape: the histogram is the canonical map-side-combined word
+    count keyed (lang, token) — the shuffle carries one row per DISTINCT
+    (lang, token) per partition, not per occurrence.  The top-K window
+    runs over the per-language vocabulary (≪ corpus size; vocabularies
+    grow ~Heaps' law, N^0.5).  The inventory (langs × K rows) broadcasts,
+    so doc scoring is a map-side probe + one exchange keyed on doc_id
+    carrying longs."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(ws_words("text")).alias("t"))
+    hist = tok.groupBy("lang", "t").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("t"))
+    inv = (
+        hist.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= STOP_TOP_K)
+        .select("lang", "t", F.lit(1).alias("is_stop"))
+    )
+    return (
+        tok.join(F.broadcast(inv), ["lang", "t"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("is_stop"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_stop"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_stop",
+            F.round(
+                F.col("n_stop").cast("double") / F.col("n_tokens"), 6
+            ).alias("stop_ratio"),
+        )
+    )
+
+
+LANG_STOPWORD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+hist AS (
+  SELECT lang, t, COUNT(*) AS cnt FROM tok GROUP BY lang, t
+),
+inv AS (
+  SELECT lang, t FROM (
+    SELECT lang, t,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, t) AS rk
+    FROM hist
+  ) WHERE rk <= {STOP_TOP_K}
+)
+SELECT tok.doc_id, tok.lang,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN inv.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stop,
+       ROUND(CAST(SUM(CASE WHEN inv.t IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS stop_ratio
+FROM tok LEFT JOIN inv ON tok.lang = inv.lang AND tok.t = inv.t
+GROUP BY tok.doc_id, tok.lang
+"""
+
+
 QUERIES = {
+    "lang_stopword_quality": lang_stopword_quality,
     "quality_calibrated": quality_calibrated,
     "doc_perplexity": doc_perplexity,
     "lang_doc_stats": lang_doc_stats,
@@ -573,6 +654,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lang_stopword_quality": LANG_STOPWORD_SQL,
     "quality_calibrated": QUALITY_CALIBRATED_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,
     "bigram_counts": BIGRAM_SQL,
