@@ -94,6 +94,10 @@ EXTRA = [
     "merge_upsert_orders",
     "runtime_filtered_join",
     "resample_gapfill_hourly",
+    "lang_stopword_quality",
+    "ann_ivf_adaptive",
+    "clean_corpus_decontaminated",
+    "streaming_packed_sequences",
 ]
 
 

@@ -376,6 +376,72 @@ GROUP BY event_type
 """
 
 
+def streaming_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus.packed_sequences executed through Structured Streaming: the
+    per-doc token counts are split into three doc_id-range files (three
+    micro-batches at maxFilesPerTrigger=1, ordered by mtime), and a
+    per-language (cur_bin, acc) state machine continues the greedy pack
+    across batch boundaries.  Drained output equals the batch recursive-
+    CTE oracle row-for-row — the cross-batch state carry is exactly the
+    recurrence.
+
+    Scale: the stream carries three longs + a language tag per doc (token
+    counts are computed upstream, text never enters the stateful
+    operator); state is two integers per language."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from golang_mapreduce_spark.functions.text import ws_words
+    from golang_mapreduce_spark.sources.fixtures import load_table
+    from golang_mapreduce_spark.streaming.stateful import pack_with_state
+
+    sizes = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(ws_words("text")).cast("bigint").alias("n_toks"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    src = tempfile.mkdtemp(prefix="gmrs_pack_src_")
+    ckpt = tempfile.mkdtemp(prefix="gmrs_ckpt_")
+    name = "pack_" + uuid.uuid4().hex[:12]
+    try:
+        third = (len(sizes) + 2) // 3
+        for i in range(3):
+            part = sizes.iloc[i * third : (i + 1) * third]
+            pq.write_table(
+                pa.Table.from_pandas(part, preserve_index=False),
+                os.path.join(src, f"{i:02d}_sizes.parquet"),
+            )
+        t0 = os.path.getmtime(os.path.join(src, "00_sizes.parquet"))
+        for i, f in enumerate(sorted(os.listdir(src))):
+            os.utime(os.path.join(src, f), (t0 + 10 * i, t0 + 10 * i))
+        stream = (
+            spark.readStream.schema("doc_id bigint, lang string, n_toks bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            pack_with_state(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
 def kafka_stream_options(
     bootstrap_servers: str,
     topic: str,
@@ -415,8 +481,9 @@ def kafka_stream_options(
     return opts
 
 
-# oracle identical to the batch tumbling query: a drained complete-mode
-# stream over the same files must produce the same table.
+# oracles identical to the batch queries: a drained stream over the same
+# data must produce the same table.
+from golang_mapreduce_spark.operators.corpus import PACKED_SEQUENCES_SQL  # noqa: E402
 from golang_mapreduce_spark.operators.windows import TUMBLING_SQL  # noqa: E402
 
 QUERIES = {
@@ -424,10 +491,12 @@ QUERIES = {
     "stateful_sessionize": stateful_sessionize,
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_dedup": streaming_dedup,
+    "streaming_packed_sequences": streaming_packed_sequences,
 }
 ORACLES = {
     "streaming_tumbling_hourly": TUMBLING_SQL,
     "stateful_sessionize": STATEFUL_SESSION_SQL,
     "streaming_click_attribution": CLICK_ATTRIBUTION_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
+    "streaming_packed_sequences": PACKED_SEQUENCES_SQL,
 }

@@ -104,6 +104,61 @@ def _sessionize_fn(
     yield from out
 
 
+PACK_OUT_SCHEMA = "doc_id bigint, lang string, n_toks bigint, bin_id bigint"
+# carried packing state: current bin id + tokens accumulated in it
+PACK_STATE_SCHEMA = "cur_bin bigint, acc bigint"
+
+
+def _pack_fn(
+    key: tuple[Any, ...], pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Greedy sequence packing as a per-language state machine: the
+    (cur_bin, acc) pair carries the open bin across micro-batches, so the
+    drained stream reproduces corpus.greedy_pack's recurrence exactly —
+    provided batches deliver each language's docs in doc_id order (the
+    source files are doc_id-range splits consumed in order)."""
+    from golang_mapreduce_spark.operators.corpus import PACK_BUDGET
+
+    (lang,) = key
+    rows = pd.concat(list(pdf_iter)).sort_values("doc_id")
+    cur, acc = state.get if state.exists else (0, 0)
+    bins: list[int] = []
+    for n in rows["n_toks"]:
+        n = int(n)
+        if acc and acc + n > PACK_BUDGET:
+            cur += 1
+            acc = 0
+        acc += n
+        bins.append(cur)
+    state.update((cur, acc))
+    yield pd.DataFrame(
+        {
+            "doc_id": rows["doc_id"].to_numpy(),
+            "lang": lang,
+            "n_toks": rows["n_toks"].to_numpy(),
+            "bin_id": bins,
+        }
+    )
+
+
+def pack_with_state(doc_sizes: DataFrame) -> DataFrame:
+    """Streaming greedy sequence packing over a (doc_id, lang, n_toks)
+    stream — the incremental form of corpus.packed_sequences: a training
+    pipeline that receives documents continuously packs them into
+    fixed-budget sequences as they arrive instead of re-running a batch
+    pack.  State per language is two integers (open bin id + fill), so
+    the state store is O(languages) regardless of throughput; no
+    watermark/timeout — a bin stays open until its language's next doc
+    closes it."""
+    return doc_sizes.groupBy("lang").applyInPandasWithState(
+        _pack_fn,
+        outputStructType=PACK_OUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_with_state(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Gap-based sessionization as a custom state machine.  Emits a row
     per *closed* session (closed by a later event, or by the event-time

@@ -97,6 +97,41 @@ def test_stateful_sessionize_across_batches(spark, sf_dir):
     assert len(keys) == len(set(keys))
 
 
+def test_streaming_pack_carries_bin_state_across_batches(spark, sf_dir):
+    """The drained streaming pack must equal the batch pack (same greedy
+    recurrence), and at least one bin must actually SPAN a micro-batch
+    boundary — i.e. the (cur_bin, acc) state did real work; packing each
+    batch independently from bin 0 would break this."""
+    from golang_mapreduce_spark.operators.corpus import packed_sequences
+    from golang_mapreduce_spark.streaming.jobs import streaming_packed_sequences
+
+    got = {
+        (r["doc_id"], r["lang"], r["n_toks"], r["bin_id"])
+        for r in streaming_packed_sequences(spark, sf_dir).collect()
+    }
+    expected = {
+        (r["doc_id"], r["lang"], r["n_toks"], r["bin_id"])
+        for r in packed_sequences(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+    # reconstruct the doc_id-range file boundaries the query used and
+    # check some bin holds docs on both sides of one
+    doc_ids = sorted(d for d, _, _, _ in got)
+    third = (len(doc_ids) + 2) // 3
+    boundaries = {doc_ids[third - 1], doc_ids[2 * third - 1]}
+    by_bin: dict[tuple, list[int]] = {}
+    for d, lang, _, b in got:
+        by_bin.setdefault((lang, b), []).append(d)
+    spans = any(
+        any(mn <= bd < mx for bd in boundaries)
+        for mn, mx in (
+            (min(ds), max(ds)) for ds in by_bin.values() if len(ds) > 1
+        )
+    )
+    assert spans, "no bin spans a micro-batch boundary; state carry untested"
+
+
 def test_stateful_sessionize_counts_most_sessions(spark, sf_dir):
     """The drained stream closes every session except at most one open
     session per user at stream end (availableNow stops before the final
