@@ -60,7 +60,7 @@ _MODULES = [
 #: first 50 names below get a CORRECTNESS row; EVERYTHING after entry 50
 #: is unchecked by the driver this round and is covered instead by the
 #: mandatory local type-sensitive parity suite
-#: (tests/test_oracle_parity.py, parameterized over all 106 oracle-backed
+#: (tests/test_oracle_parity.py, parameterized over all 114 oracle-backed
 #: queries — keep it green in CI; it is the compensating gate).
 #:
 #: Round-3 window: (a) the six operators NEW this round (corpus
@@ -76,8 +76,9 @@ _MODULES = [
 #: shapes of that cohort (distinct/cube/rollup/join-variants/set-ops/
 #: scalar/date) fell past entry 50 to make room for (a)+(b) and queue
 #: for round 4, as do the final r1-green entries this list no longer
-#: fits (multimodal_join, media_blob_stats, window_running_spend —
-#: positions 51-53).
+#: fits (token_stats, doc_fingerprints, bigram_counts,
+#: winnow_fingerprints, multimodal_join, media_blob_stats,
+#: window_running_spend — positions 51-57).
 _ROUND3_WINDOW = [
     # (a) new this round
     "merge_upsert_orders",
@@ -102,6 +103,11 @@ _ROUND3_WINDOW = [
     "video_frame_sample",
     # (d) default path changed this round (per-batch local top-k)
     "knn_numpy_batched",
+    # (d') added late in round 3, never driver-checked
+    "lang_stopword_quality",
+    "ann_ivf_adaptive",
+    "clean_corpus_decontaminated",
+    "streaming_packed_sequences",
     # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",
