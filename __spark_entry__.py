@@ -76,9 +76,11 @@ _MODULES = [
 #: shapes of that cohort (distinct/cube/rollup/join-variants/set-ops/
 #: scalar/date) fell past entry 50 to make room for (a)+(b) and queue
 #: for round 4, as do the final r1-green entries this list no longer
-#: fits (token_stats, doc_fingerprints, bigram_counts,
-#: winnow_fingerprints, multimodal_join, media_blob_stats,
-#: window_running_spend — positions 51-57).
+#: fits (session_windows_30m onward: streaming_tumbling_hourly,
+#: lang_doc_stats, lang_id_heuristic, quality_scores, token_stats,
+#: doc_fingerprints, bigram_counts, winnow_fingerprints,
+#: multimodal_join, media_blob_stats, window_running_spend — everything
+#: past position 50 of this list).
 _ROUND3_WINDOW = [
     # (a) new this round
     "merge_upsert_orders",
@@ -108,6 +110,8 @@ _ROUND3_WINDOW = [
     "ann_ivf_adaptive",
     "clean_corpus_decontaminated",
     "streaming_packed_sequences",
+    "pq_residual_topk",
+    "doc_repetition_scores",
     # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",

@@ -98,6 +98,8 @@ EXTRA = [
     "ann_ivf_adaptive",
     "clean_corpus_decontaminated",
     "streaming_packed_sequences",
+    "pq_residual_topk",
+    "doc_repetition_scores",
 ]
 
 

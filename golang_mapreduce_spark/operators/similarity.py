@@ -32,6 +32,7 @@ from golang_mapreduce_spark.sources.fixtures import load_table
 
 TOP_K = 5
 N_QUERIES = 8          # query set: vec_id < 8
+EMB_DIM = 64
 
 
 def centroid_step(n: int) -> int:
@@ -759,6 +760,178 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _l2sq_full(a: str, b: str) -> F.Column:
+    """Rounded squared L2 between two full array<double> columns
+    (deterministic: aggregate() folds left-to-right)."""
+    return F.expr(
+        f"round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+    )
+
+
+def pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (residual) quantized top-5 — the IVFADC composition:
+    level 1 is the coarse quantizer (each vector's nearest centroid),
+    level 2 quantizes the RESIDUAL emb − centroid against a residual
+    codebook, and queries rank neighbors by the reconstruction distance
+    ||q − (centroid + residual_code)||².  Residuals are far smaller than
+    raw vectors, so the same codebook budget quantizes them much more
+    accurately than one-level PQ — the standard recall-per-byte upgrade.
+
+    Both codebooks are deterministic data-derived families: level 1 is
+    the adaptive ~sqrt(N) centroid family (vec_id % step == 0), level 2
+    is the RESIDUALS of the offset family (vec_id % step == 1), so both
+    engines build identical codebooks.  Encoding ties break on codebook
+    id; distances round at 6 dp.
+
+    Scale shape: both codebooks are ~sqrt(N) rows (broadcast); encoding
+    is one broadcast join + per-row argmin at ingest (codes persist, 1
+    long per level per vector); a query probes its top-n_probe clusters
+    and builds a (probed clusters × residual codes) reconstruction LUT —
+    O(sqrt(N) · n_probe) entries, broadcast — so the collection side
+    touches only its two code longs, never raw vectors."""
+    emb = _emb(spark, sf_dir)
+    cent = _centroids(emb)
+    assign = _ivf_assign(emb, cent)
+    resid = (
+        assign.join(cent, F.col("cluster") == F.col("cid"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.expr("zip_with(emb, c_emb, (x, y) -> x - y)").alias("r_emb"),
+        )
+    )
+    rbook = F.broadcast(
+        resid.where(F.col("vec_id") % centroid_step(emb.count()) == 1)
+        .select(F.col("vec_id").alias("rid"), F.col("r_emb").alias("rb_emb"))
+    )
+    codes = (
+        resid.join(rbook)
+        .select(
+            "vec_id",
+            "cluster",
+            "rid",
+            _l2sq_full("r_emb", "rb_emb").alias("rd"),
+        )
+        .groupBy("vec_id", "cluster")
+        .agg(F.expr("min_by(rid, struct(rd, rid))").alias("code"))
+    )
+    # probe pass: top-n_probe clusters per query (as ann_ivf_topk)
+    n_probe = ivf_n_probe(cent.count())
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probed = (
+        q.join(cent)
+        .select(
+            "query_id", "q_emb", "cid", "c_emb",
+            _cos("q_emb", "c_emb").alias("csim"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= n_probe)
+    )
+    # reconstruction LUT: one distance per (query, probed cluster, code)
+    lut = F.broadcast(
+        probed.join(rbook)
+        .select(
+            "query_id",
+            F.col("cid").alias("cluster"),
+            F.col("rid").alias("code"),
+            _l2sq_full(
+                "q_emb", "zip_with(c_emb, rb_emb, (x, y) -> x + y)"
+            ).alias("d"),
+        )
+    )
+    scored = (
+        codes.join(lut, ["cluster", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("d").alias("approx_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_dist"), F.asc("neighbor_id")
+    )
+    return scored.select(
+        "query_id", "neighbor_id", "approx_dist",
+        F.row_number().over(w).alias("rank"),
+    ).where(F.col("rank") <= TOP_K)
+
+
+def _sql_l2sq_full(a: str, b: str) -> str:
+    """DuckDB rounded squared L2 over two full DOUBLE[] expressions."""
+    return (
+        f"round(list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+    )
+
+
+PQ_RESIDUAL_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+{_CENT_CTES},
+assign AS (
+  SELECT vec_id, emb, cluster, c_emb FROM (
+    SELECT e.vec_id, e.emb, c.cid AS cluster, c.c_emb,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS arn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE arn = 1
+),
+resid AS (
+  SELECT vec_id, cluster,
+         list_transform(range(1, {EMB_DIM} + 1), i -> emb[i] - c_emb[i]) AS r_emb
+  FROM assign
+),
+rbook AS (
+  SELECT vec_id AS rid, r_emb AS rb_emb FROM resid
+  WHERE vec_id % (SELECT st FROM stepc) = 1
+),
+codes AS (
+  SELECT vec_id, cluster, rid AS code FROM (
+    SELECT r.vec_id, r.cluster, b.rid,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id
+                              ORDER BY {_sql_l2sq_full("r.r_emb", "b.rb_emb")}, b.rid) AS rn
+    FROM resid r CROSS JOIN rbook b
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT query_id, q_emb, cid, c_emb FROM (
+    SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cid, c.c_emb,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(q.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS prn
+    FROM emb q CROSS JOIN cent c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE prn <= {_N_PROBE_SQL}
+),
+lut AS (
+  SELECT p.query_id, p.cid AS cluster, b.rid AS code,
+         {_sql_l2sq_full("p.q_emb",
+                         f"list_transform(range(1, {EMB_DIM} + 1), j -> p.c_emb[j] + b.rb_emb[j])")} AS d
+  FROM probed p CROSS JOIN rbook b
+),
+scored AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, l.d AS approx_dist
+  FROM codes c
+  JOIN lut l ON l.cluster = c.cluster AND l.code = c.code
+  WHERE c.vec_id <> l.query_id
+)
+SELECT query_id, neighbor_id, approx_dist, rank FROM (
+  SELECT query_id, neighbor_id, approx_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY approx_dist, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean embedding, long format (label, dim, centroid_val)
     — the class-centroid primitive behind IVF init, nearest-centroid
@@ -876,7 +1049,6 @@ GROUP BY true_label, pred_label
 #: md5-derived rationals computed ONCE in python and inlined as literals
 #: into both engines — bit-identical by construction.
 RP_PLANES = 6
-EMB_DIM = 64
 
 
 def _rp_weights() -> list[tuple[int, int, float]]:
@@ -1146,6 +1318,7 @@ QUERIES = {
     "emb_neardup_multiprobe": emb_neardup_multiprobe,
     "pq_codes": pq_codes,
     "pq_adc_topk": pq_adc_topk,
+    "pq_residual_topk": pq_residual_topk,
     "int8_quant_topk": int8_quant_topk,
 }
 
@@ -1162,5 +1335,6 @@ ORACLES = {
     "emb_neardup_multiprobe": EMB_NEARDUP_MULTIPROBE_SQL,
     "pq_codes": PQ_CODES_SQL,
     "pq_adc_topk": PQ_ADC_SQL,
+    "pq_residual_topk": PQ_RESIDUAL_SQL,
     "int8_quant_topk": INT8_QUANT_SQL,
 }

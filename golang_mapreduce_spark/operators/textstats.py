@@ -639,7 +639,81 @@ GROUP BY tok.doc_id, tok.lang
 """
 
 
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher/MassiveText
+    repetition heuristics): per document, the fraction of word bigrams
+    that are repeats of an earlier bigram (dup_ratio) and the share of
+    the single most frequent bigram (top_share).  Machine-generated and
+    boilerplate-heavy text scores high on both; the thresholds are the
+    classic pre-training repetition cut.
+
+    Scale shape: bigrams are hashed immediately (the shuffle carries
+    (doc_id, hash64, count), never strings), the per-(doc, bigram) count
+    partial-aggregates map-side, and the per-doc fold is a second
+    partial-agg'd exchange on doc_id — both shuffles linear in distinct
+    bigrams, not occurrences."""
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> concat_ws(' ', toks[i], toks[i + 1]))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", hash32("bg").alias("h"))
+    )
+    per = bg.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_bigrams"), 6
+            ).alias("dup_ratio"),
+            F.round(
+                F.col("top_count").cast("double") / F.col("n_bigrams"), 6
+            ).alias("top_share"),
+        )
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, {sql_hash32("t[i] || ' ' || t[i+1]")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+),
+per AS (
+  SELECT doc_id, h, COUNT(*) AS c FROM bg GROUP BY doc_id, h
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       COUNT(*) AS n_distinct,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_ratio,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_share
+FROM per
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "doc_repetition_scores": doc_repetition_scores,
     "lang_stopword_quality": lang_stopword_quality,
     "quality_calibrated": quality_calibrated,
     "doc_perplexity": doc_perplexity,
@@ -654,6 +728,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_repetition_scores": DOC_REPETITION_SQL,
     "lang_stopword_quality": LANG_STOPWORD_SQL,
     "quality_calibrated": QUALITY_CALIBRATED_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,
