@@ -112,6 +112,7 @@ _ROUND3_WINDOW = [
     "streaming_packed_sequences",
     "pq_residual_topk",
     "doc_repetition_scores",
+    "image_phash_pairs",
     # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",

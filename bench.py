@@ -100,6 +100,7 @@ EXTRA = [
     "streaming_packed_sequences",
     "pq_residual_topk",
     "doc_repetition_scores",
+    "image_phash_pairs",
 ]
 
 

@@ -459,7 +459,169 @@ GROUP BY cells.doc_id, cells.w, cells.h
 """
 
 
+PHASH_BANDS = 4          # 4 bands x 16 bits over the 64-bit signature
+PHASH_HAM_MAX = 3        # banding guarantees recall at Hamming <= 3
+
+PHASH_SCHEMA = "doc_id bigint, sig_lo bigint, sig_hi bigint"
+
+
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate IMAGE pairs — the multimodal
+    counterpart of simhash_neardup_pairs: each (fake-decoded) image is
+    reduced to its 8x8 average-hash signature (bit = thumbnail pixel >
+    thumbnail mean, the classic aHash), signatures band into
+    {PHASH_BANDS}x16 bits, candidates collide on a band bucket, and an
+    exact Hamming check (<= {PHASH_HAM_MAX}) verifies — by pigeonhole,
+    any pair within Hamming {PHASH_HAM_MAX} of 64 bits agrees on at
+    least one full band, so recall at the threshold is perfect while
+    the join stays bucket-equality, never all-pairs.
+
+    The signature is stored as two non-negative 32-bit halves in BIGINTs
+    (sig_lo = bits 0-31, sig_hi = 32-63) so shift/xor/bit_count behave
+    identically across engines with no sign-bit hazard.  Scale: 16 bytes
+    per image persist; the bucket join + 2x bit_count verify is the
+    SimHash shape, decode cost paid once at ingest."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    )
+
+    def sig(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "sig_lo": [], "sig_hi": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                data = bytes(blob)
+                feats = decode_image(data, fake=True)
+                w, h = feats["width"], feats["height"]
+                pix = np.frombuffer(data, dtype=np.uint8)
+                pix = np.resize(pix, w * h).reshape(h, w)
+                ys = (np.arange(THUMB_H) * h) // THUMB_H
+                xs = (np.arange(THUMB_W) * w) // THUMB_W
+                thumb = pix[np.ix_(ys, xs)].astype(np.float64)
+                m = float(thumb.sum()) / (THUMB_W * THUMB_H)
+                bits = (thumb.reshape(-1) > m).astype(np.int64)
+                lo = int(sum(int(bits[i]) << i for i in range(32)))
+                hi = int(sum(int(bits[i + 32]) << i for i in range(32)))
+                out["doc_id"].append(doc_id)
+                out["sig_lo"].append(lo)
+                out["sig_hi"].append(hi)
+            yield pd.DataFrame(out)
+
+    sigs = docs.mapInPandas(sig, schema=PHASH_SCHEMA)
+    band_val = (
+        "CASE WHEN bi = 0 THEN sig_lo & 65535 "
+        "WHEN bi = 1 THEN shiftright(sig_lo, 16) & 65535 "
+        "WHEN bi = 2 THEN sig_hi & 65535 "
+        "ELSE shiftright(sig_hi, 16) & 65535 END"
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {PHASH_BANDS - 1})")).alias("bi"),
+        "sig_lo",
+        "sig_hi",
+    ).select("doc_id", "bi", F.expr(band_val).alias("bv"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "bi", "bv")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "bi", "bv")
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig_lo").alias("lo_a"),
+        F.col("sig_hi").alias("hi_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig_lo").alias("lo_b"),
+        F.col("sig_hi").alias("hi_b"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= PHASH_HAM_MAX)
+    )
+
+
+#: The aHash is byte arithmetic over the same nearest-neighbor thumbnail
+#: IMAGE_RESIZE_SQL derives, so the oracle rebuilds the signature in SQL:
+#: cell values via the hex-pair lookup, mean as an exact /64 division,
+#: bit packing into two 32-bit halves, band bucketing, Hamming via
+#: integer xor + bit_count.
+IMAGE_PHASH_SQL = f"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+lut AS ({_BYTE_LUT_SQL}),
+dims AS (
+  SELECT doc_id, hx, n, 1 + n % 512 AS w, 1 + n // 512 AS h FROM b
+),
+cells AS (
+  SELECT d.doc_id, r.r * {THUMB_W} + c.c AS i,
+         substr(d.hx,
+                CAST(2 * ((((r.r * d.h) // {THUMB_H}) * d.w
+                           + ((c.c * d.w) // {THUMB_W})) % d.n) + 1 AS INT),
+                2) AS hp
+  FROM dims d,
+       (SELECT unnest(range({THUMB_H})) AS r) r,
+       (SELECT unnest(range({THUMB_W})) AS c) c
+),
+vals AS (
+  SELECT cells.doc_id, cells.i, l.v
+  FROM cells JOIN lut l ON cells.hp = l.h
+),
+stats AS (
+  SELECT doc_id, CAST(SUM(v) AS DOUBLE) / {THUMB_W * THUMB_H} AS m
+  FROM vals GROUP BY doc_id
+),
+sig AS (
+  SELECT vals.doc_id,
+         CAST(SUM(CASE WHEN vals.i < 32 AND vals.v > s.m
+                       THEN (1::BIGINT << vals.i) ELSE 0 END) AS BIGINT) AS sig_lo,
+         CAST(SUM(CASE WHEN vals.i >= 32 AND vals.v > s.m
+                       THEN (1::BIGINT << (vals.i - 32)) ELSE 0 END) AS BIGINT) AS sig_hi
+  FROM vals JOIN stats s USING (doc_id)
+  GROUP BY vals.doc_id
+),
+bands AS (
+  SELECT doc_id, bi,
+         CASE WHEN bi = 0 THEN sig_lo & 65535
+              WHEN bi = 1 THEN (sig_lo >> 16) & 65535
+              WHEN bi = 2 THEN sig_hi & 65535
+              ELSE (sig_hi >> 16) & 65535 END AS bv
+  FROM sig, (SELECT unnest(range({PHASH_BANDS})) AS bi)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands a JOIN bands b2 ON a.bi = b2.bi AND a.bv = b2.bv
+  WHERE a.doc_id < b2.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.sig_lo, sb.sig_lo))
+            + bit_count(xor(sa.sig_hi, sb.sig_hi)) AS INT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.sig_lo, sb.sig_lo))
+      + bit_count(xor(sa.sig_hi, sb.sig_hi)) <= {PHASH_HAM_MAX}
+"""
+
+
 QUERIES = {
+    "image_phash_pairs": image_phash_pairs,
     "multimodal_join": multimodal_join,
     "media_blob_stats": media_blob_stats,
     "image_features": image_features,
@@ -475,6 +637,7 @@ QUERIES = {
 # computation).  A real (PIL/ffmpeg) decoder would demote image/audio/
 # video back to rows-only — the SQL gate is a property of the fake.
 ORACLES = {
+    "image_phash_pairs": IMAGE_PHASH_SQL,
     "multimodal_join": MULTIMODAL_JOIN_SQL,
     "media_blob_stats": MEDIA_BLOB_SQL,
     "image_features": IMAGE_FEATURES_SQL,
