@@ -113,6 +113,7 @@ _ROUND3_WINDOW = [
     "pq_residual_topk",
     "doc_repetition_scores",
     "image_phash_pairs",
+    "bm25_search",
     # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",

@@ -101,6 +101,7 @@ EXTRA = [
     "pq_residual_topk",
     "doc_repetition_scores",
     "image_phash_pairs",
+    "bm25_search",
 ]
 
 

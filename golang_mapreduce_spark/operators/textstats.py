@@ -712,7 +712,124 @@ GROUP BY doc_id
 """
 
 
+#: BM25 retrieval constants (standard Robertson/Sparck-Jones defaults)
+#: and a fixed query drawn from the fixture vocabulary.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("data", "key", "value")
+BM25_TOP = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval: rank documents against a fixed keyword query
+    by BM25 — the inverted-index scoring a corpus-scale search/dedup
+    triage layer runs (tf saturation via k1, length normalization via
+    b).  Emits the top {BM25_TOP} docs with their rounded score and the
+    number of query terms matched.
+
+    Determinism: tf/df/doc-length are integers, avgdl is one exact
+    division, and each term's partial score is rounded to 6 dp then
+    summed as integer micro-units, so the total is independent of
+    addition order and engine; final ranking ties break on doc_id.
+
+    Scale shape: the term-frequency pass filters to query tokens AT THE
+    SCAN (the explode stream is pruned before any shuffle), df is a
+    |query|-row broadcast, corpus stats a 1-row broadcast — so scoring
+    is one exchange keyed on doc_id carrying a handful of longs, and
+    the global top-k is window-over-tiny after per-partition cuts."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    q_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    toks = docs.select("doc_id", ws_words("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dl").alias("tot_dl"),
+        )
+    )
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("t"))
+        .where(F.expr(f"t IN ({q_list})"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = F.broadcast(tf.groupBy("t").agg(F.count("*").alias("df")))
+    term_u = (
+        "CAST(round(round("
+        "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+        f" * (tf * ({BM25_K1} + 1.0))"
+        f" / (tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}"
+        " * (CAST(dl AS DOUBLE) / (CAST(tot_dl AS DOUBLE) / n_docs))))"
+        ", 6) * 1000000) AS BIGINT)"
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df, "t")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            F.expr(
+                f"round(CAST(SUM({term_u}) AS DOUBLE) / 1000000, 6)"
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id", "n_terms", "score", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= BM25_TOP)
+
+
+BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl
+),
+tf AS (
+  SELECT doc_id, u.t, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS t FROM toks) u
+  WHERE u.t IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+  GROUP BY doc_id, u.t
+),
+df AS (
+  SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(COUNT(*) AS INT) AS n_terms,
+         round(CAST(SUM(
+           CAST(round(round(
+             ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                * (CAST(dl.dl AS DOUBLE) / (CAST(s.tot_dl AS DOUBLE) / s.n_docs))))
+           , 6) * 1000000) AS BIGINT)
+         ) AS DOUBLE) / 1000000, 6) AS score
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.t = tf.t
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, n_terms, score, rank FROM (
+  SELECT doc_id, n_terms, score,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+WHERE rank <= {BM25_TOP}
+"""
+
+
 QUERIES = {
+    "bm25_search": bm25_search,
     "doc_repetition_scores": doc_repetition_scores,
     "lang_stopword_quality": lang_stopword_quality,
     "quality_calibrated": quality_calibrated,
@@ -728,6 +845,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bm25_search": BM25_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,
     "lang_stopword_quality": LANG_STOPWORD_SQL,
     "quality_calibrated": QUALITY_CALIBRATED_SQL,

@@ -20,6 +20,7 @@ EXECUTING = {
     "streaming_tumbling_hourly",
     "stateful_sessionize",
     "streaming_click_attribution",
+    "streaming_packed_sequences",
     "neardup_clusters",
     "clean_corpus",
 }
@@ -31,14 +32,17 @@ BNLJ_OK = {
     "q15_top_supplier",         # 1-row max
     "q17_small_quantity_revenue",
     "q22_dormant_rich_customers",  # 1-row avg
-    "ann_ivf_topk",             # ~10-row centroid table
+    "ann_ivf_topk",             # ~sqrt(N)-row centroid table
+    "ann_ivf_adaptive",         # centroid table + 1-row mass target
     "emb_neardup_pairs",
     "emb_neardup_multiprobe",
     "pq_codes",
     "pq_adc_topk",
+    "pq_residual_topk",         # centroid + residual codebooks
     "knn_bruteforce",           # 8-row query set (non-equi join)
     "int8_quant_topk",          # 1-row per-dim stats + 8-row query set
     "doc_perplexity",           # 1-row corpus token total
+    "bm25_search",              # 1-row corpus stats (N, total length)
     "ann_recall_at_k",          # composes knn_bruteforce + ann_ivf_topk
     "salted_join_revenue",      # deliberate S-row salt-range replication
     "hotkey_salted_join_revenue",  # same S-row salt range, hot keys only
