@@ -114,6 +114,7 @@ _ROUND3_WINDOW = [
     "doc_repetition_scores",
     "image_phash_pairs",
     "bm25_search",
+    "shuffle_shard_manifest",
     # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",

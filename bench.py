@@ -102,6 +102,7 @@ EXTRA = [
     "doc_repetition_scores",
     "image_phash_pairs",
     "bm25_search",
+    "shuffle_shard_manifest",
 ]
 
 

@@ -49,6 +49,30 @@ JACCARD_THRESHOLD = 0.2
 MINHASH_EST_THRESHOLD = 0.25
 
 
+def lsh_band_config(threshold: float, n_hashes: int = NUM_HASHES) -> tuple[int, int]:
+    """Choose the (bands, rows_per_band) factorization of ``n_hashes``
+    whose LSH S-curve midpoint (1/b)^(1/r) sits closest to the target
+    Jaccard ``threshold`` — the knob a pipeline turns when its near-dup
+    definition changes, instead of hand-picking band counts.  Collision
+    probability for a pair with similarity s is 1 − (1 − s^r)^b; the
+    midpoint is where it crosses ~0.5, so centering it on the threshold
+    balances false positives (candidate pairs the verify stage must
+    discard) against false negatives (missed near-dups).  Ties prefer
+    fewer bands (cheaper: fewer bucket rows per doc).  Pure function —
+    both the banding plan and the tests share it."""
+    best: tuple[tuple[float, int], tuple[int, int]] | None = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        midpoint = (1.0 / b) ** (1.0 / r)
+        key = (abs(midpoint - threshold), b)
+        if best is None or key < best[0]:
+            best = (key, (b, r))
+    assert best is not None
+    return best[1]
+
+
 # --- exact -------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,6 +52,53 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {SAMP
 """
 
 
+N_SHARDS = 8
+
+
+def shuffle_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-data shuffle: every document gets a
+    (shard, position) from the hash of its id — the manifest a trainer
+    consumes to read a reproducible pseudo-random document order without
+    any engine-side randomness.  shard = hash bucket; position = rank of
+    the hash within the shard (ties broken by doc_id).
+
+    Scale shape: this is how you shuffle 100 TB — never a global sort.
+    One exchange hash-partitions on shard, and each shard sorts
+    independently (its size is N/{N_SHARDS}, and a trainer that needs
+    smaller units raises N_SHARDS; position is per-shard, so no
+    cross-shard coordination exists).  Appends are stable: a new doc
+    lands at a deterministic (shard, hash) and only shifts positions
+    after it within one shard."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash32(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", (F.col("h") % N_SHARDS).cast("int"))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).alias("pos"),
+        )
+    )
+
+
+SHUFFLE_SHARD_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM documents
+)
+SELECT doc_id,
+       CAST(h % {N_SHARDS} AS INT) AS shard,
+       ROW_NUMBER() OVER (PARTITION BY h % {N_SHARDS}
+                          ORDER BY h, doc_id) AS pos
+FROM h
+"""
+
+
 def dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment by hash bucket ([0,80) / [80,90) /
     [90,100)), summarized per (split, lang).  Appending new documents
@@ -93,9 +140,11 @@ GROUP BY 1, 2
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "dataset_split_counts": dataset_split_counts,
+    "shuffle_shard_manifest": shuffle_shard_manifest,
 }
 
 ORACLES = {
     "hash_sample_docs": HASH_SAMPLE_SQL,
     "dataset_split_counts": DATASET_SPLIT_SQL,
+    "shuffle_shard_manifest": SHUFFLE_SHARD_SQL,
 }
