@@ -115,6 +115,7 @@ _ROUND3_WINDOW = [
     "image_phash_pairs",
     "bm25_search",
     "shuffle_shard_manifest",
+    "ivf_int8_topk",
     # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",

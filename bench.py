@@ -103,6 +103,7 @@ EXTRA = [
     "image_phash_pairs",
     "bm25_search",
     "shuffle_shard_manifest",
+    "ivf_int8_topk",
 ]
 
 

@@ -1213,25 +1213,11 @@ FROM ks LEFT JOIN hits USING (query_id)
 """
 
 
-def int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-quantized exact top-5: every embedding is affine-coded to
-    per-dimension 8-bit integers (global per-dim min/max → code in
-    [0, 255]), and neighbor ranking runs entirely in integer L2 over the
-    codes.  This is the int8 compression tier between raw floats and PQ:
-    4× smaller vectors, SIMD-friendly integer distance, no codebook.
-
-    Determinism: min/max are exact float reductions, the affine map is
-    evaluated in IEEE double identically by both engines, floor() makes
-    the code integer-exact, and distances are integer sums with id
-    tie-break — so the oracle reproduces the ranking bit-for-bit.
-
-    Scale shape: the stats pass is one partial-agg'd reduction to 64
-    rows; quantization is a map over the collection against the
-    broadcast 1-row stats; ranking is the same broadcast-queries scan as
-    knn_bruteforce with per-partition top-k before the final window.  At
-    100 TB the codes (64 B/vector) are what you persist; raw floats are
-    read once at ingest."""
-    emb = _emb(spark, sf_dir)
+def _int8_coded(emb: DataFrame) -> DataFrame:
+    """Affine per-dimension int8 coding of the collection (global
+    min/max → codes in [0, 255]) — shared by int8_quant_topk and the
+    IVF composition.  One reduction to a broadcast 1-row stats table,
+    then a narrow map over the collection."""
     stats = (
         emb.select(F.posexplode("emb").alias("pos", "val"))
         .groupBy("pos")
@@ -1251,9 +1237,29 @@ def int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE least(CAST(255 AS BIGINT), CAST(floor("
         "(x - mins[i]) / (maxs[i] - mins[i]) * 255) AS BIGINT)) END)"
     )
-    coded = emb.crossJoin(F.broadcast(stats)).select(
-        "vec_id", qcode.alias("code")
-    )
+    return emb.crossJoin(F.broadcast(stats)).select("vec_id", qcode.alias("code"))
+
+
+def int8_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized exact top-5: every embedding is affine-coded to
+    per-dimension 8-bit integers (global per-dim min/max → code in
+    [0, 255]), and neighbor ranking runs entirely in integer L2 over the
+    codes.  This is the int8 compression tier between raw floats and PQ:
+    4× smaller vectors, SIMD-friendly integer distance, no codebook.
+
+    Determinism: min/max are exact float reductions, the affine map is
+    evaluated in IEEE double identically by both engines, floor() makes
+    the code integer-exact, and distances are integer sums with id
+    tie-break — so the oracle reproduces the ranking bit-for-bit.
+
+    Scale shape: the stats pass is one partial-agg'd reduction to 64
+    rows; quantization is a map over the collection against the
+    broadcast 1-row stats; ranking is the same broadcast-queries scan as
+    knn_bruteforce with per-partition top-k before the final window.  At
+    100 TB the codes (64 B/vector) are what you persist; raw floats are
+    read once at ingest."""
+    emb = _emb(spark, sf_dir)
+    coded = _int8_coded(emb)
     q = F.broadcast(
         coded.where(F.col("vec_id") < N_QUERIES).select(
             F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
@@ -1305,6 +1311,124 @@ WHERE rank <= {TOP_K}
 """
 
 
+def ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × int8 composition — the memory-tier stack a production ANN
+    index actually runs: the coarse quantizer prunes WHICH vectors are
+    scored (probe top-n_probe clusters, exactly ann_ivf_topk's shape),
+    and the int8 codes decide HOW they are scored (integer L2 over
+    4×-compressed codes, exactly int8_quant_topk's metric).  Probing is
+    done with raw query vectors against the broadcast centroids; the
+    collection side stores (cluster, code) — its raw floats are read
+    only at ingest.
+
+    Scale: combines the two components' stories — partition pruning by
+    cluster id cuts candidates to ~n_probe/C of N, and each candidate
+    costs an integer SIMD distance over 64 bytes instead of 512.  Both
+    composition inputs are already driver-certified separately, so this
+    query pins that their composition stays exact (same oracle recipe,
+    composed CTEs)."""
+    emb = _emb(spark, sf_dir)
+    cent = _centroids(emb)
+    assign = _ivf_assign(emb, cent).select("vec_id", "cluster")
+    coded = _int8_coded(emb)
+    cassign = assign.join(coded, "vec_id")
+    n_probe = ivf_n_probe(cent.count())
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        q.join(cent)
+        .select("query_id", "cid", _cos("q_emb", "c_emb").alias("csim"))
+        .withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= n_probe)
+        .select("query_id", F.col("cid").alias("cluster"))
+    )
+    q_codes = F.broadcast(
+        coded.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
+        )
+    )
+    idist = F.expr(
+        "aggregate(zip_with(q_code, code, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    scored = (
+        probes.join(cassign, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(q_codes, "query_id")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), idist.alias("qdist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("qdist", "neighbor_id")
+    return scored.select(
+        "query_id", "neighbor_id", "qdist", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= TOP_K)
+
+
+IVF_INT8_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+{_CENT_CTES},
+assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS arn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE arn = 1
+),
+pv AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+),
+stats AS (
+  SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM pv GROUP BY pos
+),
+qv AS (
+  SELECT vec_id, pos,
+         CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+              ELSE LEAST(CAST(255 AS BIGINT),
+                         CAST(floor((val - mn) / (mx - mn) * 255) AS BIGINT))
+         END AS q
+  FROM pv JOIN stats USING (pos)
+),
+probes AS (
+  SELECT query_id, cid AS cluster FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(q.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS prn
+    FROM emb q CROSS JOIN cent c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE prn <= {_N_PROBE_SQL}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a USING (cluster)
+  WHERE a.vec_id <> p.query_id
+),
+dist AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM((qa.q - qb.q) * (qa.q - qb.q)) AS BIGINT) AS qdist
+  FROM cand c
+  JOIN qv qa ON qa.vec_id = c.query_id
+  JOIN qv qb ON qb.vec_id = c.vec_id AND qb.pos = qa.pos
+  GROUP BY c.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id, qdist, rank FROM (
+  SELECT query_id, neighbor_id, qdist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY qdist, neighbor_id) AS rank
+  FROM dist
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -1320,6 +1444,7 @@ QUERIES = {
     "pq_adc_topk": pq_adc_topk,
     "pq_residual_topk": pq_residual_topk,
     "int8_quant_topk": int8_quant_topk,
+    "ivf_int8_topk": ivf_int8_topk,
 }
 
 ORACLES = {
@@ -1337,4 +1462,5 @@ ORACLES = {
     "pq_adc_topk": PQ_ADC_SQL,
     "pq_residual_topk": PQ_RESIDUAL_SQL,
     "int8_quant_topk": INT8_QUANT_SQL,
+    "ivf_int8_topk": IVF_INT8_SQL,
 }
