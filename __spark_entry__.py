@@ -116,6 +116,7 @@ _ROUND3_WINDOW = [
     "bm25_search",
     "shuffle_shard_manifest",
     "ivf_int8_topk",
+    "source_reputation",
     # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",

@@ -104,6 +104,7 @@ EXTRA = [
     "bm25_search",
     "shuffle_shard_manifest",
     "ivf_int8_topk",
+    "source_reputation",
 ]
 
 

@@ -148,11 +148,91 @@ SELECT doc_id, lang, n_chars{tail}
 """
 
 
+def source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (domain) reputation rollup — the table a pipeline uses
+    to build domain blocklists and mixture weights: for every source,
+    its document count, exact-mean quality score, how many of its docs
+    are non-canonical exact-duplicate copies (corpus-wide md5, keep-min),
+    and how many are contaminated against the held-out eval slice.  A
+    source with high dup or contamination mass gets down-weighted or
+    dropped wholesale — cheaper than per-doc filtering when rot
+    concentrates by domain (it does).
+
+    Scale shape: the quality join is doc_id-keyed; the duplicate flag
+    comes from the same (hash → min doc_id) aggregation dedup_exact
+    runs (ids only cross the join); the contamination flag is the
+    broadcast-probe report.  The final rollup is one partial-agg'd
+    exchange with one row per source.  Quality means sum as
+    DECIMAL(18,6) — exact, partition-order independent."""
+    from golang_mapreduce_spark.operators.corpus import decontaminate_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    keep = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+        .select(F.col("keep_doc_id").alias("doc_id"), F.lit(1).alias("is_keeper"))
+    )
+    cont = decontaminate_docs(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("is_cont")
+    )
+    d = (
+        docs.join(q, "doc_id")
+        .join(keep, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            "round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("avg_quality"),
+        F.sum(F.when(F.col("is_keeper").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_copies"),
+        F.sum(F.coalesce(F.col("is_cont"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_contaminated"),
+    )
+
+
+def _source_reputation_sql() -> str:
+    from golang_mapreduce_spark.operators.corpus import DECONTAMINATE_SQL
+
+    return f"""
+WITH q AS (
+  {QUALITY_SQL.strip()}
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))
+),
+decon AS (
+{DECONTAMINATE_SQL.strip()}
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       round(CAST(SUM(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_quality,
+       CAST(SUM(CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_copies,
+       CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_contaminated
+FROM documents d
+JOIN q USING (doc_id)
+LEFT JOIN keep k ON k.doc_id = d.doc_id
+LEFT JOIN (SELECT DISTINCT doc_id FROM decon) c ON c.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "clean_corpus": clean_corpus,
     "clean_corpus_decontaminated": clean_corpus_decontaminated,
+    "source_reputation": source_reputation,
 }
 ORACLES = {
     "clean_corpus": CLEAN_CORPUS_SQL,
     "clean_corpus_decontaminated": _clean_corpus_decon_sql(),
+    "source_reputation": _source_reputation_sql(),
 }
