@@ -117,6 +117,8 @@ _ROUND3_WINDOW = [
     "shuffle_shard_manifest",
     "ivf_int8_topk",
     "source_reputation",
+    "doc_perplexity_bigram",
+    "retention_cohorts",
     # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",

@@ -105,6 +105,8 @@ EXTRA = [
     "shuffle_shard_manifest",
     "ivf_int8_topk",
     "source_reputation",
+    "doc_perplexity_bigram",
+    "retention_cohorts",
 ]
 
 

@@ -125,13 +125,57 @@ FROM (
 """
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users are cohorted by the week of
+    their FIRST event, and each (cohort_week, weeks_since) cell counts
+    distinct users from that cohort active that many weeks later — the
+    standard retention triangle every activity dashboard starts from.
+
+    Shape: one groupBy(user) for first-seen, a broadcast-free re-join on
+    user_id (both sides hash-partition on it), then one partial-agg'd
+    exchange keyed on the (cohort, offset) cell — cells are O(weeks²)
+    regardless of event volume.  Weeks are epoch-day integer division
+    (not date_trunc), so the bucketing is engine-portable arithmetic."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("unix_date(CAST(ts AS DATE)) DIV 7").alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).cast("int").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+  FROM events
+),
+first AS (
+  SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id
+)
+SELECT f.cohort_wk,
+       CAST(e.wk - f.cohort_wk AS INT) AS weeks_since,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM e JOIN first f USING (user_id)
+GROUP BY f.cohort_wk, e.wk - f.cohort_wk
+"""
+
+
 QUERIES = {
+    "retention_cohorts": retention_cohorts,
     "window_range_7day_spend": window_range_7day_spend,
     "ntile_customer_quartiles": ntile_customer_quartiles,
     "funnel_conversion": funnel_conversion,
 }
 
 ORACLES = {
+    "retention_cohorts": RETENTION_SQL,
     "window_range_7day_spend": RANGE_7DAY_SQL,
     "ntile_customer_quartiles": NTILE_SQL,
     "funnel_conversion": FUNNEL_SQL,

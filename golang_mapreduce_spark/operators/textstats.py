@@ -828,7 +828,143 @@ WHERE rank <= {BM25_TOP}
 """
 
 
+#: Interpolation weight on the bigram probability (0.3 stays on the
+#: unigram); first tokens (no history) score on the unigram alone.
+PPL_LAMBDA = 0.7
+
+
+def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-interpolated LM perplexity — the stronger form of the
+    doc_perplexity quality signal: each token's surprisal is
+    −ln(λ·P(w|prev) + (1−λ)·P(w)) with both probabilities estimated from
+    the corpus itself (P(w|prev) = c(prev,w)/c(prev,·)); a document of
+    common words in UNCOMMON ORDER now scores high, which the unigram
+    model cannot see.  First tokens back off to the unigram.
+
+    Determinism: the same recipe as doc_perplexity — every distinct
+    (prev, w) context's surprisal is rounded to 6 dp once, then per-doc
+    totals sum integer micro-units, so results are independent of
+    addition order and engine.
+
+    Scale shape: the (prev, w) pair stream comes straight off the token
+    array (no window/self-join); bigram and context counts are canonical
+    map-side-combined word counts; scoring joins hash-partition on the
+    pair/token keys and the per-doc fold is one exchange of longs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 1), i -> "
+                    "struct(CASE WHEN i = 0 THEN NULL ELSE toks[i - 1] END AS prev, "
+                    "toks[i] AS t))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.t").alias("t"))
+    )
+    uni = pairs.groupBy("t").agg(F.count("*").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("total"))
+    big = (
+        pairs.where(F.col("prev").isNotNull())
+        .groupBy("prev", "t")
+        .agg(F.count("*").alias("cb"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    # unigram-only surprisal for first tokens; interpolated otherwise
+    s_uni = (
+        "CAST(round(round(-ln((1.0 - " + str(PPL_LAMBDA) + ")"
+        " * (CAST(cu AS DOUBLE) / total)"
+        " + " + str(PPL_LAMBDA) + " * (CAST(cb AS DOUBLE) / cc)), 6)"
+        " * 1000000) AS BIGINT)"
+    )
+    s_first = (
+        "CAST(round(round(-ln(CAST(cu AS DOUBLE) / total), 6)"
+        " * 1000000) AS BIGINT)"
+    )
+    scored = (
+        pairs.join(uni, "t")
+        .join(big, ["prev", "t"], "left")
+        .join(ctx, "prev", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN prev IS NULL THEN {s_first} ELSE {s_uni} END"
+            ).alias("s_u"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr(
+                "round(CAST(SUM(s_u) AS DOUBLE) / 1000000 / COUNT(*), 6)"
+            ).alias("avg_surprisal"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_surprisal",
+            F.round(F.exp("avg_surprisal"), 6).alias("ppl_proxy"),
+        )
+    )
+
+
+DOC_PPL_BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         CASE WHEN i = 1 THEN NULL ELSE tk[i - 1] END AS prev,
+         tk[i] AS t
+  FROM toks, UNNEST(generate_series(1, len(tk))) AS g(i)
+  WHERE len(tk) >= 1
+),
+uni AS (
+  SELECT t, COUNT(*) AS cu FROM pairs GROUP BY t
+),
+tot AS (
+  SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni
+),
+big AS (
+  SELECT prev, t, COUNT(*) AS cb FROM pairs WHERE prev IS NOT NULL GROUP BY prev, t
+),
+ctx AS (
+  SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc FROM big GROUP BY prev
+),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN p.prev IS NULL THEN
+           CAST(round(round(-ln(CAST(u.cu AS DOUBLE) / tot.total), 6)
+                * 1000000) AS BIGINT)
+         ELSE
+           CAST(round(round(-ln((1.0 - {PPL_LAMBDA}) * (CAST(u.cu AS DOUBLE) / tot.total)
+                + {PPL_LAMBDA} * (CAST(b.cb AS DOUBLE) / c.cc)), 6)
+                * 1000000) AS BIGINT)
+         END AS s_u
+  FROM pairs p
+  JOIN uni u ON u.t = p.t
+  LEFT JOIN big b ON b.prev = p.prev AND b.t = p.t
+  LEFT JOIN ctx c ON c.prev = p.prev
+  CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(s_u) AS DOUBLE) / 1000000 / COUNT(*), 6) AS avg_surprisal,
+       round(exp(round(CAST(SUM(s_u) AS DOUBLE) / 1000000 / COUNT(*), 6)), 6)
+         AS ppl_proxy
+FROM scored
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
+    "doc_perplexity_bigram": doc_perplexity_bigram,
     "bm25_search": bm25_search,
     "doc_repetition_scores": doc_repetition_scores,
     "lang_stopword_quality": lang_stopword_quality,
@@ -845,6 +981,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "doc_perplexity_bigram": DOC_PPL_BIGRAM_SQL,
     "bm25_search": BM25_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,
     "lang_stopword_quality": LANG_STOPWORD_SQL,

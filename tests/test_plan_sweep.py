@@ -43,6 +43,7 @@ BNLJ_OK = {
     "int8_quant_topk",          # 1-row per-dim stats + 8-row query set
     "ivf_int8_topk",            # centroid table + 1-row stats broadcasts
     "doc_perplexity",           # 1-row corpus token total
+    "doc_perplexity_bigram",    # 1-row corpus token total
     "bm25_search",              # 1-row corpus stats (N, total length)
     "ann_recall_at_k",          # composes knn_bruteforce + ann_ivf_topk
     "salted_join_revenue",      # deliberate S-row salt-range replication
