@@ -119,6 +119,8 @@ _ROUND3_WINDOW = [
     "source_reputation",
     "doc_perplexity_bigram",
     "retention_cohorts",
+    "hard_negative_mining",
+    "embedding_dim_stats",
     # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",

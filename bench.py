@@ -107,6 +107,8 @@ EXTRA = [
     "source_reputation",
     "doc_perplexity_bigram",
     "retention_cohorts",
+    "hard_negative_mining",
+    "embedding_dim_stats",
 ]
 
 

@@ -1429,6 +1429,123 @@ WHERE rank <= {TOP_K}
 """
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding training: for each query
+    vector, the top-{TOP_K} most similar vectors with a DIFFERENT label
+    — the highest-value negatives a contrastive trainer can sample
+    (random negatives are trivially separable; hard ones carry the
+    gradient).  Same broadcast-queries single-scan shape as
+    knn_bruteforce with the label predicate applied before ranking, so
+    at scale it composes with the IVF probe exactly like the positive
+    path does."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    scored = (
+        emb.join(
+            q,
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("q_label")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            _cos("q_emb", "emb").alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return scored.select(
+        "query_id", "neg_id", "neg_label", "sim",
+        F.row_number().over(w).alias("rank"),
+    ).where(F.col("rank") <= TOP_K)
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label AS q_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
+         ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS sim
+  FROM q JOIN embeddings e
+    ON e.vec_id <> q.query_id AND e.label <> q.q_label
+)
+SELECT query_id, neg_id, neg_label, sim, rank FROM (
+  SELECT query_id, neg_id, neg_label, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neg_id) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding collection
+    (count, exact mean, sample std, min, max) — the drift monitor and
+    whitening input an embedding pipeline recomputes after every
+    re-embed; also exactly the stats table int8 quantization consumes.
+
+    Exactness: per-dim sums accumulate as DECIMAL(28,12) /
+    DECIMAL(38,18) (fold-order invariant), mirroring label_centroids'
+    discipline, so means/stds are bit-identical across engines and
+    partitionings.  One narrow posexplode + one partial-agg'd exchange
+    carrying dims × (two decimals + two doubles)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select(F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("SUM(CAST(v AS DECIMAL(28,12)))").alias("s1"),
+            F.expr("SUM(CAST(v * v AS DECIMAL(38,18)))").alias("s2"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.expr("ROUND(CAST(s1 AS DOUBLE) / n, 6) + 0.0").alias("dim_mean"),
+            F.expr(
+                "ROUND(SQRT(GREATEST((CAST(s2 AS DOUBLE)"
+                " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)"
+                " / NULLIF(n - 1, 0), 0.0)), 6)"
+            ).alias("dim_std"),
+            F.round(F.col("mn"), 6).alias("dim_min"),
+            F.round(F.col("mx"), 6).alias("dim_max"),
+        )
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH expl AS (
+  SELECT u.dim - 1 AS dim, CAST(u.v AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS dim) u
+)
+SELECT dim, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0
+         AS dim_mean,
+       ROUND(SQRT(GREATEST((CAST(SUM(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)
+                            - CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                              * CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                              / COUNT(*))
+                           / NULLIF(COUNT(*) - 1, 0), 0.0)), 6) AS dim_std,
+       ROUND(MIN(v), 6) AS dim_min,
+       ROUND(MAX(v), 6) AS dim_max
+FROM expl
+GROUP BY dim
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -1445,6 +1562,8 @@ QUERIES = {
     "pq_residual_topk": pq_residual_topk,
     "int8_quant_topk": int8_quant_topk,
     "ivf_int8_topk": ivf_int8_topk,
+    "hard_negative_mining": hard_negative_mining,
+    "embedding_dim_stats": embedding_dim_stats,
 }
 
 ORACLES = {
@@ -1463,4 +1582,6 @@ ORACLES = {
     "pq_residual_topk": PQ_RESIDUAL_SQL,
     "int8_quant_topk": INT8_QUANT_SQL,
     "ivf_int8_topk": IVF_INT8_SQL,
+    "hard_negative_mining": HARD_NEGATIVES_SQL,
+    "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
 }

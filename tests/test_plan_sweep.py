@@ -40,6 +40,7 @@ BNLJ_OK = {
     "pq_adc_topk",
     "pq_residual_topk",         # centroid + residual codebooks
     "knn_bruteforce",           # 8-row query set (non-equi join)
+    "hard_negative_mining",     # same 8-row query set, label predicate
     "int8_quant_topk",          # 1-row per-dim stats + 8-row query set
     "ivf_int8_topk",            # centroid table + 1-row stats broadcasts
     "doc_perplexity",           # 1-row corpus token total
