@@ -60,7 +60,7 @@ _MODULES = [
 #: first 50 names below get a CORRECTNESS row; EVERYTHING after entry 50
 #: is unchecked by the driver this round and is covered instead by the
 #: mandatory local type-sensitive parity suite
-#: (tests/test_oracle_parity.py, parameterized over all 114 oracle-backed
+#: (tests/test_oracle_parity.py, parameterized over all 125 oracle-backed
 #: queries — keep it green in CI; it is the compensating gate).
 #:
 #: Round-3 window: (a) the six operators NEW this round (corpus
