@@ -94,3 +94,39 @@ def test_q7_broadcasts_nation_dims(spark, sf_dir):
     plan = formatted_plan(q7_volume_shipping(spark, sf_dir))
     assert count_nodes(plan, "BroadcastHashJoin") >= 2, plan
     assert count_nodes(plan, "CartesianProduct") == 0, plan
+
+
+def test_shuffle_shard_single_exchange_no_global_sort(spark, sf_dir):
+    """The shard manifest's defining property: one hash exchange on the
+    shard key and per-shard sorts only — a global (range-partitioned)
+    sort anywhere means the 100 TB story is gone."""
+    from golang_mapreduce_spark.operators.sampling import shuffle_shard_manifest
+
+    plan = formatted_plan(shuffle_shard_manifest(spark, sf_dir))
+    assert count_nodes(plan, "Exchange") == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_doc_repetition_two_exchanges_partial_agg(spark, sf_dir):
+    """Both folds ((doc,hash) counts, then per-doc ratios) must stay
+    partial-aggregated: two exchange stages, each wrapped by a
+    partial/final HashAggregate pair."""
+    from golang_mapreduce_spark.operators.textstats import doc_repetition_scores
+
+    plan = formatted_plan(doc_repetition_scores(spark, sf_dir))
+    assert count_nodes(plan, "Exchange") <= 2, plan
+    assert count_nodes(plan, "HashAggregate") >= 4, plan
+
+
+def test_bm25_filters_tokens_before_any_exchange(spark, sf_dir):
+    """The query-token filter must run scan-side (narrow, pre-shuffle):
+    no exchange may appear below the filter on the token stream — at
+    100 TB shuffling non-query tokens would dominate the query."""
+    from golang_mapreduce_spark.operators.textstats import bm25_search
+
+    plan = formatted_plan(bm25_search(spark, sf_dir))
+    # the IN-list filter on exploded tokens must exist...
+    assert "data" in plan and "Filter" in plan, plan
+    # ...and the tf aggregation exchange count stays bounded (tf fold,
+    # dl join, final per-doc fold; broadcasts add none)
+    assert count_nodes(plan, "Exchange") <= 5, plan
