@@ -109,6 +109,9 @@ EXTRA = [
     "retention_cohorts",
     "hard_negative_mining",
     "embedding_dim_stats",
+    "dedup_keep_best",
+    "join_skew_diagnostics",
+    "hourly_anomalies",
 ]
 
 

@@ -167,7 +167,77 @@ GROUP BY f.cohort_wk, e.wk - f.cohort_wk
 """
 
 
+ANOMALY_Z = 2.0
+
+
+def hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly volume anomaly detection per event type: bucket events
+    into (type, hour) counts, z-score each bucket against ITS type's
+    hourly distribution, and report buckets with |z| >= {ANOMALY_Z} —
+    the monitoring query an ingest pipeline alerts on (traffic drops,
+    bot spikes) before bad data reaches training.
+
+    Exactness: hourly counts are integers, so the per-type moment sums
+    (Σc, Σc²) are exact BIGINT arithmetic — means and stds are
+    bit-identical across engines with no decimal machinery needed.
+    Shape: one (type, hour) partial-agg'd exchange over the events
+    scan, a per-type 1-row-per-type stats broadcast, and a narrow
+    filter; cells are O(types × hours) regardless of event volume."""
+    e = load_table(spark, sf_dir, "events")
+    hc = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour_start"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats = F.broadcast(
+        hc.groupBy("event_type").agg(
+            F.count("*").alias("n_hours"),
+            F.sum("cnt").alias("s1"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+        )
+    )
+    z = F.expr(
+        "ROUND((cnt - CAST(s1 AS DOUBLE) / n_hours)"
+        " / NULLIF(SQRT(GREATEST((CAST(s2 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_hours)"
+        " / NULLIF(n_hours - 1, 0), 0.0)), 0.0), 6)"
+    )
+    return (
+        hc.join(stats, "event_type")
+        .select("event_type", "hour_start", "cnt", z.alias("z_score"))
+        .where(F.abs(F.col("z_score")) >= ANOMALY_Z)
+    )
+
+
+HOURLY_ANOMALY_SQL = f"""
+WITH hc AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour_start, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+         CAST(SUM(cnt) AS BIGINT) AS s1,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+  FROM hc GROUP BY event_type
+)
+SELECT hc.event_type, hc.hour_start, hc.cnt,
+       ROUND((hc.cnt - CAST(s1 AS DOUBLE) / n_hours)
+             / NULLIF(SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                                     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_hours)
+                                    / NULLIF(n_hours - 1, 0), 0.0)), 0.0), 6)
+         AS z_score
+FROM hc JOIN stats USING (event_type)
+WHERE ABS(ROUND((hc.cnt - CAST(s1 AS DOUBLE) / n_hours)
+          / NULLIF(SQRT(GREATEST((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_hours)
+                                 / NULLIF(n_hours - 1, 0), 0.0)), 0.0), 6)) >= {ANOMALY_Z}
+"""
+
+
 QUERIES = {
+    "hourly_anomalies": hourly_anomalies,
     "retention_cohorts": retention_cohorts,
     "window_range_7day_spend": window_range_7day_spend,
     "ntile_customer_quartiles": ntile_customer_quartiles,
@@ -175,6 +245,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hourly_anomalies": HOURLY_ANOMALY_SQL,
     "retention_cohorts": RETENTION_SQL,
     "window_range_7day_spend": RANGE_7DAY_SQL,
     "ntile_customer_quartiles": NTILE_SQL,

@@ -779,7 +779,94 @@ GROUP BY doc_id
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keep-BEST: cluster the MinHash/LSH near-duplicates, then
+    keep the highest-QUALITY member of each cluster (ties on doc_id) —
+    what production corpus cleaning actually does (clean_corpus's
+    keep-min-id is the accounting-simple form; keep-best preserves the
+    best copy of duplicated content instead of an arbitrary one).
+    Emits one row per cluster (singletons included) with its size and
+    the kept doc + score.
+
+    Scale shape: clustering is the same iterative min-label propagation
+    as neardup_clusters (ids only); the keep decision is one window
+    rank over (cluster, quality) — no text is re-read after the
+    signature pass."""
+    from golang_mapreduce_spark.operators.textstats import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = minhash_pairs_from(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_a", "doc_b")
+    clusters = clusters_from(pairs)
+    memb = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    ranked = memb.join(q, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        "quality_score",
+        F.row_number()
+        .over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("quality_score"), F.asc("doc_id")
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("n_members"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("quality_score").alias("best_quality"),
+        "n_members",
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    from golang_mapreduce_spark.operators.textstats import QUALITY_SQL
+
+    return f"""
+WITH RECURSIVE q AS (
+  {QUALITY_SQL.strip()}
+),
+pairs AS (
+  {minhash_pairs_sql("documents").strip()}
+),
+edges(a, b) AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+),
+memb AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+ranked AS (
+  SELECT m.cluster_id, m.doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                            ORDER BY q.quality_score DESC, m.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members
+  FROM memb m JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id, quality_score AS best_quality,
+       n_members
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
+    "dedup_keep_best": dedup_keep_best,
     "paragraph_dedup": paragraph_dedup,
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -792,6 +879,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_keep_best": _dedup_keep_best_sql(),
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

@@ -139,14 +139,79 @@ def hotkey_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_TOP = 5
+
+
+def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEASURE step that precedes any salting decision: per join key
+    (lineitem.l_orderkey — the build side of the salted joins above),
+    the {SKEW_TOP} heaviest keys with their row count, share of the
+    table, and skew factor vs the mean key weight.  A pipeline runs this
+    before choosing between plain join / AQE skew split / hot-key
+    salting; keys with skew_factor near 1 never justify a salt pass.
+
+    Shape: one partial-agg'd exchange for the frequency pass (the same
+    pass hotkey_salted_join_revenue's hot-key detection runs), a 1-row
+    broadcast of the global stats, and a top-k window over the key
+    histogram."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+    tot = F.broadcast(
+        freq.agg(
+            F.sum("cnt").alias("total_rows"),
+            F.count("*").alias("n_keys"),
+        )
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("l_orderkey"))
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SKEW_TOP)
+        .crossJoin(tot)
+        .select(
+            F.col("l_orderkey").alias("join_key"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("total_rows"), 6).alias("share"),
+            F.round(
+                F.col("cnt") / (F.col("total_rows") / F.col("n_keys")), 6
+            ).alias("skew_factor"),
+            "rk",
+        )
+    )
+
+
+SKEW_DIAG_SQL = f"""
+WITH freq AS (
+  SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows, COUNT(*) AS n_keys FROM freq
+)
+SELECT l_orderkey AS join_key, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / total_rows, 6) AS share,
+       ROUND(CAST(cnt AS DOUBLE) / (CAST(total_rows AS DOUBLE) / n_keys), 6)
+         AS skew_factor,
+       rk
+FROM (
+  SELECT l_orderkey, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, l_orderkey) AS rk
+  FROM freq
+), tot
+WHERE rk <= {SKEW_TOP}
+"""
+
+
 QUERIES = {
     "salted_word_count": salted_word_count,
     "salted_join_revenue": salted_join_revenue,
     "hotkey_salted_join_revenue": hotkey_salted_join_revenue,
+    "join_skew_diagnostics": join_skew_diagnostics,
 }
 
 ORACLES = {
     "salted_word_count": SALTED_WC_SQL,
     "salted_join_revenue": SALTED_JOIN_SQL,
     "hotkey_salted_join_revenue": SALTED_JOIN_SQL,
+    "join_skew_diagnostics": SKEW_DIAG_SQL,
 }

@@ -23,6 +23,7 @@ EXECUTING = {
     "streaming_packed_sequences",
     "neardup_clusters",
     "clean_corpus",
+    "dedup_keep_best",
 }
 
 #: deliberate broadcast cross joins (tiny side by construction)
@@ -48,6 +49,7 @@ BNLJ_OK = {
     "bm25_search",              # 1-row corpus stats (N, total length)
     "ann_recall_at_k",          # composes knn_bruteforce + ann_ivf_topk
     "salted_join_revenue",      # deliberate S-row salt-range replication
+    "join_skew_diagnostics",    # 1-row global key stats
     "hotkey_salted_join_revenue",  # same S-row salt range, hot keys only
 }
 
