@@ -112,6 +112,7 @@ EXTRA = [
     "dedup_keep_best",
     "join_skew_diagnostics",
     "hourly_anomalies",
+    "training_data_run",
 ]
 
 

@@ -237,6 +237,42 @@ _PACK_SCHEMA = StructType(
 )
 
 
+def pack_docs(toks: DataFrame) -> DataFrame:
+    """Greedy packing of a (doc_id, lang, n_toks) relation — the shared
+    engine behind packed_sequences and the end-to-end training run."""
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pdf["bin_id"] = greedy_pack(list(pdf["n_toks"]), PACK_BUDGET)
+        return pdf
+
+    return toks.groupBy("lang").applyInPandas(_pack, _PACK_SCHEMA)
+
+
+def packed_walk_sql(src: str) -> str:
+    """The recursive greedy-pack walk over any relation exposing
+    (doc_id, lang, n_toks) — the SQL twin of :func:`pack_docs`.  Returns
+    CTE text (``packd`` and ``packwalk``; names chosen to never collide
+    with the clean-corpus chain's CTEs when composed); the enclosing
+    statement must be WITH RECURSIVE."""
+    return f"""packd AS (
+  SELECT doc_id, lang, n_toks,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM {src}
+),
+packwalk(lang, rn, doc_id, n_toks, bin_id, acc) AS (
+  SELECT lang, rn, doc_id, n_toks, CAST(0 AS BIGINT), n_toks
+  FROM packd WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.rn, d.doc_id, d.n_toks,
+         CASE WHEN w.acc + d.n_toks <= {PACK_BUDGET} THEN w.bin_id
+              ELSE w.bin_id + 1 END,
+         CASE WHEN w.acc + d.n_toks <= {PACK_BUDGET} THEN w.acc + d.n_toks
+              ELSE d.n_toks END
+  FROM packwalk w JOIN packd d ON d.lang = w.lang AND d.rn = w.rn + 1
+)"""
+
+
 def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequential sequence packing: within each language, docs in
     doc_id order accumulate into bins of at most {PACK_BUDGET} tokens; a
@@ -252,38 +288,21 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing task stays bounded; each shard packs independently from bin
     0 and a cheap per-shard bin-count scan offsets the ids afterward.
     The oracle replays the same greedy fold as a recursive CTE."""
-
-    def _pack(pdf):
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pdf["bin_id"] = greedy_pack(list(pdf["n_toks"]), PACK_BUDGET)
-        return pdf
-
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.size(ws_words("text")).cast("bigint").alias("n_toks")
     )
-    return toks.groupBy("lang").applyInPandas(_pack, _PACK_SCHEMA)
+    return pack_docs(toks)
 
 
 PACKED_SEQUENCES_SQL = f"""
-WITH RECURSIVE d AS (
+WITH RECURSIVE toksrc AS (
   SELECT doc_id, lang,
-         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks,
-         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
   FROM documents
 ),
-walk(lang, rn, doc_id, n_toks, bin_id, acc) AS (
-  SELECT lang, rn, doc_id, n_toks, CAST(0 AS BIGINT), n_toks
-  FROM d WHERE rn = 1
-  UNION ALL
-  SELECT d.lang, d.rn, d.doc_id, d.n_toks,
-         CASE WHEN w.acc + d.n_toks <= {PACK_BUDGET} THEN w.bin_id
-              ELSE w.bin_id + 1 END,
-         CASE WHEN w.acc + d.n_toks <= {PACK_BUDGET} THEN w.acc + d.n_toks
-              ELSE d.n_toks END
-  FROM walk w JOIN d ON d.lang = w.lang AND d.rn = w.rn + 1
-)
-SELECT doc_id, lang, n_toks, bin_id FROM walk
+{packed_walk_sql('toksrc')}
+SELECT doc_id, lang, n_toks, bin_id FROM packwalk
 """
 
 

@@ -226,13 +226,94 @@ GROUP BY d.source
 """
 
 
+def training_data_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline, raw corpus to packed
+    training sequences in one DAG:
+
+        quality filter → exact dedup → near-dup keep-one →
+        eval-slice decontamination → source mixture sampling →
+        greedy sequence packing
+
+    i.e. clean_corpus_decontaminated's survivor set, down-weighted per
+    source by the deterministic mixture rule, then packed into
+    fixed-budget bins per language — the manifest a tokenizer/trainer
+    consumes.  Every stage is the already-certified operator; this query
+    pins that the COMPOSITION stays exact end-to-end (one recursive-CTE
+    oracle replays the whole chain).
+
+    Scale: stage boundaries are id-keyed anti/semi-joins carrying ids
+    and hashes; text is re-read only for the final token count of the
+    surviving slice (a fraction of the corpus), and the packing fold's
+    state is O(1) per language."""
+    from golang_mapreduce_spark.operators.corpus import (
+        MIX_PCTS,
+        pack_docs,
+    )
+    from golang_mapreduce_spark.functions.hashing import hash32
+    from golang_mapreduce_spark.functions.text import ws_words
+
+    surv = clean_corpus_decontaminated(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    pct = (
+        F.when(src_num % 4 == 0, MIX_PCTS[0])
+        .when(src_num % 4 == 1, MIX_PCTS[1])
+        .when(src_num % 4 == 2, MIX_PCTS[2])
+        .otherwise(MIX_PCTS[3])
+    )
+    bucket = (
+        hash32(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    kept = docs.join(surv, "doc_id").where(bucket < pct)
+    toks = kept.select(
+        "doc_id", "lang", F.size(ws_words("text")).cast("bigint").alias("n_toks")
+    )
+    return pack_docs(toks)
+
+
+def _training_data_run_sql() -> str:
+    from golang_mapreduce_spark.functions.hashing import sql_hash32
+    from golang_mapreduce_spark.operators.corpus import (
+        MIX_PCTS,
+        packed_walk_sql,
+    )
+
+    full = _clean_corpus_decon_sql().strip()
+    head, final = full.split("SELECT doc_id, lang, n_chars", 1)
+    hash_expr = sql_hash32("d.source || ':' || CAST(d.doc_id AS VARCHAR)")
+    digit_re = "'(" + "\\d" + "+)'"
+    mix_pred = (
+        f"{hash_expr} % 100 < "
+        f"CASE CAST(regexp_extract(d.source, {digit_re}, 1) AS INT) % 4 "
+        f"WHEN 0 THEN {MIX_PCTS[0]} WHEN 1 THEN {MIX_PCTS[1]} "
+        f"WHEN 2 THEN {MIX_PCTS[2]} ELSE {MIX_PCTS[3]} END"
+    )
+    return f"""{head.rstrip().rstrip(',')},
+surv AS (
+  SELECT doc_id, lang, n_chars{final}
+),
+toksrc AS (
+  SELECT d.doc_id, d.lang,
+         CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents d
+  JOIN surv s USING (doc_id)
+  WHERE {mix_pred}
+),
+{packed_walk_sql('toksrc')}
+SELECT doc_id, lang, n_toks, bin_id FROM packwalk
+"""
+
+
 QUERIES = {
     "clean_corpus": clean_corpus,
     "clean_corpus_decontaminated": clean_corpus_decontaminated,
     "source_reputation": source_reputation,
+    "training_data_run": training_data_run,
 }
 ORACLES = {
     "clean_corpus": CLEAN_CORPUS_SQL,
     "clean_corpus_decontaminated": _clean_corpus_decon_sql(),
     "source_reputation": _source_reputation_sql(),
+    "training_data_run": _training_data_run_sql(),
 }

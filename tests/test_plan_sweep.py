@@ -24,6 +24,7 @@ EXECUTING = {
     "neardup_clusters",
     "clean_corpus",
     "dedup_keep_best",
+    "training_data_run",
 }
 
 #: deliberate broadcast cross joins (tiny side by construction)
