@@ -121,6 +121,7 @@ _ROUND3_WINDOW = [
     "retention_cohorts",
     "hard_negative_mining",
     "embedding_dim_stats",
+    "training_data_run",
     # (e) round-1-green cohort, last driver-certified in r1 —
     # composite / helper-sensitive shapes first
     "neardup_clusters",
