@@ -113,6 +113,7 @@ EXTRA = [
     "join_skew_diagnostics",
     "hourly_anomalies",
     "training_data_run",
+    "scd2_customer_orders",
 ]
 
 

@@ -186,12 +186,50 @@ GROUP BY 1
 """
 
 
+def scd2_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 intervals from a change stream:
+    each customer's order history becomes validity windows — every order
+    is the customer's "current state" from its date until the NEXT
+    order's date (open-ended for the latest, flagged is_current) — the
+    standard dimension-history build a warehouse runs on every CDC load.
+
+    One window pass (lead over the per-key date order) produces the
+    intervals; ties on the same date break by order key, so intervals
+    are deterministic and gap-free by construction.  Shape: a single
+    exchange on the SCD key; at 100 TB the change stream is
+    date-partitioned and the window runs per key within one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    lead_d = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        lead_d.alias("valid_to"),
+        lead_d.isNull().alias("is_current"),
+        F.round(F.col("o_totalprice"), 2).alias("state_totalprice"),
+    )
+
+
+SCD2_SQL = """
+SELECT o_custkey, o_orderkey,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       LEAD(o_orderdate) OVER w IS NULL AS is_current,
+       ROUND(o_totalprice, 2) AS state_totalprice
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "runtime_filtered_join": runtime_filtered_join,
+    "scd2_customer_orders": scd2_customer_orders,
 }
 
 ORACLES = {
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "runtime_filtered_join": RUNTIME_FILTERED_SQL,
+    "scd2_customer_orders": SCD2_SQL,
 }
