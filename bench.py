@@ -114,6 +114,8 @@ EXTRA = [
     "hourly_anomalies",
     "training_data_run",
     "scd2_customer_orders",
+    "embedding_outliers",
+    "neardup_method_agreement",
 ]
 
 

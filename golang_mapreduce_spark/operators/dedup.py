@@ -865,7 +865,48 @@ FROM ranked WHERE rn = 1
 """
 
 
+def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement audit between the two near-dup detectors: how
+    many pairs MinHash/LSH and SimHash banding each find, and how many
+    they agree on — the calibration readout that decides which detector
+    (or both) a pipeline trusts at a given threshold pair.  One full
+    outer join of two already-bucketed pair sets (each tiny relative to
+    the corpus), folded to a single row."""
+    mh = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = simhash_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    joined = mh.withColumn("in_mh", F.lit(1)).join(
+        sh.withColumn("in_sh", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return joined.agg(
+        F.sum(F.coalesce(F.col("in_mh"), F.lit(0))).cast("bigint").alias("n_minhash"),
+        F.sum(F.coalesce(F.col("in_sh"), F.lit(0))).cast("bigint").alias("n_simhash"),
+        F.sum(
+            F.when(F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_both"),
+    )
+
+
+def _method_agreement_sql() -> str:
+    return f"""
+WITH mh AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_PAIRS_SQL.strip()})
+),
+sh AS (
+  SELECT doc_a, doc_b FROM ({SIMHASH_NEARDUP_SQL.strip()})
+)
+SELECT CAST(COUNT(mh.doc_a) AS BIGINT) AS n_minhash,
+       CAST(COUNT(sh.doc_a) AS BIGINT) AS n_simhash,
+       CAST(SUM(CASE WHEN mh.doc_a IS NOT NULL AND sh.doc_a IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+FROM mh FULL OUTER JOIN sh USING (doc_a, doc_b)
+"""
+
+
 QUERIES = {
+    "neardup_method_agreement": neardup_method_agreement,
     "dedup_keep_best": dedup_keep_best,
     "paragraph_dedup": paragraph_dedup,
     "dedup_exact": dedup_exact,
@@ -879,6 +920,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "neardup_method_agreement": _method_agreement_sql(),
     "dedup_keep_best": _dedup_keep_best_sql(),
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,

@@ -1546,6 +1546,74 @@ GROUP BY dim
 """
 
 
+OUTLIER_TOP = 3
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection: the {OUTLIER_TOP} vectors FARTHEST from
+    their own label's centroid, per label — the mislabeled-example
+    candidates a training pipeline surfaces for relabeling/dropping
+    after every re-embed (high centroid distance within your own class
+    is the classic noisy-label signal).
+
+    Reuses label_centroids' exact rounded centroids; distances are
+    DECIMAL(38,18)-exact sums (deterministic argsort), ties break on
+    vec_id.  Shape: the centroid table broadcasts, the exploded vector
+    stream partial-aggregates to one distance row per vector, and the
+    top-k window runs per label."""
+    cent = label_centroids(spark, sf_dir).select(
+        F.col("label").alias("c_label"), "dim", "centroid_val"
+    )
+    e = _emb(spark, sf_dir).select(
+        "vec_id", "label", F.posexplode("emb").alias("dim", "v")
+    )
+    d2 = (
+        e.join(
+            F.broadcast(cent),
+            (F.col("label") == F.col("c_label")) & (e.dim == cent.dim),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(
+                "ROUND(CAST(SUM(CAST((v - centroid_val) * (v - centroid_val)"
+                " AS DECIMAL(38,18))) AS DOUBLE), 6)"
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        d2.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= OUTLIER_TOP)
+        .select("label", "vec_id", "d2", "rank")
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH cent AS (
+  {LABEL_CENTROIDS_SQL.strip()}
+),
+expl AS (
+  SELECT vec_id, label, u.dim - 1 AS dim, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS dim) u
+),
+d2 AS (
+  SELECT e.vec_id, e.label,
+         ROUND(CAST(SUM(CAST((e.v - c.centroid_val) * (e.v - c.centroid_val)
+                             AS DECIMAL(38,18))) AS DOUBLE), 6) AS d2
+  FROM expl e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY e.vec_id, e.label
+)
+SELECT label, vec_id, d2, rank FROM (
+  SELECT label, vec_id, d2,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rank
+  FROM d2
+)
+WHERE rank <= {OUTLIER_TOP}
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -1564,6 +1632,7 @@ QUERIES = {
     "ivf_int8_topk": ivf_int8_topk,
     "hard_negative_mining": hard_negative_mining,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_outliers": embedding_outliers,
 }
 
 ORACLES = {
@@ -1584,4 +1653,5 @@ ORACLES = {
     "ivf_int8_topk": IVF_INT8_SQL,
     "hard_negative_mining": HARD_NEGATIVES_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+    "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
 }
