@@ -660,23 +660,33 @@ def clusters_from(pairs: DataFrame) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-NEARDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS (
-  {DEDUP_MINHASH_PAIRS_SQL.strip()}
-),
-edges(a, b) AS (
-  SELECT doc_a, doc_b FROM pairs
+def cc_walk_sql(pairs_cte: str) -> str:
+    """Connected-components recursive CTE block over a pairs relation
+    exposing (doc_a, doc_b) — the SQL twin of :func:`clusters_from`,
+    shared by every oracle that composes clustering.  Yields the
+    ``edges``/``walk`` CTEs plus a final ``clusters(doc_id,
+    cluster_id)``; the enclosing statement must be WITH RECURSIVE."""
+    return f"""edges(a, b) AS (
+  SELECT doc_a, doc_b FROM {pairs_cte}
   UNION
-  SELECT doc_b, doc_a FROM pairs
+  SELECT doc_b, doc_a FROM {pairs_cte}
 ),
 walk(node, label) AS (
   SELECT a, a FROM edges
   UNION
   SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
-)
-SELECT node AS doc_id, MIN(label) AS cluster_id
-FROM walk
-GROUP BY node
+),
+clusters AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+)"""
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {DEDUP_MINHASH_PAIRS_SQL.strip()}
+),
+{cc_walk_sql('pairs')}
+SELECT doc_id, cluster_id FROM clusters
 """
 
 
@@ -835,19 +845,7 @@ WITH RECURSIVE q AS (
 pairs AS (
   {minhash_pairs_sql("documents").strip()}
 ),
-edges(a, b) AS (
-  SELECT doc_a, doc_b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-walk(node, label) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
-),
-clusters AS (
-  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
-),
+{cc_walk_sql('pairs')},
 memb AS (
   SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
   FROM documents d LEFT JOIN clusters c USING (doc_id)

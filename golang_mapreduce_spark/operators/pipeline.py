@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from golang_mapreduce_spark.operators.dedup import (
+    cc_walk_sql,
     clusters_from,
     minhash_pairs_from,
     minhash_pairs_sql,
@@ -79,19 +80,7 @@ docs_d AS (
 pairs AS (
   {minhash_pairs_sql("docs_d").strip()}
 ),
-edges(a, b) AS (
-  SELECT doc_a, doc_b FROM pairs
-  UNION
-  SELECT doc_b, doc_a FROM pairs
-),
-walk(node, label) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
-),
-clusters AS (
-  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
-),
+{cc_walk_sql('pairs')},
 dropped AS (
   SELECT doc_id FROM clusters WHERE cluster_id <> doc_id
 )
