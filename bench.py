@@ -153,6 +153,13 @@ BIG_QUERIES = [
     "pq_residual_topk",
     "lang_stopword_quality",
     "doc_repetition_scores",
+    "bm25_search",
+    "shuffle_shard_manifest",
+    "hourly_anomalies",
+    "doc_perplexity_bigram",
+    "image_phash_pairs",
+    "scd2_customer_orders",
+    "retention_cohorts",
 ]
 
 

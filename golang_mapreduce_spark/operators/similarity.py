@@ -78,13 +78,18 @@ NEARDUP_COS = 0.30   # fixture embeddings are near-random; 0.30 ≈ top percenti
 
 def _cos(a: str, b: str) -> F.Column:
     """Rounded cosine between two array<double> columns (deterministic:
-    aggregate() folds left-to-right)."""
+    aggregate() folds left-to-right).  NULLIF guards the zero-vector
+    case: a real corpus contains zero embeddings (empty docs, failed
+    embed calls), and under ANSI mode a bare 0/0 would fail the whole
+    job instead of yielding a NULL similarity that ranking ignores.
+    The fixtures contain no zero vectors, so oracle parity is
+    unaffected."""
     dot = F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     na = F.expr(f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))")
     nb = F.expr(f"sqrt(aggregate({b}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))")
-    return F.round(dot / (na * nb), 6)
+    return F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

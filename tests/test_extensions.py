@@ -137,3 +137,18 @@ def test_pq_adc_beats_random_ranking(spark, sf_dir):
     # fixture embeddings are near-random (hardest case for PQ); random
     # top-5 overlap would be ~1%, ADC lands ~15-20%
     assert mean_recall >= 0.1, mean_recall
+
+
+def test_cosine_zero_vector_yields_null_not_error(spark):
+    """A zero embedding (empty doc / failed embed call) must produce a
+    NULL similarity that ranking ignores — not an ANSI divide-by-zero
+    job failure (the guard real corpora need; fixtures have no zero
+    vectors so oracles are unaffected)."""
+    from golang_mapreduce_spark.operators.similarity import _cos
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 2.0])], "id int, v array<double>"
+    ).selectExpr("id", "v", "array(1.0d, 1.0d) AS q")
+    got = {r["id"]: r["c"] for r in df.select("id", _cos("v", "q").alias("c")).collect()}
+    assert got[1] is None
+    assert got[2] == 0.948683
