@@ -387,7 +387,10 @@ def streaming_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the stream carries three longs + a language tag per doc (token
     counts are computed upstream, text never enters the stateful
-    operator); state is two integers per language."""
+    operator); state is two integers per language.  The driver-side
+    toPandas here builds the three-file TEST SOURCE only (a stand-in for
+    ordered Kafka partitions) — the operator itself, pack_with_state,
+    never materializes anything on the driver."""
     import os
 
     import pyarrow as pa
