@@ -116,6 +116,7 @@ EXTRA = [
     "scd2_customer_orders",
     "embedding_outliers",
     "neardup_method_agreement",
+    "vocab_topk",
 ]
 
 

@@ -963,7 +963,71 @@ GROUP BY doc_id
 """
 
 
+VOCAB_TOP = 30
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction readout: the corpus's
+    {VOCAB_TOP} most frequent tokens with each token's share and the
+    CUMULATIVE coverage — the curve a tokenizer team reads to pick a
+    vocab size (where cum_share flattens, bigger vocabularies stop
+    paying).  Frequencies are the canonical map-side-combined word
+    count; the ranking/cumsum windows run over the VOCABULARY (Heaps'
+    law: ~N^0.5 of corpus size), not the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(ws_words("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.broadcast(vocab.agg(F.sum("cnt").alias("total")))
+    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        vocab.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_cnt", F.sum("cnt").over(wc))
+        .where(F.col("rank") <= VOCAB_TOP)
+        .crossJoin(total)
+        .select(
+            F.col("t").alias("token"),
+            "rank",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cum_cnt") / F.col("total"), 6).alias("cum_share"),
+        )
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+WITH vocab AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+freq AS (
+  SELECT t, COUNT(*) AS cnt FROM vocab GROUP BY t
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq
+),
+ranked AS (
+  SELECT t, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, t
+                        ROWS UNBOUNDED PRECEDING) AS cum_cnt
+  FROM freq
+)
+SELECT t AS token, rank, cnt,
+       ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share,
+       ROUND(CAST(cum_cnt AS DOUBLE) / total, 6) AS cum_share
+FROM ranked, tot
+WHERE rank <= {VOCAB_TOP}
+"""
+
+
 QUERIES = {
+    "vocab_topk": vocab_topk,
     "doc_perplexity_bigram": doc_perplexity_bigram,
     "bm25_search": bm25_search,
     "doc_repetition_scores": doc_repetition_scores,
@@ -981,6 +1045,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "vocab_topk": VOCAB_TOPK_SQL,
     "doc_perplexity_bigram": DOC_PPL_BIGRAM_SQL,
     "bm25_search": BM25_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,

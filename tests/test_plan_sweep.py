@@ -48,6 +48,7 @@ BNLJ_OK = {
     "doc_perplexity",           # 1-row corpus token total
     "doc_perplexity_bigram",    # 1-row corpus token total
     "bm25_search",              # 1-row corpus stats (N, total length)
+    "vocab_topk",               # 1-row corpus token total
     "ann_recall_at_k",          # composes knn_bruteforce + ann_ivf_topk
     "salted_join_revenue",      # deliberate S-row salt-range replication
     "join_skew_diagnostics",    # 1-row global key stats
