@@ -117,6 +117,7 @@ EXTRA = [
     "embedding_outliers",
     "neardup_method_agreement",
     "vocab_topk",
+    "char_trigram_lang_profiles",
 ]
 
 

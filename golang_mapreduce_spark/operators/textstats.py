@@ -1026,7 +1026,83 @@ WHERE rank <= {VOCAB_TOP}
 """
 
 
+TRIGRAM_TOP = 5
+
+
+def char_trigram_lang_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-trigram profile: each language's
+    {TRIGRAM_TOP} most frequent char 3-grams with in-language share —
+    the feature table an n-gram language identifier is TRAINED on
+    (lang_id_heuristic consumes fixed rules; this builds the data the
+    rules come from).  Trigrams come off the raw text by substring
+    index arithmetic — no tokenization dependency, which is the point
+    for scripts without whitespace.
+
+    Shape: one exchange keyed (lang, trigram) with map-side combine
+    (distinct trigrams per partition, not occurrences), per-lang totals
+    as a tiny broadcast, top-k window over per-language trigram
+    vocabularies (bounded by charset³)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tri = (
+        docs.where(F.length("text") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2), "
+                    "i -> substring(text, i, 3))"
+                )
+            ).alias("tg"),
+        )
+        .groupBy("lang", "tg")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = F.broadcast(
+        tri.groupBy("lang").agg(F.sum("cnt").alias("lang_total"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tg"))
+    return (
+        tri.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TRIGRAM_TOP)
+        .join(totals, "lang")
+        .select(
+            "lang",
+            "rank",
+            F.col("tg").alias("trigram"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("lang_total"), 6).alias("share"),
+        )
+    )
+
+
+CHAR_TRIGRAM_SQL = f"""
+WITH tri AS (
+  SELECT lang, substr(text, CAST(i AS INT), 3) AS tg
+  FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS g(i)
+  WHERE length(text) >= 3
+),
+freq AS (
+  SELECT lang, tg, COUNT(*) AS cnt FROM tri GROUP BY lang, tg
+),
+tot AS (
+  SELECT lang, CAST(SUM(cnt) AS BIGINT) AS lang_total FROM freq GROUP BY lang
+),
+ranked AS (
+  SELECT lang, tg, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tg) AS rank
+  FROM freq
+)
+SELECT r.lang, r.rank, r.tg AS trigram, r.cnt,
+       ROUND(CAST(r.cnt AS DOUBLE) / t.lang_total, 6) AS share
+FROM ranked r JOIN tot t USING (lang)
+WHERE r.rank <= {TRIGRAM_TOP}
+"""
+
+
 QUERIES = {
+    "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
     "doc_perplexity_bigram": doc_perplexity_bigram,
     "bm25_search": bm25_search,
@@ -1045,6 +1121,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "char_trigram_lang_profiles": CHAR_TRIGRAM_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "doc_perplexity_bigram": DOC_PPL_BIGRAM_SQL,
     "bm25_search": BM25_SQL,
