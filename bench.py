@@ -118,6 +118,7 @@ EXTRA = [
     "neardup_method_agreement",
     "vocab_topk",
     "char_trigram_lang_profiles",
+    "mr_indexer",
 ]
 
 

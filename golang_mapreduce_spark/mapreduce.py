@@ -115,5 +115,50 @@ WHERE word <> ''
 GROUP BY word
 """
 
-QUERIES = {"mr_wc": mr_wc}
-ORACLES = {"mr_wc": MR_WC_SQL}
+def indexer_map(name: str, contents: str) -> Iterable[tuple[str, str]]:
+    """Indexer map (6.5840/src/mrapps/indexer.go:23-30): one (word,
+    document) pair per token occurrence; the reduce dedups documents."""
+    return ((w, name) for w in contents.split())
+
+
+def indexer_reduce(_key: str, values: list[str]) -> str:
+    """Indexer reduce (indexer.go:33-39): '<count> <sorted doc list>' —
+    distinct documents containing the word, comma-joined in sorted
+    order."""
+    docs = sorted(set(values))
+    return f"{len(docs)} {','.join(docs)}"
+
+
+def mr_indexer(spark, sf_dir: str) -> DataFrame:
+    """The reference's SECOND app through the same (Map, Reduce) facade:
+    inverted index with per-word distinct sorted posting lists.  Where
+    mr_wc proves the contract on an algebraic fold, this proves it on a
+    HOLISTIC reduce (set-dedup + global sort of the posting list) — the
+    kind of reduce the declarative engine expresses as
+    collect_set/array_sort but the plugin contract must run as-is."""
+    from pyspark.sql import functions as F
+
+    from golang_mapreduce_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("fname"),
+        "text",
+    )
+    return map_reduce(docs, indexer_map, indexer_reduce)
+
+
+MR_INDEXER_SQL = """
+SELECT word AS "key",
+       CAST(COUNT(DISTINCT fname) AS VARCHAR) || ' ' ||
+       string_agg(DISTINCT fname, ',' ORDER BY fname) AS "value"
+FROM (
+  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS fname,
+         unnest(regexp_split_to_array(text, '\\s+')) AS word
+  FROM documents
+)
+WHERE word <> ''
+GROUP BY word
+"""
+
+QUERIES = {"mr_wc": mr_wc, "mr_indexer": mr_indexer}
+ORACLES = {"mr_wc": MR_WC_SQL, "mr_indexer": MR_INDEXER_SQL}
