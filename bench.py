@@ -119,6 +119,7 @@ EXTRA = [
     "vocab_topk",
     "char_trigram_lang_profiles",
     "mr_indexer",
+    "packing_efficiency",
 ]
 
 

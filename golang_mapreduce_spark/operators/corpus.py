@@ -306,7 +306,54 @@ SELECT doc_id, lang, n_toks, bin_id FROM packwalk
 """
 
 
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window utilization of the packed corpus, per language:
+    bins produced, docs packed, mean fill ratio against the
+    {PACK_BUDGET}-token budget, and the worst (fullest) bin — the
+    efficiency readout that decides whether the packing budget or the
+    chunking policy needs tuning (utilization << 1 means wasted compute
+    on padding at training time).
+
+    Pure rollup over the packing output: one (lang, bin) partial agg,
+    one per-lang fold — cells are O(bins), never corpus-sized."""
+    p = packed_sequences(spark, sf_dir)
+    per_bin = p.groupBy("lang", "bin_id").agg(
+        F.sum("n_toks").alias("fill"), F.count("*").alias("n_docs")
+    )
+    return per_bin.groupBy("lang").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.expr(
+            f"round(CAST(SUM(fill) AS DOUBLE) / (COUNT(*) * {PACK_BUDGET}), 6)"
+        ).alias("utilization"),
+        F.max("fill").cast("bigint").alias("max_fill"),
+    )
+
+
+PACKING_EFFICIENCY_SQL = f"""
+WITH RECURSIVE toksrc AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents
+),
+{packed_walk_sql('toksrc')},
+per_bin AS (
+  SELECT lang, bin_id, CAST(SUM(n_toks) AS BIGINT) AS fill, COUNT(*) AS n_docs
+  FROM packwalk GROUP BY lang, bin_id
+)
+SELECT lang,
+       COUNT(*) AS n_bins,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       round(CAST(SUM(fill) AS DOUBLE) / (COUNT(*) * {PACK_BUDGET}), 6)
+         AS utilization,
+       CAST(MAX(fill) AS BIGINT) AS max_fill
+FROM per_bin
+GROUP BY lang
+"""
+
+
 QUERIES = {
+    "packing_efficiency": packing_efficiency,
     "decontaminate_docs": decontaminate_docs,
     "boilerplate_ngrams": boilerplate_ngrams,
     "source_mixture_sample": source_mixture_sample,
@@ -314,6 +361,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "packing_efficiency": PACKING_EFFICIENCY_SQL,
     "decontaminate_docs": DECONTAMINATE_SQL,
     "boilerplate_ngrams": BOILERPLATE_SQL,
     "source_mixture_sample": SOURCE_MIXTURE_SQL,
