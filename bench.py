@@ -120,6 +120,7 @@ EXTRA = [
     "char_trigram_lang_profiles",
     "mr_indexer",
     "packing_efficiency",
+    "dup_cluster_histogram",
 ]
 
 

@@ -903,7 +903,35 @@ FROM mh FULL OUTER JOIN sh USING (doc_a, doc_b)
 """
 
 
+def dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution: how many md5 groups
+    have 1, 2, 3... copies — the single chart that tells you whether a
+    corpus's duplication is long-tail (crawl noise) or concentrated
+    (mirrored sites), and therefore which dedup tier pays.  Two
+    partial-agg'd exchanges, output O(distinct sizes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.count("*").alias("n_copies"))
+    )
+    return groups.groupBy("n_copies").agg(
+        F.count("*").alias("n_groups"),
+        (F.count("*") * F.col("n_copies")).cast("bigint").alias("n_docs"),
+    )
+
+
+DUP_HISTOGRAM_SQL = """
+SELECT n_copies, COUNT(*) AS n_groups,
+       CAST(COUNT(*) * n_copies AS BIGINT) AS n_docs
+FROM (
+  SELECT COUNT(*) AS n_copies FROM documents GROUP BY md5(lower(trim(text)))
+)
+GROUP BY n_copies
+"""
+
+
 QUERIES = {
+    "dup_cluster_histogram": dup_cluster_histogram,
     "neardup_method_agreement": neardup_method_agreement,
     "dedup_keep_best": dedup_keep_best,
     "paragraph_dedup": paragraph_dedup,
@@ -918,6 +946,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dup_cluster_histogram": DUP_HISTOGRAM_SQL,
     "neardup_method_agreement": _method_agreement_sql(),
     "dedup_keep_best": _dedup_keep_best_sql(),
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
