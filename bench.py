@@ -9,8 +9,22 @@ JSON line:
     {"metric": "...", "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
 
+The final line is kept COMPACT (<= FINAL_LINE_BUDGET bytes): the 26
+headline per-query timings plus suite totals and a gate summary.  The
+driver's tail capture held 4,130 bytes in round 2 and truncated round
+3's full-detail line (BENCH_r03 recorded "parsed": null), so per-query
+detail for the extra + big-scale sections and the full regression-gate
+payload go to the BENCH_DETAIL.json sidecar instead
+(tests/test_bench_gate.py pins the worst-case line size).
+
 Each query is forced end-to-end with a noop write (full computation, no
 driver-side collection cost).
+
+Env knobs: SPARK_GRAFT_SKIP_BIG=1 skips the 10x section;
+SPARK_GRAFT_UPDATE_BASELINE=1 merges this run's per-query minima into
+bench_baseline.json (quiet runs only — never under driver load);
+SPARK_GRAFT_BENCH_STRICT=1 exits nonzero if the gate still flags after
+warm retries.
 """
 
 from __future__ import annotations
@@ -139,6 +153,12 @@ BIG_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q9_product_profit",
+    # Both skew-join variants, deliberately: salted_join_revenue is the
+    # pedagogical form (UNIFORM 8x build-side replication — its 10x
+    # timing carries that full 8x shuffle cost by construction, which is
+    # the point of the demo); hotkey_salted_join_revenue is the
+    # production form (replicate ONLY detected hot keys) and is the one
+    # whose 10x timing should be read as the engine's skew story.
     "salted_join_revenue",
     "hotkey_salted_join_revenue",
     "window_running_spend",
@@ -191,6 +211,7 @@ def run_big_scale(spark, queries, sf_dir: str, sf) -> dict:
             out[name] = round(time.perf_counter() - t0, 3)
         return {
             "sf": (sf * BIG_SCALE_K if isinstance(sf, float) else sf),
+            "dir": big_dir,
             "gen_sec": gen_sec,
             "queries": out,
             "total": round(sum(out.values()), 3),
@@ -240,6 +261,59 @@ def regression_check(timings: dict[str, float]) -> dict:
         "env_factor": round(env_factor, 3),
         "flagged": flagged,
     }
+
+
+#: Hard budget for the single driver-visible JSON line.  The driver's
+#: tail capture held a 4,130-byte line in round 2 and truncated round
+#: 3's (BENCH_r03 "parsed": null); VERDICT r3 set the budget at 2 KB.
+FINAL_LINE_BUDGET = 2048
+
+
+def final_line(total, timings, extra, big, gate, sf) -> dict:
+    """The compact driver-facing payload: headline per-query timings
+    (the frozen 26-query list — comparable r1..rN), suite totals, and a
+    gate SUMMARY (counts + up to 5 names).  Everything else lives in
+    BENCH_DETAIL.json."""
+    flagged = sorted(gate.get("flagged", {}))
+    return {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "extra_total": round(sum(extra.values()), 3),
+        "extra_n": len(extra),
+        "big_total": big.get("total"),
+        "big_n": len(big.get("queries", {})),
+        "gate": {
+            "checked": gate.get("checked", False),
+            "env_factor": gate.get("env_factor"),
+            "retried": gate.get("retried", False),
+            "n_flagged": len(flagged),
+            "flagged": flagged[:5],
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+
+
+def update_baseline(all_timings: dict[str, float]) -> None:
+    """Merge this run's per-query minima into bench_baseline.json
+    (including big: entries, so the 10x section gets warm recorded
+    bests instead of permanent cold-shot ratios).  Opt-in via
+    SPARK_GRAFT_UPDATE_BASELINE=1 — only meaningful on a quiet machine."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_baseline.json")
+    try:
+        doc = json.load(open(path))
+    except (OSError, ValueError):
+        doc = {"best_sec": {}}
+    best = doc.setdefault("best_sec", {})
+    for k, t in all_timings.items():
+        if t > 0 and (k not in best or t < best[k]):
+            best[k] = t
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 def main() -> None:
@@ -301,9 +375,14 @@ def main() -> None:
     if gate["flagged"]:
         for name in list(gate["flagged"]):
             qname = name.removeprefix("big:")
-            qdir = sf_dir if not name.startswith("big:") else None
+            # big: retries run at 10x — they cost real seconds, but
+            # skipping them left five cold single-shot numbers flagged
+            # "weak" across rounds 2-3 (VERDICT r3 #3); a warm retry is
+            # the cheap way to separate warmup noise from a real plan
+            # regression at scale.
+            qdir = big.get("dir") if name.startswith("big:") else sf_dir
             if qdir is None:
-                continue  # big-scale retries cost too much; report as-is
+                continue  # big section errored/skipped; nothing to retry
             t0 = time.perf_counter()
             force(queries[qname](spark, qdir))
             all_timings[name] = min(
@@ -312,27 +391,44 @@ def main() -> None:
             # report the warm number: the cold first run measures
             # startup noise, not the plan (the gate already proved the
             # warm run is the representative one)
-            if qname in timings:
+            if name.startswith("big:"):
+                big["queries"][qname] = all_timings[name]
+            elif qname in timings:
                 timings[qname] = all_timings[name]
-            elif qname in extra and not name.startswith("big:"):
+            elif qname in extra:
                 extra[qname] = all_timings[name]
         total = round(sum(timings.values()), 3)
+        if big.get("queries"):
+            big["total"] = round(sum(big["queries"].values()), 3)
         gate = regression_check(all_timings)
         gate["retried"] = True
-    print(
-        json.dumps(
+    if os.environ.get("SPARK_GRAFT_UPDATE_BASELINE"):
+        update_baseline(all_timings)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "queries_extra": extra,
                 "queries_big_scale": big,
                 "sf": sf,
+                "cpus": cpus,
                 "regression_gate": gate,
-            }
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+        f.write("\n")
+    payload = final_line(total, timings, extra, big, gate, sf)
+    line = json.dumps(payload)
+    if len(line) > FINAL_LINE_BUDGET:  # never die unprinted: degrade
+        payload["queries"] = {"suite_total": total}
+        payload["truncated"] = True
+        line = json.dumps(payload)
+    print(line)
     spark.stop()
     if gate["flagged"] and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
         sys.exit(1)

@@ -29,6 +29,52 @@ def test_single_query_regression_flagged_through_drift():
     assert gate["flagged"][victim]["normalized_ratio"] > 1.9
 
 
+def test_final_line_fits_driver_tail_budget():
+    """BENCH_r03 was recorded "parsed": null because the full-detail
+    line outgrew the driver's tail capture; the compact line must stay
+    under FINAL_LINE_BUDGET even in the worst realistic case (every
+    headline query at a 4-digit-seconds timing, gate flagging many
+    queries with long names)."""
+    timings = {name: 9999.999 for name in bench.HEADLINE}
+    extra = {name: 9999.999 for name in bench.EXTRA}
+    big = {
+        "total": 99999.999,
+        "queries": {f"big:{n}": 9999.999 for n in bench.BIG_QUERIES},
+        "gen_sec": 999.9,
+        "sf": 1.0,
+        "dir": "/tmp/gmrs_sf1",
+    }
+    gate = {
+        "checked": True,
+        "env_factor": 1.234,
+        "retried": True,
+        "flagged": {
+            f"big:a_rather_long_query_name_number_{i}": {
+                "sec": 9999.9, "best_sec": 1.0, "normalized_ratio": 9.9,
+            }
+            for i in range(40)
+        },
+    }
+    line = json.dumps(
+        bench.final_line(99999.999, timings, extra, big, gate, 0.1)
+    )
+    assert len(line) <= bench.FINAL_LINE_BUDGET, len(line)
+
+
+def test_update_baseline_merges_minima(tmp_path, monkeypatch):
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda _: str(tmp_path)
+    )
+    base = tmp_path / "bench_baseline.json"
+    base.write_text(json.dumps(
+        {"best_sec": {"wc": 1.0, "indexer": 2.0}, "note": "n"}
+    ))
+    bench.update_baseline({"wc": 0.5, "indexer": 3.0, "big:new_q": 4.0})
+    doc = json.loads(base.read_text())
+    assert doc["best_sec"] == {"wc": 0.5, "indexer": 2.0, "big:new_q": 4.0}
+    assert doc["note"] == "n"  # non-best keys preserved
+
+
 def test_missing_baseline_is_soft(tmp_path, monkeypatch):
     monkeypatch.setattr(
         bench.os.path, "dirname", lambda _: str(tmp_path)
