@@ -481,8 +481,16 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically across engines with no sign-bit hazard.  Scale: 16 bytes
     per image persist; the bucket join + 2x bit_count verify is the
     SimHash shape, decode cost paid once at ingest."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("blob")
+    # Zero-byte blobs are excluded identically on both sides (ADVICE r3):
+    # the Python path would zero-fill an empty pixel buffer into a sig-0
+    # row while the oracle's `% n` cell arithmetic NULLs out and drops
+    # the doc — same class of real-corpus edge as the zero-vector guard
+    # in similarity._cos, so define the semantics once: no pixels, no
+    # signature, no pairs.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+        .where(F.octet_length("blob") > 0)
     )
 
     def sig(batches: Iterator) -> Iterator:
@@ -564,6 +572,7 @@ WITH b AS (
   SELECT doc_id, hex(encode(text)) AS hx,
          octet_length(encode(text)) AS n
   FROM documents
+  WHERE octet_length(encode(text)) > 0
 ),
 lut AS ({_BYTE_LUT_SQL}),
 dims AS (

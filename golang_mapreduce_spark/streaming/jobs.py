@@ -48,11 +48,16 @@ def events_stream_schema(ts_type: T.DataType) -> T.StructType:
 def events_ts_layout(spark: SparkSession, events_path: str) -> T.DataType:
     """The stream-schema ts type matching the file's physical layout
     (one driver-side footer read; file streams need an explicit schema,
-    so the batch reader's automatic inference can't help here)."""
-    batch_type = spark.read.parquet(events_path).schema["ts"].dataType
-    if isinstance(batch_type, T.LongType):
-        return T.LongType()
-    return T.TimestampNTZType()
+    so the batch reader's automatic inference can't help here).
+
+    Returns the batch-inferred type VERBATIM rather than collapsing all
+    non-Long layouts to TimestampNTZ (ADVICE r3): a future fixture
+    generation shipping isAdjustedToUTC TIMESTAMP(MICROS) would
+    batch-infer as TimestampType, and declaring NTZ against such a file
+    would shift values by the session TZ.  normalize_events_ts casts
+    any timestamp flavor to the session-TZ type downstream, so every
+    layout converges on the same logical column."""
+    return spark.read.parquet(events_path).schema["ts"].dataType
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,3 +114,44 @@ def test_image_resize_value_exact(spark, sf_dir):
     # every thumbnail is the fixed target size regardless of source dims
     sizes = {(tw, th) for (_, _, tw, th, _, _) in got.values()}
     assert sizes == {(THUMB_W, THUMB_H)}
+
+
+def test_phash_empty_blob_dropped_on_both_sides(spark, tmp_path):
+    """ADVICE r3: a zero-byte blob used to produce a sig-0 row on the
+    Spark side while the oracle's `% n` cell arithmetic NULLed out and
+    silently dropped the doc.  Both sides now exclude empty blobs
+    up front; parity must hold on a corpus that actually contains one."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from golang_mapreduce_spark.operators.multimodal import (
+        IMAGE_PHASH_SQL,
+        image_phash_pairs,
+    )
+    from tests.oracle import compare
+
+    src = "/root/testdata/sf0.001"
+    table = pq.read_table(f"{src}/documents.parquet")
+    texts = table.column("text").to_pylist()
+    empty_id = table.column("doc_id")[0].as_py()
+    texts[0] = ""
+    i = table.schema.get_field_index("text")
+    table = table.set_column(
+        i, table.schema.field(i), pa.array(texts, type=table.schema.field(i).type)
+    )
+    pq.write_table(table, f"{tmp_path}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    df = image_phash_pairs(spark, str(tmp_path))
+    compare(df, con, IMAGE_PHASH_SQL, "image_phash_pairs[empty-blob]")
+    assert (
+        df.where(
+            (F.col("doc_a") == empty_id) | (F.col("doc_b") == empty_id)
+        ).count()
+        == 0
+    )
+    con.close()

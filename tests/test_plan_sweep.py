@@ -23,9 +23,14 @@ EXECUTING = {
     "streaming_packed_sequences",
     "neardup_clusters",
     "clean_corpus",
+    "clean_corpus_decontaminated",  # composes clean_corpus's CC loop
     "dedup_keep_best",
     "training_data_run",
 }
+# NOT excluded despite composing packed_sequences: packing_efficiency is
+# a pure DataFrame rollup over the applyInPandas packing plan — building
+# its physical plan runs no jobs (ADVICE r3 asked for this disposition
+# to be explicit).
 
 #: deliberate broadcast cross joins (tiny side by construction)
 BNLJ_OK = {
