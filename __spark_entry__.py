@@ -56,98 +56,68 @@ _MODULES = [
 ]
 
 #: The external driver records correctness for the FIRST 50 registered
-#: queries only, so _ROUND3_WINDOW IS the round's driver window: exactly the
+#: queries only, so _ROUND4_WINDOW IS the round's driver window: exactly the
 #: first 50 names below get a CORRECTNESS row; EVERYTHING after entry 50
 #: is unchecked by the driver this round and is covered instead by the
 #: mandatory local type-sensitive parity suite
-#: (tests/test_oracle_parity.py, parameterized over all 125 oracle-backed
+#: (tests/test_oracle_parity.py, parameterized over all 137 oracle-backed
 #: queries — keep it green in CI; it is the compensating gate).
 #:
-#: Round-3 window: (a) the six operators NEW this round (corpus
-#: pipeline, int8 quantization, streaming dedup — never driver-checked),
-#: (b) the four IVF/PQ-family queries whose shared centroid family
-#: changed to the adaptive ~sqrt(N) step this round (r2-green, but on
-#: the old code), (c) the four media queries whose fake-decode paths
-#: gained SQL oracles this round (previously rows-only — never
-#: value-checked by the driver), (d) knn_numpy_batched, whose default
-#: path changed to per-batch local top-k this round, then (e) the
-#: round-1-green cohort that round 2 rotated out — their last driver row
-#: predates round 2's shared-helper changes.  The 10 stablest relational
-#: shapes of that cohort (distinct/cube/rollup/join-variants/set-ops/
-#: scalar/date) fell past entry 50 to make room for (a)+(b) and queue
-#: for round 4, as do the final r1-green entries this list no longer
-#: fits (session_windows_30m onward: streaming_tumbling_hourly,
-#: lang_doc_stats, lang_id_heuristic, quality_scores, token_stats,
-#: doc_fingerprints, bigram_counts, winnow_fingerprints,
-#: multimodal_join, media_blob_stats, window_running_spend — everything
-#: past position 50 of this list).
-_ROUND3_WINDOW = [
-    # (a) new this round
-    "merge_upsert_orders",
-    "runtime_filtered_join",
-    "resample_gapfill_hourly",
-    "decontaminate_docs",
-    "boilerplate_ngrams",
-    "source_mixture_sample",
-    "packed_sequences",
-    "int8_quant_topk",
-    "streaming_dedup",
-    "doc_perplexity",
-    # (b) shared centroid family changed this round (adaptive step)
-    "emb_neardup_pairs",
-    "emb_neardup_multiprobe",
-    "pq_codes",
-    "pq_adc_topk",
-    # (c) oracle-backed this round for the first time
-    "image_features",
-    "image_resize",
-    "audio_chunk_features",
-    "video_frame_sample",
-    # (d) default path changed this round (per-batch local top-k)
-    "knn_numpy_batched",
-    # (d') added late in round 3, never driver-checked
-    "lang_stopword_quality",
-    "ann_ivf_adaptive",
+#: Round-4 window (VERDICT r3 #2/#6 set the rotation): (a) the 13
+#: queries that had never earned a driver row across r1-r3 — including
+#: the two rows-only sketches, which can never hash-match but get the
+#: driver's rows+schema check here, (b) every query whose code path
+#: changed this round: the clusters_from consumers (adaptive
+#: pointer-doubling rewrite), image_phash_pairs (empty-blob guard on
+#: both engine and oracle), and the streaming family
+#: (events_ts_layout now returns the batch-inferred type verbatim),
+#: then (c) the stalest round-1 cohort — the queries whose last driver
+#: row is round 1 (r2 rotated them out, r3's window filled before
+#: reaching them), which also satisfies the standing ">= 15 of the r1
+#: cohort per window" convention.  Three r1-stale shapes are deliberate
+#: leftovers for round 5 once the 50 slots filled: date_funcs (bench.py's
+#: warmup query, a pure scalar-expression shape exercised every run) and
+#: the two stablest set/scalar shapes set_ops_segments and scalar_funcs —
+#: changed-this-round queries outrank them.  The 46 queries whose latest
+#: row is r2 stay parity-covered and also queue for round 5.
+_ROUND4_WINDOW = [
+    # (a) never driver-checked (VERDICT r3 item 2 list)
+    "hourly_anomalies",
+    "mr_indexer",
+    "dup_cluster_histogram",
+    "neardup_method_agreement",
+    "dedup_keep_best",
+    "embedding_outliers",
+    "char_trigram_lang_profiles",
+    "vocab_topk",
+    "join_skew_diagnostics",
+    "packing_efficiency",
+    "scd2_customer_orders",
+    "approx_percentile_prices",  # rows-only by design (sketch)
+    "approx_distinct_users",     # rows-only by design (sketch)
+    # (b) code path changed this round
+    "neardup_clusters",          # pointer-doubling CC
+    "clean_corpus",              # composes clusters_from
     "clean_corpus_decontaminated",
-    "streaming_packed_sequences",
-    "pq_residual_topk",
-    "doc_repetition_scores",
-    "image_phash_pairs",
-    "bm25_search",
-    "shuffle_shard_manifest",
-    "ivf_int8_topk",
-    "source_reputation",
-    "doc_perplexity_bigram",
-    "retention_cohorts",
-    "hard_negative_mining",
-    "embedding_dim_stats",
     "training_data_run",
-    # (e) round-1-green cohort, last driver-certified in r1 —
-    # composite / helper-sensitive shapes first
-    "neardup_clusters",
-    "ngram_jaccard_pairs",
-    "dedup_minhash_pairs",
-    "minhash_signatures",
-    "dedup_exact",
-    "knn_bruteforce",
-    "ann_ivf_topk",
-    "mr_wc",
-    "wc",
-    "indexer",
-    "file_counts",
-    "file_profile",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_count",
+    "paragraph_dedup",           # composes clusters_from
+    "image_phash_pairs",         # empty-blob guard both sides
+    "streaming_tumbling_hourly",  # events_ts_layout change (+ stale r1)
+    "streaming_dedup",
+    "streaming_packed_sequences",
+    "streaming_click_attribution",
+    "stateful_sessionize",
+    # (c) stalest cohort: last driver row is round 1
     "q5_local_supplier",
     "q6_revenue_forecast",
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_orders",
+    "topk_orders_per_customer",
     "tumbling_hourly",
     "sliding_10m_5m",
     "session_windows_30m",
-    "streaming_tumbling_hourly",
+    "window_running_spend",
     "lang_doc_stats",
     "lang_id_heuristic",
     "quality_scores",
@@ -157,14 +127,20 @@ _ROUND3_WINDOW = [
     "winnow_fingerprints",
     "multimodal_join",
     "media_blob_stats",
-    "window_running_spend",
+    "agg_cube_orders",
+    "agg_rollup_returns",
+    "correlated_min_price_parts",
+    "distinct_stats",
+    "join_anti_inactive_customers",
+    "join_left_order_counts",
+    "join_semi_big_spenders",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:
     merged: dict = {}
     for d in dicts:
         merged.update(d)
-    out = {name: merged[name] for name in _ROUND3_WINDOW if name in merged}
+    out = {name: merged[name] for name in _ROUND4_WINDOW if name in merged}
     out.update({k: v for k, v in merged.items() if k not in out})
     return out
 
