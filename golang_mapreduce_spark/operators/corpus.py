@@ -352,12 +352,138 @@ GROUP BY lang
 """
 
 
+def source_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass concentration by source: per-source token totals with
+    global share and cumulative share in descending-mass order — the
+    "is one crawl dominating the mix" audit behind up/down-weighting
+    decisions (MIX_PCTS exists because of exactly this readout).
+
+    Scale shape: per-doc token counts are a map-side size() (no explode);
+    the aggregate reduces to |sources| rows, and the ranking windows run
+    over that tiny relation — the global Window.orderBy is safe because
+    its input is already aggregate-small, never row-scale data."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(ws_words("text")).alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.asc("source"))
+    total = Window.partitionBy()
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.row_number().over(w).alias("rank"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6).alias(
+            "token_share"
+        ),
+        F.round(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / F.sum("n_tokens").over(total),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+SOURCE_CONCENTRATION_SQL = """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_tokens DESC, source) AS INT) AS rank,
+       ROUND(n_tokens / (SELECT SUM(n_tokens)::DOUBLE FROM per_source), 6) AS token_share,
+       ROUND(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                                 ROWS UNBOUNDED PRECEDING)
+             / (SELECT SUM(n_tokens)::DOUBLE FROM per_source), 6) AS cum_share
+FROM per_source
+"""
+
+
+def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination rolled up to the actionable granularity: per
+    source, how many training docs share a {DECON_NGRAM}-gram with the
+    benchmark slice and what fraction that is — the table that decides
+    whether a source gets filtered doc-by-doc or dropped wholesale.
+
+    Scale shape: inherits decontaminate_docs' broadcast-probe plan (the
+    benchmark shingle set broadcasts; corpus shingles never shuffle as
+    strings), then one extra tiny aggregate keyed on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = decontaminate_docs(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("flag")
+    )
+    train = docs.where(F.col("doc_id") % DECON_MOD != 0)
+    return (
+        train.join(flagged, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("flag").isNotNull(), 1).otherwise(0).alias(
+                "is_contaminated"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum("is_contaminated").alias("n_contaminated"),
+        )
+        .select(
+            "source",
+            "n_train_docs",
+            "n_contaminated",
+            F.round(F.col("n_contaminated") / F.col("n_train_docs"), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+
+
+CONTAMINATION_BY_SOURCE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+ng AS (
+  SELECT doc_id,
+         {sql_hash32("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {DECON_NGRAM - 1})) AS g(i)
+  WHERE len(t) >= {DECON_NGRAM}
+),
+bench AS (
+  SELECT DISTINCT h FROM ng WHERE doc_id % {DECON_MOD} = 0
+),
+flagged AS (
+  SELECT DISTINCT ng.doc_id
+  FROM ng JOIN bench USING (h)
+  WHERE ng.doc_id % {DECON_MOD} <> 0
+)
+SELECT d.source,
+       COUNT(*) AS n_train_docs,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       ROUND(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             / COUNT(*)::DOUBLE, 6) AS contamination_rate
+FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+WHERE d.doc_id % {DECON_MOD} <> 0
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "packing_efficiency": packing_efficiency,
     "decontaminate_docs": decontaminate_docs,
     "boilerplate_ngrams": boilerplate_ngrams,
     "source_mixture_sample": source_mixture_sample,
     "packed_sequences": packed_sequences,
+    "source_token_concentration": source_token_concentration,
+    "contamination_rate_by_source": contamination_rate_by_source,
 }
 
 ORACLES = {
@@ -366,4 +492,6 @@ ORACLES = {
     "boilerplate_ngrams": BOILERPLATE_SQL,
     "source_mixture_sample": SOURCE_MIXTURE_SQL,
     "packed_sequences": PACKED_SEQUENCES_SQL,
+    "source_token_concentration": SOURCE_CONCENTRATION_SQL,
+    "contamination_rate_by_source": CONTAMINATION_BY_SOURCE_SQL,
 }

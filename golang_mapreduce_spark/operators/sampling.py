@@ -137,14 +137,75 @@ GROUP BY 1, 2
 """
 
 
+#: Rebalancing granularity: keep-rates are expressed in parts-per-million
+#: so integer arithmetic stays exact cross-engine.
+PPM = 1_000_000
+
+
+def balance_langs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced sample: downsample every language to
+    (approximately) the size of the SMALLEST language, membership decided
+    by hash threshold — the corpus-rebalancing step that stops one
+    dominant language from swamping a multilingual training mix.
+
+    keep-rate(lang) = floor(min_count * 1e6 / count(lang)) ppm; a doc
+    stays iff hash32('bal:' || doc_id) % 1e6 < rate.  Membership is a
+    pure function of (doc_id, per-lang totals): stable across engines and
+    partitionings.
+
+    Scale shape: the per-lang counts aggregate to |langs| rows (tiny,
+    broadcast back); the sample itself is a stateless map-side filter —
+    no shuffle of document rows at all.  The alternative exact-K design
+    (row_number over a per-lang window, keep K) needs a full sort of
+    every stratum and makes each language one partition — a skew trap at
+    100 TB; the hash-threshold form trades exact counts (binomial
+    concentration gives ±O(sqrt(K)) at scale) for a shuffle-free scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    min_cnt = counts.agg(F.min("cnt").alias("m"))
+    rates = F.broadcast(
+        counts.crossJoin(F.broadcast(min_cnt)).select(
+            # integer division on BOTH engines (Spark `div`, DuckDB `//`):
+            # double-division-then-cast rounds in DuckDB but truncates in
+            # Spark, so the exact-integer form is the only portable one
+            "lang",
+            F.expr(f"m * {PPM} div cnt").alias("rate_ppm"),
+        )
+    )
+    h = hash32(F.concat(F.lit("bal:"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(rates, "lang")
+        .where(h % PPM < F.col("rate_ppm"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+BALANCE_LANGS_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         (SELECT MIN(cnt) FROM counts) * {PPM} // cnt AS rate_ppm
+  FROM counts
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates r USING (lang)
+WHERE ('0x' || substr(md5('bal:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % {PPM} < r.rate_ppm
+"""
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "dataset_split_counts": dataset_split_counts,
     "shuffle_shard_manifest": shuffle_shard_manifest,
+    "balance_langs_sample": balance_langs_sample,
 }
 
 ORACLES = {
     "hash_sample_docs": HASH_SAMPLE_SQL,
     "dataset_split_counts": DATASET_SPLIT_SQL,
     "shuffle_shard_manifest": SHUFFLE_SHARD_SQL,
+    "balance_langs_sample": BALANCE_LANGS_SQL,
 }

@@ -1619,6 +1619,90 @@ WHERE rank <= {OUTLIER_TOP}
 """
 
 
+#: Votes per query for the kNN classifier — larger than TOP_K so the
+#: majority is meaningful over the 10-label fixture space.
+VOTE_K = 15
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label classifier: predict each query vector's label as the
+    majority label among its {VOTE_K} exact nearest neighbors — the
+    label-propagation / weak-annotation primitive a training pipeline
+    uses to label unlabeled data from a labeled seed set.
+
+    Output: (query_id, true_label, predicted_label, votes) — comparing
+    true vs predicted is the self-consistency audit (cf. the
+    nearest-centroid confusion matrix, which does the same at centroid
+    granularity).
+
+    Scale shape: identical to knn_bruteforce — the query side broadcasts
+    and the collection streams through one scan; the vote is a tiny
+    groupBy over Q×{VOTE_K} rows.  Ties break on the smaller label id so
+    the prediction is deterministic cross-engine."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("label").alias("true_label"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    neigh = (
+        emb.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("n_label"),
+            _cos("q_emb", "emb").alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= VOTE_K)
+    )
+    vw = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("n_label")
+    )
+    return (
+        neigh.groupBy("query_id", "true_label", "n_label")
+        .agg(F.count("*").alias("votes"))
+        .withColumn("vrn", F.row_number().over(vw))
+        .where(F.col("vrn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("n_label").alias("predicted_label"),
+            "votes",
+        )
+    )
+
+
+KNN_LABEL_VOTE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label AS true_label
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+neigh AS (
+  SELECT query_id, true_label, n_label FROM (
+    SELECT q.query_id, q.true_label, e.label AS n_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) DESC,
+                      e.vec_id) AS rank
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  ) WHERE rank <= {VOTE_K}
+)
+SELECT query_id, true_label, n_label AS predicted_label, votes FROM (
+  SELECT query_id, true_label, n_label, COUNT(*) AS votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY COUNT(*) DESC, n_label) AS vrn
+  FROM neigh
+  GROUP BY query_id, true_label, n_label
+)
+WHERE vrn = 1
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -1638,6 +1722,7 @@ QUERIES = {
     "hard_negative_mining": hard_negative_mining,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_outliers": embedding_outliers,
+    "knn_label_vote": knn_label_vote,
 }
 
 ORACLES = {
@@ -1659,4 +1744,5 @@ ORACLES = {
     "hard_negative_mining": HARD_NEGATIVES_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
+    "knn_label_vote": KNN_LABEL_VOTE_SQL,
 }

@@ -1101,6 +1101,134 @@ WHERE r.rank <= {TRIGRAM_TOP}
 """
 
 
+# --- length histogram + hashed-feature linear quality model ------------
+
+#: Hashed-feature linear model: D weight buckets; the weight of bucket i
+#: is a fixed integer in [-500, 500] derived by Knuth multiplicative
+#: hashing — a deterministic stand-in for trained fasttext-style
+#: classifier weights (same feature extraction, same serving plan; swap
+#: the weight expression for a broadcast weight table when a trained
+#: model exists).
+QMODEL_D = 256
+QMODEL_MULT = 2654435761  # Knuth's 2^32 / phi
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, log2-bucket) document length distribution — the
+    length-shape audit run before choosing packing budgets and truncation
+    limits.  bucket = number of binary digits of n_chars (i.e.
+    floor(log2) + 1) computed by string length of `bin()`, which both
+    engines implement with exact integer semantics — floating log2 at a
+    power-of-two boundary is engine-dependent, so it is avoided.
+
+    Scale: one narrow projection + one tiny aggregate; output cardinality
+    is |langs| x ~64 buckets max."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            "n_chars",
+            F.length(F.expr("bin(n_chars)")).alias("bucket"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .withColumn(
+            # expr form: the Python shiftleft() wrapper takes only a
+            # literal shift count, the SQL function takes a column
+            "bucket_lo",
+            F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)"),
+        )
+        .select(
+            "lang", "bucket", "bucket_lo", "n_docs", "total_chars",
+            "min_chars", "max_chars",
+        )
+    )
+
+
+DOC_LENGTH_HIST_SQL = """
+SELECT lang,
+       CAST(length(bin(n_chars)) AS INT) AS bucket,
+       (1::BIGINT << (CAST(length(bin(n_chars)) AS INT) - 1)) AS bucket_lo,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY 1, 2, 3
+"""
+
+
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear quality score per document — the
+    fasttext-shaped classifier serving path: token -> hash bucket ->
+    integer weight, summed per doc, thresholded into keep/drop.
+
+    The entire scoring is ONE higher-order-function expression inside
+    whole-stage codegen: no explode, no shuffle, no Python — per-doc
+    cost is O(tokens) map-side, so the operator is a stateless scan at
+    any corpus size (contrast explode + groupBy, which would shuffle one
+    row per token).  Integer sums are exact cross-engine; the mean is
+    one double division rounded to 6 dp at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = (
+        f"(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT) % {QMODEL_D})"
+        f" * {QMODEL_MULT} % 1001 - 500"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            ws_words("text").alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").alias("n_toks"),
+            F.expr(
+                f"aggregate(transform(toks, t -> {weight}),"
+                " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("score_sum"),
+        )
+        .where(F.col("n_toks") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            "score_sum",
+            F.round(F.col("score_sum") / F.col("n_toks"), 6).alias("mean_score"),
+            F.when(F.col("score_sum") >= 0, F.lit("keep"))
+            .otherwise(F.lit("drop"))
+            .alias("verdict"),
+        )
+    )
+
+
+QUALITY_LINEAR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, len(t) AS n_toks,
+         CAST(list_sum(list_transform(t, tk ->
+           ((('0x' || substr(md5(tk), 1, 8))::BIGINT % {QMODEL_D})
+            * {QMODEL_MULT}) % 1001 - 500)) AS BIGINT) AS score_sum
+  FROM toks
+  WHERE len(t) > 0
+)
+SELECT doc_id, lang, CAST(n_toks AS INT) AS n_toks, score_sum,
+       ROUND(score_sum / n_toks, 6) AS mean_score,
+       CASE WHEN score_sum >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM scored
+"""
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
@@ -1118,6 +1246,8 @@ QUERIES = {
     "bigram_counts": bigram_counts,
     "winnow_fingerprints": winnow_fingerprints,
     "bpe_token_stats": bpe_token_stats,
+    "doc_length_histogram": doc_length_histogram,
+    "quality_linear_score": quality_linear_score,
 }
 
 ORACLES = {
@@ -1137,4 +1267,6 @@ ORACLES = {
     "token_stats": TOKEN_STATS_SQL,
     "doc_fingerprints": FINGERPRINT_SQL,
     "bpe_token_stats": BPE_TOKEN_SQL,
+    "doc_length_histogram": DOC_LENGTH_HIST_SQL,
+    "quality_linear_score": QUALITY_LINEAR_SQL,
 }

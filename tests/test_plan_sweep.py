@@ -47,6 +47,8 @@ BNLJ_OK = {
     "pq_adc_topk",
     "pq_residual_topk",         # centroid + residual codebooks
     "knn_bruteforce",           # 8-row query set (non-equi join)
+    "knn_label_vote",           # same 8-row query set, label vote
+    "balance_langs_sample",     # 1-row min-stratum count vs |langs| rows
     "hard_negative_mining",     # same 8-row query set, label predicate
     "int8_quant_topk",          # 1-row per-dim stats + 8-row query set
     "ivf_int8_topk",            # centroid table + 1-row stats broadcasts
