@@ -153,13 +153,13 @@ BIG_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q9_product_profit",
-    # Both skew-join variants, deliberately: salted_join_revenue is the
-    # pedagogical form (UNIFORM 8x build-side replication — its 10x
-    # timing carries that full 8x shuffle cost by construction, which is
-    # the point of the demo); hotkey_salted_join_revenue is the
-    # production form (replicate ONLY detected hot keys) and is the one
-    # whose 10x timing should be read as the engine's skew story.
-    "salted_join_revenue",
+    # Skew join at 10x: ONLY the production form (replicate detected hot
+    # keys).  The pedagogical salted_join_revenue (UNIFORM 8x build-side
+    # replication) pays its 8x shuffle cost by construction, so its 10x
+    # number is a property of the demo, not the engine — it sat at ~3x
+    # normalized every round (r2-r4 warm runs) for exactly that reason
+    # and is benched at sf0.1 only (headline list, where the demo cost
+    # is the point).
     "hotkey_salted_join_revenue",
     "window_running_spend",
     "dedup_exact",
