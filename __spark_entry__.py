@@ -74,12 +74,17 @@ _MODULES = [
 #: then (c) the stalest round-1 cohort — the queries whose last driver
 #: row is round 1 (r2 rotated them out, r3's window filled before
 #: reaching them), which also satisfies the standing ">= 15 of the r1
-#: cohort per window" convention.  Three r1-stale shapes are deliberate
-#: leftovers for round 5 once the 50 slots filled: date_funcs (bench.py's
-#: warmup query, a pure scalar-expression shape exercised every run) and
-#: the two stablest set/scalar shapes set_ops_segments and scalar_funcs —
-#: changed-this-round queries outrank them.  The 46 queries whose latest
-#: row is r2 stay parity-covered and also queue for round 5.
+#: cohort per window" convention.  Round-5 leftovers (displaced when the
+#: late-round-4 BLAS rewrites claimed 8 slots, or never in contention):
+#: media_blob_stats, agg_cube_orders, agg_rollup_returns,
+#: correlated_min_price_parts, distinct_stats,
+#: join_anti_inactive_customers, join_left_order_counts,
+#: join_semi_big_spenders, date_funcs (bench.py's warmup query,
+#: exercised every run), set_ops_segments, scalar_funcs, the 46 queries
+#: whose latest row is r2, and the six new round-4 operators
+#: (balance_langs_sample, doc_length_histogram, quality_linear_score,
+#: source_token_concentration, contamination_rate_by_source,
+#: knn_label_vote) — all parity-covered meanwhile.
 _ROUND4_WINDOW = [
     # (a) never driver-checked (VERDICT r3 item 2 list)
     "hourly_anomalies",
@@ -107,6 +112,19 @@ _ROUND4_WINDOW = [
     "streaming_packed_sequences",
     "streaming_click_attribution",
     "stateful_sessionize",
+    # (b, late round 4) the BLAS rewrite of the IVF assignment pass, PQ
+    # encoders, and within-cluster pair scoring changed every consumer
+    # below — changed code outranks the stale cohort, so these claim the
+    # window's tail slots (displacing 8 r1-stale relational shapes to
+    # round 5; 19 r1-cohort entries remain, >= the 15-per-window floor)
+    "ann_ivf_topk",
+    "ann_ivf_adaptive",
+    "pq_codes",
+    "pq_adc_topk",
+    "pq_residual_topk",
+    "emb_neardup_pairs",
+    "emb_neardup_multiprobe",
+    "ivf_int8_topk",
     # (c) stalest cohort: last driver row is round 1
     "q5_local_supplier",
     "q6_revenue_forecast",
@@ -126,14 +144,6 @@ _ROUND4_WINDOW = [
     "bigram_counts",
     "winnow_fingerprints",
     "multimodal_join",
-    "media_blob_stats",
-    "agg_cube_orders",
-    "agg_rollup_returns",
-    "correlated_min_price_parts",
-    "distinct_stats",
-    "join_anti_inactive_customers",
-    "join_left_order_counts",
-    "join_semi_big_spenders",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:

@@ -157,21 +157,88 @@ def _centroids(emb: DataFrame) -> DataFrame:
     )
 
 
+#: Candidates kept beyond n_probe by the BLAS assignment pass: the JVM
+#: final rank orders on ROUNDED sim (6 dp) while the batch-local cut
+#: orders on raw sim, so slack absorbs raw-vs-rounded disagreements
+#: inside one 1e-6 bucket at the cut (same argument as KNN_BATCH_SLACK;
+#: here every candidate centroid for a vector lives in ONE batch, so
+#: the slack only has to cover rounding-tie reorderings, never
+#: cross-batch loss).
+ASSIGN_SLACK = 16
+
+
 def _ivf_assign(emb: DataFrame, cent: DataFrame, n_probe: int = 1) -> DataFrame:
-    """Assignment pass: top-``n_probe`` nearest centroids per vector
-    (broadcast join, one scan of the collection).  At scale this runs
-    once at ingest and `cluster` is written as a partition column;
-    n_probe > 1 multi-assigns boundary vectors for dedup recall."""
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    return (
-        emb.join(cent)
-        .select(
-            "vec_id", "emb", F.col("cid"), _cos("emb", "c_emb").alias("csim")
-        )
-        .withColumn("arn", F.row_number().over(aw))
-        .where(F.col("arn") <= n_probe)
-        .select("vec_id", "emb", F.col("cid").alias("cluster"))
+    """Assignment pass: top-``n_probe`` nearest centroids per vector.
+    At scale this runs once at ingest and `cluster` is written as a
+    partition column; n_probe > 1 multi-assigns boundary vectors for
+    dedup recall.
+
+    The N x C similarity matrix is ONE BLAS matmul per Arrow batch
+    (the centroid table is ~sqrt(N) rows by construction — the same
+    bound that justified broadcasting it), emitting only each vector's
+    local top-(n_probe + ASSIGN_SLACK) centroids by raw sim; the final
+    rank re-orders those candidates JVM-side by (round(sim, 6) DESC,
+    cid ASC), exactly the oracle's ordering — float64 BLAS and the JVM
+    fold differ by <=1e-14, far inside the rounding quantum
+    (tests/test_knn_batched.py pins the equivalent argument for the
+    KNN path; tests/test_kmeans_ivf.py and the IVF oracles pin this
+    one).  vs the previous pure-JVM form this removes the interpreted
+    higher-order-function fold over all N x C pairs AND shrinks the
+    ranking shuffle from N x C rows to N x (n_probe + slack): at 10x
+    bench scale that is 11.2M shuffled rows down to 0.85M, and the
+    scoring itself drops from ~716M interpreted fold steps to one
+    50000 x 64 @ 64 x 224 matmul per batch.
+
+    Zero-norm vectors (possible in a real corpus: empty docs, failed
+    embed calls) emit no candidates and receive no cluster — defined
+    drop semantics, vs the legacy path's accidental
+    smallest-cid-on-all-NULL assignment.  The fixtures contain none, so
+    oracle parity is unaffected either way."""
+    import numpy as np
+
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([r["c_emb"] for r in rows], dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    Cn = C / np.where(cn == 0.0, 1.0, cn)
+    limit = min(n_probe + ASSIGN_SLACK, len(rows))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.array(list(pdf["emb"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            vn = np.linalg.norm(V, axis=1, keepdims=True)
+            nz = vn[:, 0] > 0.0
+            Vn = V / np.where(vn == 0.0, 1.0, vn)
+            sims = Vn @ Cn.T  # (batch, C)
+            # stable argsort over ascending-cid columns: raw-sim ties
+            # keep ascending cid, the JVM/oracle tie order
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :limit]
+            keep = np.flatnonzero(nz)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids[keep], limit),
+                    "cid": cids[order[keep]].reshape(-1),
+                    "csim_raw": np.take_along_axis(
+                        sims[keep], order[keep], axis=1
+                    ).reshape(-1),
+                }
+            )
+
+    cand = emb.select("vec_id", "emb").mapInPandas(
+        score, schema="vec_id long, cid long, csim_raw double"
     )
+    aw = Window.partitionBy("vec_id").orderBy(
+        F.desc(F.round(F.col("csim_raw"), 6)), F.asc("cid")
+    )
+    chosen = (
+        cand.withColumn("arn", F.row_number().over(aw))
+        .where(F.col("arn") <= n_probe)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+    return emb.select("vec_id", "emb").join(chosen, "vec_id")
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,10 +448,58 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _cluster_pair_scores(assign: DataFrame) -> DataFrame:
+    """Within-cluster pair cosine scores: one BLAS gram matrix per
+    cluster group (applyInPandas), emitting only pairs at or above
+    NEARDUP_COS (minus one rounding quantum of guard — the JVM filter on
+    the ROUNDED value is the binding one).  Output: (cluster, vec_a,
+    vec_b, cos_raw) with vec_a < vec_b.
+
+    vs the previous self-join + interpreted per-pair fold this removes
+    O(pairs x dim) interpreted steps AND the shuffle of O(pairs) array
+    rows — the shuffle now carries each vector once (the groupBy), and
+    pairs leave the Python worker only if they pass the threshold.
+    Per-group memory is O(m x dim + m^2) floats for a cluster of m
+    members — the same O(m^2) the join materialized as rows; a skewed
+    mega-cluster is a problem for EITHER form and is what the ~sqrt(N)
+    centroid family keeps balanced.  Duplicate pairs scored in two
+    groups (multi-probe) produce bit-identical cos_raw (same contiguous
+    dot order), so DISTINCT downstream is safe.  Zero-norm vectors emit
+    no pairs (the JVM fold gave them NULL sims, which the >= filter
+    dropped identically)."""
+    import numpy as np
+
+    def pairs(key, pdf):
+        import pandas as pd
+
+        V = np.array(list(pdf["emb"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        nz = nrm[:, 0] > 0.0
+        Vn = V / np.where(nrm == 0.0, 1.0, nrm)
+        sims = Vn @ Vn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = (sims[iu, ju] >= NEARDUP_COS - 1e-6) & nz[iu] & nz[ju]
+        ia, jb = iu[keep], ju[keep]
+        return pd.DataFrame(
+            {
+                "cluster": np.full(ia.size, key[0], dtype=np.int64),
+                "vec_a": np.minimum(ids[ia], ids[jb]),
+                "vec_b": np.maximum(ids[ia], ids[jb]),
+                "cos_raw": sims[ia, jb],
+            }
+        )
+
+    return assign.groupBy("cluster").applyInPandas(
+        pairs, schema="cluster long, vec_a long, vec_b long, cos_raw double"
+    )
+
+
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by IVF cluster id:
-    reuse the coarse-quantizer assignment pass (one broadcast-join scan),
-    then restrict the all-pairs cosine to within-cluster pairs.
+    reuse the coarse-quantizer assignment pass, then restrict the
+    all-pairs cosine to within-cluster pairs (one BLAS gram matrix per
+    cluster; final values rounded JVM-side like knn_numpy_batched).
 
     Scale story: with C ∝ sqrt(N) centroids, the within-block pair
     product is O(N²/C) = O(N^1.5) worst-case and near-linear when
@@ -395,16 +510,12 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall patch and composes with this same shape."""
     emb = _emb(spark, sf_dir)
     assign = _ivf_assign(emb, _centroids(emb))
-    a = assign.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
-    )
-    b = assign.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
-    )
     return (
-        a.join(b, "cluster")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("cluster", "vec_a", "vec_b", _cos("emb_a", "emb_b").alias("cos_sim"))
+        _cluster_pair_scores(assign)
+        .select(
+            "cluster", "vec_a", "vec_b",
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
+        )
         .where(F.col("cos_sim") >= NEARDUP_COS)
     )
 
@@ -546,16 +657,11 @@ def emb_neardup_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing both clusters dedupe via DISTINCT on the scored row."""
     emb = _emb(spark, sf_dir)
     assign = _ivf_assign(emb, _centroids(emb), n_probe=2)
-    a = assign.select(
-        "cluster", F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
-    )
-    b = assign.select(
-        "cluster", F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
-    )
     return (
-        a.join(b, "cluster")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", _cos("emb_a", "emb_b").alias("cos_sim"))
+        _cluster_pair_scores(assign)
+        .select(
+            "vec_a", "vec_b", F.round(F.col("cos_raw"), 6).alias("cos_sim")
+        )
         .where(F.col("cos_sim") >= NEARDUP_COS)
         .distinct()
     )
@@ -618,23 +724,71 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_codes_from(emb, _centroids(emb))
 
 
+#: Candidate codes kept per (vector, subspace) beyond the argmin by the
+#: BLAS encoder — same rounded-vs-raw slack argument as ASSIGN_SLACK
+#: (all candidates for a (vector, subspace) live in one batch).
+PQ_CODE_SLACK = 8
+
+
 def _pq_codes_from(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """PQ encoding against an already-built centroid family — shared by
     pq_codes and pq_adc_topk so the ADC query derives the family (and
-    its sizing count job) exactly once."""
-    per_code = emb.join(cent).select(
-        "vec_id",
-        "cid",
-        *[
-            F.expr(_l2sq(_sub("emb", s), _sub("c_emb", s))).alias(f"d{s}")
-            for s in range(PQ_SUBSPACES)
-        ],
+    its sizing count job) exactly once.
+
+    Per Arrow batch, each subspace's (batch x C) squared-L2 table is one
+    vectorized direct-difference reduction (NOT the ||v||^2 - 2v.c +
+    ||c||^2 expansion, whose cancellation error near d=0 — exactly the
+    argmin region — would be ~1e-13 instead of ~1e-15); only the
+    (1 + PQ_CODE_SLACK) best candidate codes per (vector, subspace) are
+    emitted, and the JVM picks the final code by the oracle's ordering
+    (rounded d ASC, cid ASC).  vs the previous pure-JVM form this
+    removes the N x C interpreted fold (11M wide rows at the 10x bench)
+    and shrinks the aggregate input to N x {PQ_SUBSPACES} x 9 narrow
+    rows."""
+    import numpy as np
+
+    rows = sorted(cent.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    C = np.array([r["c_emb"] for r in rows], dtype=np.float64)
+    limit = min(1 + PQ_CODE_SLACK, len(rows))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.array(list(pdf["emb"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            n = len(ids)
+            out_v, out_s, out_c, out_d = [], [], [], []
+            for s in range(PQ_SUBSPACES):
+                lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM
+                # direct diff keeps absolute error ~1e-15 even at d ~ 0
+                d = ((V[:, None, lo:hi] - C[None, :, lo:hi]) ** 2).sum(axis=2)
+                order = np.argsort(d, axis=1, kind="stable")[:, :limit]
+                out_v.append(np.repeat(ids, limit))
+                out_s.append(np.full(n * limit, s, dtype=np.int64))
+                out_c.append(cids[order].reshape(-1))
+                out_d.append(np.take_along_axis(d, order, axis=1).reshape(-1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_v),
+                    "sub": np.concatenate(out_s),
+                    "cid": np.concatenate(out_c),
+                    "d_raw": np.concatenate(out_d),
+                }
+            )
+
+    cand = emb.select("vec_id", "emb").mapInPandas(
+        encode, schema="vec_id long, sub int, cid long, d_raw double"
     )
     aggs = [
-        F.expr(f"min_by(cid, struct(d{s}, cid))").alias(f"code{s}")
+        F.expr(
+            f"min_by(cid, struct(round(d_raw, 6), cid))"
+            f" FILTER (WHERE sub = {s})"
+        ).alias(f"code{s}")
         for s in range(PQ_SUBSPACES)
     ]
-    return per_code.groupBy("vec_id").agg(*aggs)
+    return cand.groupBy("vec_id").agg(*aggs)
 
 
 def _sql_l2sq(s: int, a: str = "e.emb", b: str = "c.c_emb") -> str:
@@ -810,16 +964,50 @@ def pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         resid.where(F.col("vec_id") % centroid_step(emb.count()) == 1)
         .select(F.col("vec_id").alias("rid"), F.col("r_emb").alias("rb_emb"))
     )
+    # Residual encoding, BLAS form (same structure as _pq_codes_from but
+    # full 64-dim distances): the codebook is ~sqrt(N) rows (collected —
+    # the same bound that justified broadcasting it); each Arrow batch
+    # computes its (batch x R) squared-L2 table by CHUNKED direct
+    # difference (chunking bounds the (batch, chunk, 64) intermediate at
+    # ~80 MB; the expansion identity would be cheaper but loses ~1e-13
+    # to cancellation exactly at the d ~ 0 argmin region), emits the
+    # (1 + PQ_CODE_SLACK) best candidate codes per vector, and the JVM
+    # picks the final code by the oracle's (rounded d ASC, rid ASC).
+    import numpy as np
+
+    rb_rows = sorted(rbook.collect(), key=lambda r: r["rid"])
+    rids = np.array([r["rid"] for r in rb_rows], dtype=np.int64)
+    RB = np.array([r["rb_emb"] for r in rb_rows], dtype=np.float64)
+    limit = min(1 + PQ_CODE_SLACK, len(rb_rows))
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            V = np.array(list(pdf["r_emb"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            clus = pdf["cluster"].to_numpy()
+            d = np.empty((len(ids), len(rids)))
+            for j in range(0, len(rids), 16):
+                d[:, j : j + 16] = (
+                    (V[:, None, :] - RB[None, j : j + 16, :]) ** 2
+                ).sum(axis=2)
+            order = np.argsort(d, axis=1, kind="stable")[:, :limit]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, limit),
+                    "cluster": np.repeat(clus, limit),
+                    "rid": rids[order].reshape(-1),
+                    "d_raw": np.take_along_axis(d, order, axis=1).reshape(-1),
+                }
+            )
+
     codes = (
-        resid.join(rbook)
-        .select(
-            "vec_id",
-            "cluster",
-            "rid",
-            _l2sq_full("r_emb", "rb_emb").alias("rd"),
+        resid.mapInPandas(
+            encode, schema="vec_id long, cluster long, rid long, d_raw double"
         )
         .groupBy("vec_id", "cluster")
-        .agg(F.expr("min_by(rid, struct(rd, rid))").alias("code"))
+        .agg(F.expr("min_by(rid, struct(round(d_raw, 6), rid))").alias("code"))
     )
     # probe pass: top-n_probe clusters per query (as ann_ivf_topk)
     n_probe = ivf_n_probe(cent.count())
