@@ -80,3 +80,52 @@ MERGES = train_merges(VOCAB, N_MERGES)
 
 #: word -> BPE token count, the shared map both engines evaluate.
 BPE_COUNTS = {w: len(apply_merges(w, MERGES)) for w in VOCAB}
+
+
+#: BPE-dropout (Provilkov et al., ACL 2020) skip rate, percent.
+DROPOUT_PCT = 15
+
+
+def _drop(word: str, merge_idx: int, pos: int, pct: int) -> bool:
+    """Deterministic per-site dropout decision: md5 of the
+    (word, merge index, position) triple — the same digest family the
+    engine-shared hash32 uses, frozen here at import so both engines see
+    one table, not a hash implementation."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{word}:{merge_idx}:{pos}".encode()).hexdigest()[:8], 16)
+    return h % 100 < pct
+
+
+def apply_merges_dropout(
+    word: str, merges: list[tuple[str, str]], pct: int = DROPOUT_PCT
+) -> list[str]:
+    """BPE-dropout apply: identical to apply_merges except each merge
+    SITE is skipped with deterministic pseudo-probability pct/100 —
+    subword regularization, the stochastic-segmentation trick that makes
+    a model robust to tokenization ambiguity, made reproducible."""
+    seq = list(word)
+    for m, (a, b) in enumerate(merges):
+        out: list[str] = []
+        i = 0
+        while i < len(seq):
+            if (
+                i < len(seq) - 1
+                and seq[i] == a
+                and seq[i + 1] == b
+                and not _drop(word, m, i, pct)
+            ):
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+#: word -> dropout-sampled token count (>= BPE_COUNTS[word] by
+#: construction: skipping merges only fragments further).
+BPE_DROPOUT_COUNTS = {
+    w: len(apply_merges_dropout(w, MERGES)) for w in VOCAB
+}

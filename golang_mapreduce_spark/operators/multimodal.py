@@ -629,6 +629,46 @@ WHERE bit_count(xor(sa.sig_lo, sb.sig_lo))
 """
 
 
+def blob_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content hash — the modality-agnostic twin of
+    dedup_exact: group blobs on md5(bytes), keep the smallest doc_id as
+    canonical, report every duplicated blob with its copy count and byte
+    mass.  A multimodal pipeline runs THIS before any perceptual pass
+    (image_phash_pairs): exact byte dupes are the bulk of crawl
+    duplication and cost one hash-groupBy, no decode.
+
+    Scale: map-side md5 (16 bytes/blob shuffled, never the blob), one
+    hash aggregate keyed on the digest — partial aggs apply; output is
+    only the duplicated groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return (
+        docs.select(
+            F.md5(blob).alias("content_md5"),
+            "doc_id",
+            F.length(blob).alias("n_bytes"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+BLOB_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS content_md5,
+       COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc_id,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+"""
+
+
 QUERIES = {
     "image_phash_pairs": image_phash_pairs,
     "multimodal_join": multimodal_join,
@@ -637,6 +677,7 @@ QUERIES = {
     "image_resize": image_resize,
     "audio_chunk_features": audio_chunk_features,
     "video_frame_sample": video_frame_sample,
+    "blob_exact_dedup": blob_exact_dedup,
 }
 
 # The decode stubs are deterministic byte arithmetic, so every media
@@ -653,4 +694,5 @@ ORACLES = {
     "image_resize": IMAGE_RESIZE_SQL,
     "audio_chunk_features": AUDIO_CHUNK_SQL,
     "video_frame_sample": VIDEO_FRAME_SQL,
+    "blob_exact_dedup": BLOB_EXACT_DEDUP_SQL,
 }

@@ -1891,6 +1891,94 @@ WHERE vrn = 1
 """
 
 
+#: Matryoshka evaluation: rank by the first MRL_DIM of EMB_DIM
+#: dimensions and measure what survives vs the full-dimension truth.
+MRL_DIM = 16
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval audit: rank top-{TOP_K} by cosine
+    over only the first {MRL_DIM} of {EMB_DIM} dims, then report per
+    query how much of the full-dimension exact top-{TOP_K} it recovers —
+    the acceptance gate for serving matryoshka-truncated embeddings
+    (store/search {MRL_DIM} floats, keep the full vector only for
+    re-ranking).
+
+    Scale shape: the truncated pass is the SAME broadcast-query single
+    scan as knn_bruteforce but touches {MRL_DIM}/{EMB_DIM} of the bytes
+    (at rest, a column of truncated vectors — or parquet byte-range
+    reads of a float array column — makes that real I/O savings); the
+    recall join is queries x k rows."""
+    emb = _emb(spark, sf_dir)
+    trunc = emb.select(
+        "vec_id", F.slice("emb", 1, MRL_DIM).alias("t_emb")
+    )
+    q = F.broadcast(
+        trunc.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("t_emb").alias("q_emb")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    trunc_k = (
+        trunc.join(q, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos("q_emb", "t_emb").alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(trunc_k, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("h"))
+    )
+    ks = exact.groupBy("query_id").agg(F.count("*").alias("k"))
+    nh = F.coalesce(F.col("h"), F.lit(0))
+    return ks.join(hits, "query_id", "left").select(
+        "query_id",
+        nh.cast("long").alias("n_hits"),
+        F.round(nh.cast("double") / F.col("k"), 6).alias("recall_at_k"),
+    )
+
+
+MATRYOSHKA_SQL = f"""
+WITH exact_k AS (
+  {KNN_SQL.strip()}
+),
+tq AS (
+  SELECT vec_id AS query_id, (embedding::DOUBLE[])[1:{MRL_DIM}] AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+trunc_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT tq.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY tq.query_id
+             ORDER BY ROUND(list_cosine_similarity(
+                        tq.q_emb, (e.embedding::DOUBLE[])[1:{MRL_DIM}]), 6) DESC,
+                      e.vec_id) AS rank
+    FROM tq JOIN embeddings e ON e.vec_id <> tq.query_id
+  ) WHERE rank <= {TOP_K}
+),
+hits AS (
+  SELECT e.query_id, COUNT(*) AS h
+  FROM exact_k e JOIN trunc_k t USING (query_id, neighbor_id)
+  GROUP BY e.query_id
+),
+ks AS (
+  SELECT query_id, COUNT(*) AS k FROM exact_k GROUP BY query_id
+)
+SELECT ks.query_id,
+       CAST(COALESCE(h, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h, 0) AS DOUBLE) / k, 6) AS recall_at_k
+FROM ks LEFT JOIN hits USING (query_id)
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -1911,6 +1999,7 @@ QUERIES = {
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_outliers": embedding_outliers,
     "knn_label_vote": knn_label_vote,
+    "matryoshka_recall": matryoshka_recall,
 }
 
 ORACLES = {
@@ -1933,4 +2022,5 @@ ORACLES = {
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "knn_label_vote": KNN_LABEL_VOTE_SQL,
+    "matryoshka_recall": MATRYOSHKA_SQL,
 }

@@ -391,6 +391,77 @@ FROM documents
 """
 
 
+def _bpe_dropout_case_expr() -> str:
+    """Shared CASE mapping word -> BPE-DROPOUT token count (unknown
+    words fall back to character count, as in _bpe_case_expr)."""
+    from golang_mapreduce_spark.functions.bpe import BPE_DROPOUT_COUNTS
+
+    whens = " ".join(
+        f"WHEN '{w}' THEN {n}" for w, n in sorted(BPE_DROPOUT_COUNTS.items())
+    )
+    return f"CASE w {whens} ELSE length(w) END"
+
+
+def subword_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under deterministic BPE-dropout
+    (functions/bpe.py apply_merges_dropout — subword regularization with
+    reproducible per-site skip decisions) next to the frozen-BPE counts,
+    plus the inflation ratio a trainer uses to size batches when
+    sampling segmentations.  Like bpe_token_stats, the whole query is a
+    zero-shuffle projection: both word→count tables are closed-vocab
+    CASE expressions inside codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    base_case = _bpe_case_expr()
+    drop_case = _bpe_dropout_case_expr()
+    counted = docs.select(
+        "doc_id",
+        "lang",
+        ws_words("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_words"),
+        F.expr(
+            f"aggregate(transform(toks, w -> CAST(({base_case}) AS BIGINT)), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("n_bpe_tokens"),
+        F.expr(
+            f"aggregate(transform(toks, w -> CAST(({drop_case}) AS BIGINT)), "
+            "0L, (acc, x) -> acc + x)"
+        ).alias("n_sampled_tokens"),
+    )
+    return counted.where(F.col("n_bpe_tokens") > 0).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_bpe_tokens",
+        "n_sampled_tokens",
+        F.round(
+            F.col("n_sampled_tokens") / F.col("n_bpe_tokens"), 6
+        ).alias("inflation"),
+    )
+
+
+def _subword_sample_sql() -> str:
+    toks = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    return f"""
+WITH counted AS (
+  SELECT doc_id, lang,
+         len({toks}) AS n_words,
+         CAST(list_sum(list_transform({toks}, w -> {_bpe_case_expr()})) AS BIGINT)
+           AS n_bpe_tokens,
+         CAST(list_sum(list_transform({toks}, w -> {_bpe_dropout_case_expr()})) AS BIGINT)
+           AS n_sampled_tokens
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_words AS INT) AS n_words, n_bpe_tokens,
+       n_sampled_tokens,
+       ROUND(n_sampled_tokens / n_bpe_tokens, 6) AS inflation
+FROM counted
+WHERE n_bpe_tokens > 0
+"""
+
+
 def quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language quality calibration: each document's quality score
     re-expressed as a z-score against its language's mean/stddev, plus a
@@ -1229,6 +1300,67 @@ FROM scored
 """
 
 
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Punctuation-based sentence segmentation stats per document:
+    sentence count, mean and max sentence length in characters — the
+    sentence-shape signal quality filters use alongside token ratios
+    (wall-of-text and listicle-fragment docs sit at the two tails).
+
+    Segmentation is split-on-[.!?]+ then trim-and-drop-empties,
+    expressed entirely in codegen'd array functions (split / transform /
+    filter / aggregate) — one narrow map-side pass, no explode, no
+    shuffle beyond reading.  Both engines trim the plain space character
+    only, so the fragment sets are identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    return (
+        docs.select("doc_id", "lang", sents.alias("sents"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("sents").alias("n_sentences"),
+            F.expr(
+                "aggregate(sents, CAST(0 AS BIGINT), (acc, s) -> acc + length(s))"
+            ).alias("total_chars"),
+            F.expr(
+                "aggregate(sents, CAST(0 AS INT), (acc, s) -> greatest(acc, length(s)))"
+            ).alias("max_sentence_chars"),
+        )
+        .where(F.col("n_sentences") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_sentences",
+            F.round(F.col("total_chars") / F.col("n_sentences"), 6).alias(
+                "mean_sentence_chars"
+            ),
+            "max_sentence_chars",
+        )
+    )
+
+
+SENTENCE_STATS_SQL = """
+WITH sents AS (
+  SELECT doc_id, lang,
+         list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+                                    s -> trim(s)),
+                     s -> s <> '') AS ss
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(ss) AS INT) AS n_sentences,
+       ROUND(CAST(list_sum(list_transform(ss, s -> length(s))) AS BIGINT)
+             / len(ss), 6) AS mean_sentence_chars,
+       CAST(list_max(list_transform(ss, s -> length(s))) AS INT)
+         AS max_sentence_chars
+FROM sents
+WHERE len(ss) > 0
+"""
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
@@ -1248,6 +1380,8 @@ QUERIES = {
     "bpe_token_stats": bpe_token_stats,
     "doc_length_histogram": doc_length_histogram,
     "quality_linear_score": quality_linear_score,
+    "sentence_stats": sentence_stats,
+    "subword_sample_stats": subword_sample_stats,
 }
 
 ORACLES = {
@@ -1269,4 +1403,6 @@ ORACLES = {
     "bpe_token_stats": BPE_TOKEN_SQL,
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "quality_linear_score": QUALITY_LINEAR_SQL,
+    "sentence_stats": SENTENCE_STATS_SQL,
+    "subword_sample_stats": _subword_sample_sql(),
 }

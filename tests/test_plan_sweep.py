@@ -48,6 +48,7 @@ BNLJ_OK = {
     "pq_residual_topk",         # centroid + residual codebooks
     "knn_bruteforce",           # 8-row query set (non-equi join)
     "knn_label_vote",           # same 8-row query set, label vote
+    "matryoshka_recall",        # same 8-row query set, truncated dims
     "balance_langs_sample",     # 1-row min-stratum count vs |langs| rows
     "hard_negative_mining",     # same 8-row query set, label predicate
     "int8_quant_topk",          # 1-row per-dim stats + 8-row query set
