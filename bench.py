@@ -135,6 +135,17 @@ EXTRA = [
     "mr_indexer",
     "packing_efficiency",
     "dup_cluster_histogram",
+    # round-4 additions
+    "balance_langs_sample",
+    "doc_length_histogram",
+    "quality_linear_score",
+    "source_token_concentration",
+    "contamination_rate_by_source",
+    "knn_label_vote",
+    "blob_exact_dedup",
+    "matryoshka_recall",
+    "sentence_stats",
+    "subword_sample_stats",
 ]
 
 
@@ -185,6 +196,11 @@ BIG_QUERIES = [
     "image_phash_pairs",
     "scd2_customer_orders",
     "retention_cohorts",
+    # round-4 additions: a scan-bound text op, the digest-shuffle dedup,
+    # and the truncated-dim retrieval audit (2 full-collection scans)
+    "quality_linear_score",
+    "blob_exact_dedup",
+    "matryoshka_recall",
 ]
 
 

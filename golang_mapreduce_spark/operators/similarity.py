@@ -550,7 +550,10 @@ KNN_BATCH_SLACK = 27
 
 
 def knn_batched_scored(
-    spark: SparkSession, sf_dir: str, exhaustive: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    exhaustive: bool = False,
+    dims: int | None = None,
 ) -> DataFrame:
     """Candidate stream for knn_numpy_batched: cosine sims computed as one
     BLAS matrix multiply per Arrow batch, emitting only each batch's local
@@ -579,6 +582,8 @@ def knn_batched_scored(
     )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    if dims is not None:  # matryoshka truncation: score on a dim prefix
+        Q = Q[:, :dims]
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     limit = TOP_K + KNN_BATCH_SLACK
 
@@ -587,6 +592,8 @@ def knn_batched_scored(
 
         for pdf in batches:
             V = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if dims is not None:
+                V = V[:, :dims]
             ids = pdf["vec_id"].to_numpy()
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
             sims = Vn @ Qn.T  # (batch, n_queries)
@@ -1904,33 +1911,31 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (store/search {MRL_DIM} floats, keep the full vector only for
     re-ranking).
 
-    Scale shape: the truncated pass is the SAME broadcast-query single
-    scan as knn_bruteforce but touches {MRL_DIM}/{EMB_DIM} of the bytes
-    (at rest, a column of truncated vectors — or parquet byte-range
-    reads of a float array column — makes that real I/O savings); the
-    recall join is queries x k rows."""
-    emb = _emb(spark, sf_dir)
-    trunc = emb.select(
-        "vec_id", F.slice("emb", 1, MRL_DIM).alias("t_emb")
-    )
-    q = F.broadcast(
-        trunc.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), F.col("t_emb").alias("q_emb")
+    Scale shape: both ranking passes run through knn_batched_scored —
+    one BLAS matmul per Arrow batch with a batch-local top-(k+slack)
+    cut, the truncated side on the first {MRL_DIM} dims (at rest, a
+    column of truncated vectors — or parquet byte-range reads — makes
+    the 4x byte saving real I/O); the recall join is queries x k rows.
+    Results are identical to the _cos window form (the
+    knn_batched_scored exactness argument; knn_numpy_batched ==
+    knn_bruteforce is test-pinned), so the oracle keeps the
+    straightforward windowed shape."""
+
+    def topk(dims):
+        scored = knn_batched_scored(spark, sf_dir, dims=dims).select(
+            "query_id", "neighbor_id", F.round("sim_raw", 6).alias("sim")
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    trunc_k = (
-        trunc.join(q, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cos("q_emb", "t_emb").alias("sim"),
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("neighbor_id")
         )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id")
-    )
-    exact = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    trunc_k = topk(MRL_DIM)
+    exact = topk(None)
     hits = (
         exact.join(trunc_k, ["query_id", "neighbor_id"])
         .groupBy("query_id")
