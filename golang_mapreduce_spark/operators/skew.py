@@ -164,10 +164,16 @@ def join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_keys"),
         )
     )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject — a true
+    # streaming top-k (per-partition heaps + driver merge of k rows),
+    # never a sort of the key histogram; the rank is then recomputed
+    # over just those k rows.  (A global row_number window would also be
+    # safe on Spark 4 via WindowGroupLimit pushdown, but this is the
+    # plan you'd write on purpose.)
+    topk = freq.orderBy(F.desc("cnt"), F.asc("l_orderkey")).limit(SKEW_TOP)
     w = Window.orderBy(F.desc("cnt"), F.asc("l_orderkey"))
     return (
-        freq.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= SKEW_TOP)
+        topk.withColumn("rk", F.row_number().over(w))
         .crossJoin(tot)
         .select(
             F.col("l_orderkey").alias("join_key"),
