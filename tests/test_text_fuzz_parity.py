@@ -1,0 +1,121 @@
+"""Adversarial-text parity for the text/dedup/sampling family.
+
+The generated fixtures are well-behaved prose (min 44 chars, plain
+ASCII, single spaces), so the tokenizer/segmentation edge paths —
+empty text, whitespace runs, tabs and newlines, punctuation-only docs,
+multibyte scripts, astral-plane emoji, exact duplicates — were only
+covered implicitly.  This suite builds a deterministic adversarial
+documents.parquet with the fixture schema and re-runs the full
+Spark-vs-DuckDB comparison for every text-shaped oracle-backed operator
+that reads only the documents table.
+
+Deliberately absent from the corpus: the vertical tab \\x0B (Java's \\s
+matches it, RE2's does not — an engine regex-dialect fork, not an
+operator bug) — pinned here as documentation."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from golang_mapreduce_spark.operators import dedup, multimodal, sampling, textstats
+from tests.oracle import compare
+
+#: (text, lang) — adversarial shapes; doc_id/source/n_chars derived.
+_DOCS = [
+    ("", "en"),                                  # empty text
+    (" ", "en"),                                 # whitespace only
+    ("\t\n  \t", "en"),                          # mixed whitespace only
+    ("...!!!???", "en"),                         # punctuation only
+    ("word", "en"),                              # single token
+    ("a  b\tc\nd", "en"),                        # runs of mixed separators
+    ("One. Two! Three? Four", "en"),             # classic sentences
+    ("No terminal punctuation at all", "en"),
+    ("...leading. and trailing...", "en"),
+    ("spark spark spark spark", "en"),           # heavy repetition
+    ("the quick brown fox jumps over the lazy dog", "en"),
+    ("ﬀ ligature and ümlauts über äll", "de"),   # latin-1-ish multibyte
+    ("数据 处理 管道 测试", "zh"),                  # CJK tokens
+    ("смесь кириллицы и latin", "ru"),           # mixed scripts
+    ("emoji 😀 in 🚀 the 🌍 stream", "en"),        # astral-plane chars
+    ("a.b.c.d.e.f", "en"),                       # dot-separated single run
+    ("  padded   with   spaces  ", "en"),
+    ("word " * 50, "en"),                        # long repetitive doc
+    ("exact duplicate body", "en"),              # dup group (see below)
+    ("exact duplicate body", "en"),
+    ("exact duplicate body", "fr"),              # same text, other lang
+    ("ALL CAPS SHOUTING DOC!!!", "en"),
+]
+
+#: every oracle-backed op here reads ONLY the documents table
+FAMILY = [
+    (textstats, "sentence_stats"),
+    (textstats, "quality_linear_score"),
+    (textstats, "doc_length_histogram"),
+    (textstats, "subword_sample_stats"),
+    (textstats, "token_stats"),
+    (textstats, "lang_doc_stats"),
+    (dedup, "dedup_exact"),
+    (multimodal, "blob_exact_dedup"),
+    (sampling, "balance_langs_sample"),
+    (sampling, "hash_sample_docs"),
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_dir():
+    d = tempfile.mkdtemp(prefix="gmrs_textfuzz_")
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(_DOCS)), pa.int64()),
+            "text": pa.array([t for t, _ in _DOCS], pa.string()),
+            "lang": pa.array([lg for _, lg in _DOCS], pa.string()),
+            "source": pa.array(
+                [f"src{i % 3}" for i in range(len(_DOCS))], pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t, _ in _DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def fuzz_duck(fuzz_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{fuzz_dir}/documents.parquet'"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("mod,name", FAMILY, ids=[n for _, n in FAMILY])
+def test_text_fuzz_parity(mod, name, spark, fuzz_dir, fuzz_duck):
+    df = mod.QUERIES[name](spark, fuzz_dir)
+    compare(df, fuzz_duck, mod.ORACLES[name], name=f"fuzz:{name}")
+
+
+def test_fuzz_corpus_hits_the_edges(spark, fuzz_dir, fuzz_duck):
+    """The corpus must actually exercise the edges the suite claims:
+    a doc with zero sentences, a doc with zero tokens, and a duplicate
+    group that spans languages."""
+    n_sent = fuzz_duck.execute(
+        "SELECT COUNT(*) FROM documents WHERE "
+        "len(list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),"
+        " s -> trim(s)), s -> s <> '')) = 0"
+    ).fetchone()[0]
+    n_tok = fuzz_duck.execute(
+        "SELECT COUNT(*) FROM documents WHERE "
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) = 0"
+    ).fetchone()[0]
+    dup_langs = fuzz_duck.execute(
+        "SELECT COUNT(DISTINCT lang) FROM documents"
+        " WHERE text = 'exact duplicate body'"
+    ).fetchone()[0]
+    assert n_sent >= 3 and n_tok >= 3 and dup_langs == 2
