@@ -146,6 +146,9 @@ EXTRA = [
     "matryoshka_recall",
     "sentence_stats",
     "subword_sample_stats",
+    "minhash_calibration",
+    "event_transition_matrix",
+    "temperature_rebalance_sample",
 ]
 
 

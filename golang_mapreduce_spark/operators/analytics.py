@@ -236,8 +236,62 @@ WHERE ABS(ROUND((hc.cnt - CAST(s1 AS DOUBLE) / n_hours)
 """
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: order each user's events by (ts, event_id), count
+    (previous type -> type) transitions, and row-normalize into
+    transition probabilities — the behavioral-sequence summary that
+    feeds next-event prediction features and funnel sanity checks.
+
+    Scale shape: one shuffle partitions by user_id for the LAG window
+    (users are high-cardinality, so partitions balance), then the pair
+    counts collapse to |types|^2 rows; the row totals come from a window
+    over that tiny aggregate.  event_id breaks timestamp ties so the
+    sequence order is total and engine-identical."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(row_tot), 6
+        ).alias("prob"),
+    )
+
+
+EVENT_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE)
+             / SUM(n_transitions) OVER (PARTITION BY prev_type), 6) AS prob
+FROM pairs
+"""
+
+
 QUERIES = {
     "hourly_anomalies": hourly_anomalies,
+    "event_transition_matrix": event_transition_matrix,
     "retention_cohorts": retention_cohorts,
     "window_range_7day_spend": window_range_7day_spend,
     "ntile_customer_quartiles": ntile_customer_quartiles,
@@ -246,6 +300,7 @@ QUERIES = {
 
 ORACLES = {
     "hourly_anomalies": HOURLY_ANOMALY_SQL,
+    "event_transition_matrix": EVENT_TRANSITION_SQL,
     "retention_cohorts": RETENTION_SQL,
     "window_range_7day_spend": RANGE_7DAY_SQL,
     "ntile_customer_quartiles": NTILE_SQL,

@@ -279,6 +279,100 @@ DEDUP_MINHASH_PAIRS_SQL = minhash_pairs_sql()
 
 # --- SimHash -----------------------------------------------------------
 
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-truth audit for the MinHash detector: for every LSH
+    candidate pair, the signature-agreement estimate next to the EXACT
+    Jaccard over the same distinct 3-gram hash space the signatures
+    minimize over, plus the absolute error — the calibration table that
+    justifies (or re-tunes) MINHASH_EST_THRESHOLD and the band layout.
+
+    Scale shape: the estimate side is the banded LSH join (collisions
+    only); the exact side computes |A∩B| ONLY for pairs that share a
+    shingle hash (inverted-index join) and the final calibration join
+    touches candidate pairs — never all pairs.  A band collision without
+    a shared shingle is possible (min collisions), so the exact side
+    left-joins and coalesces to 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    est = minhash_pairs_from(docs)
+    doc_sh = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(_shingles(3)).alias("s"))
+        .select("doc_id", hash32("s").alias("h"))
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = doc_sh.alias("a")
+    b = doc_sh.alias("b")
+    common = (
+        a.join(b, "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    exact = (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    ej = F.coalesce(F.col("exact_jaccard"), F.lit(0.0))
+    return est.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        ej.alias("exact_jaccard"),
+        F.round(F.abs(F.col("est_jaccard") - ej), 6).alias("abs_err"),
+    )
+
+
+MINHASH_CALIBRATION_SQL = f"""
+WITH est AS (
+  {minhash_pairs_sql("documents").strip()}
+),
+toks3 AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh3 AS (
+  SELECT DISTINCT doc_id,
+         {sql_hash32("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+  FROM toks3, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+),
+sizes3 AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id
+),
+common3 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh3 a JOIN sh3 b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(n_common AS DOUBLE) / (na.n_sh + nb.n_sh - n_common), 6)
+           AS exact_jaccard
+  FROM common3
+  JOIN sizes3 na ON na.doc_id = doc_a
+  JOIN sizes3 nb ON nb.doc_id = doc_b
+)
+SELECT est.doc_a, est.doc_b, est.est_jaccard,
+       COALESCE(exact.exact_jaccard, 0.0) AS exact_jaccard,
+       ROUND(ABS(est.est_jaccard - COALESCE(exact.exact_jaccard, 0.0)), 6)
+         AS abs_err
+FROM est LEFT JOIN exact USING (doc_a, doc_b)
+"""
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document: for each bit b, the sign of
     sum(+1/-1 over word hashes' bit b) sets the output bit.  One explode
@@ -1001,6 +1095,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "minhash_calibration": minhash_calibration,
     "simhash_signatures": simhash_signatures,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -1017,6 +1112,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_signatures": MINHASH_SIG_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
+    "minhash_calibration": MINHASH_CALIBRATION_SQL,
     "simhash_signatures": SIMHASH_SQL,
     "simhash_neardup_pairs": SIMHASH_NEARDUP_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

@@ -196,8 +196,58 @@ WHERE ('0x' || substr(md5('bal:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def temperature_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed language rebalancing (alpha = 1/2):
+    keep-rate(lang) = (min_count / count)^alpha — the standard
+    multilingual-corpus smoothing that interpolates between keeping
+    everything (alpha=0) and full equalization (alpha=1,
+    balance_langs_sample).  sqrt is IEEE correctly-rounded, and both
+    engines evaluate the identical expression tree on the identical
+    integers, so the double rate (and its ppm floor) is bit-identical
+    cross-engine; membership is the same hash-threshold scheme as
+    balance_langs_sample under a distinct salt.
+
+    Scale: identical to balance_langs_sample — a |langs|-row broadcast
+    and a stateless map-side filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    min_cnt = counts.agg(F.min("cnt").alias("m"))
+    rates = F.broadcast(
+        counts.crossJoin(F.broadcast(min_cnt)).select(
+            "lang",
+            F.floor(
+                F.sqrt(F.col("m") / F.col("cnt")) * PPM
+            ).alias("rate_ppm"),
+        )
+    )
+    h = hash32(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    return (
+        docs.join(rates, "lang")
+        .where(h % PPM < F.col("rate_ppm"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+TEMPERATURE_REBALANCE_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         CAST(FLOOR(SQRT((SELECT MIN(cnt) FROM counts) / CAST(cnt AS DOUBLE))
+                    * {PPM}) AS BIGINT) AS rate_ppm
+  FROM counts
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN rates r USING (lang)
+WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % {PPM} < r.rate_ppm
+"""
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
+    "temperature_rebalance_sample": temperature_rebalance_sample,
     "dataset_split_counts": dataset_split_counts,
     "shuffle_shard_manifest": shuffle_shard_manifest,
     "balance_langs_sample": balance_langs_sample,
@@ -208,4 +258,5 @@ ORACLES = {
     "dataset_split_counts": DATASET_SPLIT_SQL,
     "shuffle_shard_manifest": SHUFFLE_SHARD_SQL,
     "balance_langs_sample": BALANCE_LANGS_SQL,
+    "temperature_rebalance_sample": TEMPERATURE_REBALANCE_SQL,
 }

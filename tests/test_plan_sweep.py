@@ -50,6 +50,7 @@ BNLJ_OK = {
     "knn_label_vote",           # same 8-row query set, label vote
     "matryoshka_recall",        # same 8-row query set, truncated dims
     "balance_langs_sample",     # 1-row min-stratum count vs |langs| rows
+    "temperature_rebalance_sample",  # same 1-row cross join shape
     "hard_negative_mining",     # same 8-row query set, label predicate
     "int8_quant_topk",          # 1-row per-dim stats + 8-row query set
     "ivf_int8_topk",            # centroid table + 1-row stats broadcasts

@@ -85,3 +85,68 @@ def test_subword_sample_inflation(spark, sf_dir):
     for r in rows:
         assert r["n_sampled_tokens"] >= r["n_bpe_tokens"]
         assert r["inflation"] >= 1.0
+
+
+def test_minhash_calibration_bounds(spark, sf_dir):
+    """Calibration rows are exactly the LSH candidates; estimate and
+    truth live in [0,1]; abs_err is their absolute difference."""
+    from golang_mapreduce_spark.operators.dedup import (
+        MINHASH_EST_THRESHOLD,
+        dedup_minhash_pairs,
+        minhash_calibration,
+    )
+
+    rows = minhash_calibration(spark, sf_dir).collect()
+    n_cand = dedup_minhash_pairs(spark, sf_dir).count()
+    assert len(rows) == n_cand and rows
+    for r in rows:
+        assert MINHASH_EST_THRESHOLD <= r["est_jaccard"] <= 1.0
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - round(abs(r["est_jaccard"] - r["exact_jaccard"]), 6)) < 1e-9
+
+
+def test_event_transitions_telescope(spark, sf_dir):
+    """Row-normalized probabilities sum to 1 per prev_type, and the
+    transition total equals (events - users-with-events): each user
+    contributes len(sequence) - 1 transitions."""
+    from collections import defaultdict
+
+    from golang_mapreduce_spark.operators.analytics import event_transition_matrix
+
+    rows = event_transition_matrix(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    expected = e.count() - e.select("user_id").distinct().count()
+    assert sum(r["n_transitions"] for r in rows) == expected
+    by_prev = defaultdict(float)
+    for r in rows:
+        by_prev[r["prev_type"]] += r["prob"]
+    for prev, tot in by_prev.items():
+        assert abs(tot - 1.0) < 1e-4, (prev, tot)
+
+
+def test_temperature_interpolates_between_keep_all_and_balance(spark, sf_dir):
+    """sqrt smoothing keeps at least as much of every language as full
+    equalization and never more than the raw corpus; the smallest
+    language is kept in full."""
+    from golang_mapreduce_spark.operators.sampling import (
+        balance_langs_sample,
+        temperature_rebalance_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    bal = {
+        r["lang"]: r["n"]
+        for r in balance_langs_sample(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    tmp = {
+        r["lang"]: r["n"]
+        for r in temperature_rebalance_sample(spark, sf_dir).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    m = min(raw.values())
+    for lang, n_raw in raw.items():
+        assert tmp.get(lang, 0) <= n_raw
+        if n_raw == m:
+            assert tmp[lang] == m  # rate exactly 1e6 ppm
+    # temperature keeps MORE total mass than full equalization
+    assert sum(tmp.values()) >= sum(bal.values())
