@@ -287,11 +287,16 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     justifies (or re-tunes) MINHASH_EST_THRESHOLD and the band layout.
 
     Scale shape: the estimate side is the banded LSH join (collisions
-    only); the exact side computes |A∩B| ONLY for pairs that share a
-    shingle hash (inverted-index join) and the final calibration join
-    touches candidate pairs — never all pairs.  A band collision without
-    a shared shingle is possible (min collisions), so the exact side
-    left-joins and coalesces to 0."""
+    only); the exact side anchors on the CANDIDATE PAIRS FIRST — join
+    each pair to A's shingle hashes, then probe B's on (doc_b, h) — so
+    intersection work is O(candidates × shingles-per-doc), linear in the
+    candidate count.  (The tempting alternative, a full inverted-index
+    self-join followed by restriction, computes |A∩B| for every pair
+    sharing ANY shingle: on a duplicate-heavy corpus that is quadratic
+    in the duplication factor — it filled the disk on the 100x
+    replicated probe before this was restructured.)  A band collision
+    without a shared shingle is possible (min collisions), so shared
+    counts coalesce to 0."""
     docs = load_table(spark, sf_dir, "documents")
     est = minhash_pairs_from(docs)
     doc_sh = (
@@ -302,12 +307,13 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = doc_sh.alias("a")
-    b = doc_sh.alias("b")
+    pairs = est.select("doc_a", "doc_b")
+    sa = doc_sh.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = doc_sh.select(F.col("doc_id").alias("doc_b"), "h")
     common = (
-        a.join(b, "h")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -353,8 +359,12 @@ sizes3 AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id
 ),
 common3 AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh3 a JOIN sh3 b ON a.h = b.h AND a.doc_id < b.doc_id
+  -- candidate-anchored intersection: pairs first, then A's shingles,
+  -- then probe B's on (doc_b, h) — mirrors the engine's restructure
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+  FROM (SELECT doc_a, doc_b FROM est) p
+  JOIN sh3 a ON a.doc_id = p.doc_a
+  JOIN sh3 b ON b.doc_id = p.doc_b AND b.h = a.h
   GROUP BY 1, 2
 ),
 exact AS (
