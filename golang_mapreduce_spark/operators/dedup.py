@@ -297,8 +297,14 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicated probe before this was restructured.)  A band collision
     without a shared shingle is possible (min collisions), so shared
     counts coalesce to 0."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    est = minhash_pairs_from(docs)
+    # `est` feeds two branches (the pair anchor below and the final
+    # left join); only the signature subtree inside minhash_pairs_from
+    # is persisted, so without this the banding self-join + scoring
+    # joins would run twice per action.
+    est = minhash_pairs_from(docs).persist(StorageLevel.MEMORY_AND_DISK)
     doc_sh = (
         docs.select("doc_id", ws_words("text").alias("toks"))
         .where(F.size("toks") >= 3)

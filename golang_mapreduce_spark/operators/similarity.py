@@ -584,7 +584,14 @@ def knn_batched_scored(
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     if dims is not None:  # matryoshka truncation: score on a dim prefix
         Q = Q[:, :dims]
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # zero-norm mask (same semantics as _ivf_assign): a query whose
+    # (possibly truncated) vector is all-zero emits no candidates rather
+    # than NaN sims — truncation makes zero prefixes likelier than
+    # full-dim zero vectors.
+    q_norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    q_nz = q_norms[:, 0] > 0
+    q_ids, Q, q_norms = q_ids[q_nz], Q[q_nz], q_norms[q_nz]
+    Qn = Q / q_norms if Q.shape[0] else Q
     limit = TOP_K + KNN_BATCH_SLACK
 
     def score(batches):
@@ -595,7 +602,13 @@ def knn_batched_scored(
             if dims is not None:
                 V = V[:, :dims]
             ids = pdf["vec_id"].to_numpy()
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            v_norms = np.linalg.norm(V, axis=1, keepdims=True)
+            v_nz = v_norms[:, 0] > 0
+            if not v_nz.all():  # drop zero-norm rows: no defined cosine
+                V, ids, v_norms = V[v_nz], ids[v_nz], v_norms[v_nz]
+            if V.shape[0] == 0 or Qn.shape[0] == 0:
+                continue
+            Vn = V / v_norms
             sims = Vn @ Qn.T  # (batch, n_queries)
             n, m = sims.shape
             if exhaustive:

@@ -150,3 +150,61 @@ def test_temperature_interpolates_between_keep_all_and_balance(spark, sf_dir):
             assert tmp[lang] == m  # rate exactly 1e6 ppm
     # temperature keeps MORE total mass than full equalization
     assert sum(tmp.values()) >= sum(bal.values())
+
+
+def test_matryoshka_zero_prefix_guard(spark):
+    """A vector whose first MRL_DIM dims are all zero has no defined
+    truncated cosine: the batched scorer must DROP it (both as query
+    and as candidate) rather than emit NaN sims — same drop semantics
+    as _ivf_assign's zero-norm mask.  Truncation makes zero prefixes
+    far likelier than full-dim zero vectors, so this path is real."""
+    import math
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from golang_mapreduce_spark.operators.similarity import (
+        EMB_DIM,
+        MRL_DIM,
+        N_QUERIES,
+        knn_batched_scored,
+        matryoshka_recall,
+    )
+
+    def dense(i):
+        return [math.sin(0.1 * i + 0.01 * j) + 0.2 for j in range(EMB_DIM)]
+
+    vecs = {i: dense(i) for i in range(30)}
+    # query 1: zero PREFIX, nonzero tail — valid full-dim, undefined truncated
+    vecs[1] = [0.0] * MRL_DIM + [1.0 + 0.01 * j for j in range(EMB_DIM - MRL_DIM)]
+    # collection 20: zero prefix; collection 21: fully zero
+    vecs[20] = [0.0] * MRL_DIM + [2.0] * (EMB_DIM - MRL_DIM)
+    vecs[21] = [0.0] * EMB_DIM
+    d = tempfile.mkdtemp(prefix="gmrs_mrlzero_")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(30), pa.int64()),
+                "embedding": pa.array(
+                    [vecs[i] for i in range(30)], pa.list_(pa.float32())
+                ),
+                "label": pa.array([i % 4 for i in range(30)], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+    trunc = knn_batched_scored(spark, d, dims=MRL_DIM).collect()
+    assert trunc, "nonzero-prefix rows must still score"
+    qids = {r["query_id"] for r in trunc}
+    nids = {r["neighbor_id"] for r in trunc}
+    assert 1 not in qids, "zero-prefix query must emit no candidates"
+    assert 20 not in nids and 21 not in nids, "zero-prefix candidates dropped"
+    assert all(not math.isnan(r["sim_raw"]) for r in trunc)
+
+    rec = {r["query_id"]: r for r in matryoshka_recall(spark, d).collect()}
+    assert set(rec) == set(range(N_QUERIES))  # full-dim side defines the keys
+    assert rec[1]["n_hits"] == 0 and rec[1]["recall_at_k"] == 0.0
+    assert all(not math.isnan(r["recall_at_k"]) for r in rec.values())
