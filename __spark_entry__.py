@@ -22,6 +22,7 @@ from golang_mapreduce_spark.operators import (
     incremental,
     mr_parity,
     multimodal,
+    pii,
     pipeline,
     relational,
     sampling,
@@ -48,6 +49,7 @@ _MODULES = [
     dedup,
     similarity,
     textstats,
+    pii,
     multimodal,
     advanced,
     skew,
@@ -56,101 +58,98 @@ _MODULES = [
 ]
 
 #: The external driver records correctness for the FIRST 50 registered
-#: queries only, so _ROUND4_WINDOW IS the round's driver window: exactly the
+#: queries only, so _ROUND5_WINDOW IS the round's driver window: exactly the
 #: first 50 names below get a CORRECTNESS row; EVERYTHING after entry 50
 #: is unchecked by the driver this round and is covered instead by the
 #: mandatory local type-sensitive parity suite
-#: (tests/test_oracle_parity.py, parameterized over all 137 oracle-backed
+#: (tests/test_oracle_parity.py, parameterized over all oracle-backed
 #: queries — keep it green in CI; it is the compensating gate).
 #:
-#: Round-4 window (VERDICT r3 #2/#6 set the rotation): (a) the 13
-#: queries that had never earned a driver row across r1-r3 — including
-#: the two rows-only sketches, which can never hash-match but get the
-#: driver's rows+schema check here, (b) every query whose code path
-#: changed this round: the clusters_from consumers (adaptive
-#: pointer-doubling rewrite), image_phash_pairs (empty-blob guard on
-#: both engine and oracle), and the streaming family
-#: (events_ts_layout now returns the batch-inferred type verbatim),
-#: then (c) the stalest round-1 cohort — the queries whose last driver
-#: row is round 1 (r2 rotated them out, r3's window filled before
-#: reaching them), which also satisfies the standing ">= 15 of the r1
-#: cohort per window" convention.  Round-5 leftovers (displaced when the
-#: late-round-4 BLAS rewrites claimed 8 slots, or never in contention):
-#: media_blob_stats, agg_cube_orders, agg_rollup_returns,
-#: correlated_min_price_parts, distinct_stats,
-#: join_anti_inactive_customers, join_left_order_counts,
-#: join_semi_big_spenders, date_funcs (bench.py's warmup query,
-#: exercised every run), set_ops_segments, scalar_funcs, the 46 queries
-#: whose latest row is r2, and the six new round-4 operators
-#: (balance_langs_sample, doc_length_histogram, quality_linear_score,
-#: source_token_concentration, contamination_rate_by_source,
-#: knn_label_vote) — all parity-covered meanwhile.
-_ROUND4_WINDOW = [
-    # (a) never driver-checked (VERDICT r3 item 2 list)
-    "hourly_anomalies",
-    "mr_indexer",
-    "dup_cluster_histogram",
-    "neardup_method_agreement",
-    "dedup_keep_best",
-    "embedding_outliers",
-    "char_trigram_lang_profiles",
+#: Round-5 window (VERDICT r4 #1 sets the rotation): (a) the 13
+#: round-4 operators that have never earned a driver row (added after
+#: the r4 window froze, per the rotate-after-recording convention) —
+#: with these recorded, every query registered through round 4 has at
+#: least one driver row across r1-r5; (b) the operators NEW this round
+#: (PII stats/redaction, SemDeDup-style semantic dedup, event-sequence
+#: n-gram mining — VERDICT r4 #2/#5/#6), so no new-op driver debt
+#: carries into round 6; (c) queries whose code path changed this
+#: round: vocab_topk (TakeOrderedAndProject rewrite, VERDICT r4 #3),
+#: training_data_run (temperature-rebalance stage composed in, VERDICT
+#: r4 #4), knn_numpy_batched (zero-norm mask in the shared batched
+#: scorer, ADVICE r4; its other consumers matryoshka_recall /
+#: knn_label_vote are already in (a)); (d) the 8 relational shapes the
+#: late-r4 BLAS batch displaced plus the other 3 queries whose last row
+#: is round 1; (e) r1-cohort refreshes (json_events,
+#: simhash_signatures, wc, indexer) bringing the window's r1-cohort
+#: count to exactly the >=15 floor; then (f) the 15 alphabetically
+#: first of the r2-stale cohort.  Round-6 leftovers: the remaining 25
+#: r2-stale queries (pivot_segment_revenue through
+#: window_range_7day_spend, plus q1x TPC-H shapes), all parity-covered
+#: meanwhile.
+_ROUND5_WINDOW = [
+    # (a) never driver-checked: the 13 late-round-4 operators
+    "temperature_rebalance_sample",  # also changed: temp_rates refactor
+    "balance_langs_sample",
+    "event_transition_matrix",
+    "minhash_calibration",       # also changed: est persist (ADVICE r4)
+    "knn_label_vote",
+    "matryoshka_recall",         # also changed: zero-prefix guard
+    "doc_length_histogram",
+    "quality_linear_score",
+    "sentence_stats",
+    "subword_sample_stats",
+    "blob_exact_dedup",
+    "source_token_concentration",
+    "contamination_rate_by_source",
+    # (b) new this round
+    "pii_rates",
+    "pii_redacted_sample",
+    "semantic_dedup_keep",
+    "event_ngram_patterns",
+    # (c) code path changed this round
     "vocab_topk",
-    "join_skew_diagnostics",
-    "packing_efficiency",
-    "scd2_customer_orders",
-    "approx_percentile_prices",  # rows-only by design (sketch)
-    "approx_distinct_users",     # rows-only by design (sketch)
-    # (b) code path changed this round
-    "neardup_clusters",          # pointer-doubling CC
-    "clean_corpus",              # composes clusters_from
-    "clean_corpus_decontaminated",
     "training_data_run",
-    "paragraph_dedup",           # composes clusters_from
-    "image_phash_pairs",         # empty-blob guard both sides
-    "streaming_tumbling_hourly",  # events_ts_layout change (+ stale r1)
-    "streaming_dedup",
-    "streaming_packed_sequences",
-    "streaming_click_attribution",
-    "stateful_sessionize",
-    # (b, late round 4) the BLAS rewrite of the IVF assignment pass, PQ
-    # encoders, and within-cluster pair scoring changed every consumer
-    # below — changed code outranks the stale cohort, so these claim the
-    # window's tail slots (displacing 8 r1-stale relational shapes to
-    # round 5; 19 r1-cohort entries remain, >= the 15-per-window floor)
-    "ann_ivf_topk",
-    "ann_ivf_adaptive",
-    "pq_codes",
-    "pq_adc_topk",
-    "pq_residual_topk",
-    "emb_neardup_pairs",
-    "emb_neardup_multiprobe",
-    "ivf_int8_topk",
-    # (c) stalest cohort: last driver row is round 1
-    "q5_local_supplier",
-    "q6_revenue_forecast",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "topk_orders_per_customer",
-    "tumbling_hourly",
-    "sliding_10m_5m",
-    "session_windows_30m",
-    "window_running_spend",
-    "lang_doc_stats",
-    "lang_id_heuristic",
-    "quality_scores",
-    "token_stats",
-    "doc_fingerprints",
-    "bigram_counts",
-    "winnow_fingerprints",
-    "multimodal_join",
+    "knn_numpy_batched",
+    # (d) stalest cohort: last driver row is round 1
+    "agg_cube_orders",
+    "agg_rollup_returns",
+    "correlated_min_price_parts",
+    "date_funcs",
+    "distinct_stats",
+    "join_anti_inactive_customers",
+    "join_left_order_counts",
+    "join_semi_big_spenders",
+    "media_blob_stats",
+    "scalar_funcs",
+    "set_ops_segments",
+    # (e) r1-cohort refreshes (floor: >= 15 r1-cohort entries/window)
+    "json_events",
+    "simhash_signatures",
+    "wc",
+    "indexer",
+    # (f) oldest r2-stale cohort (alphabetical prefix; rest to round 6)
+    "ann_recall_at_k",
+    "asof_purchase_click",
+    "bpe_token_stats",
+    "dataset_split_counts",
+    "funnel_conversion",
+    "grouping_sets_orders",
+    "hash_sample_docs",
+    "hotkey_salted_join_revenue",
+    "json_events_typed",
+    "label_centroids",
+    "lsh_rp_topk",
+    "nearest_centroid_confusion",
+    "nested_customer_profile",
+    "ngram_jaccard_pruned",
+    "ntile_customer_quartiles",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:
     merged: dict = {}
     for d in dicts:
         merged.update(d)
-    out = {name: merged[name] for name in _ROUND4_WINDOW if name in merged}
+    out = {name: merged[name] for name in _ROUND5_WINDOW if name in merged}
     out.update({k: v for k, v in merged.items() if k not in out})
     return out
 

@@ -149,6 +149,11 @@ EXTRA = [
     "minhash_calibration",
     "event_transition_matrix",
     "temperature_rebalance_sample",
+    # round-5 additions
+    "pii_rates",
+    "pii_redacted_sample",
+    "semantic_dedup_keep",
+    "event_ngram_patterns",
 ]
 
 
@@ -204,6 +209,10 @@ BIG_QUERIES = [
     "quality_linear_score",
     "blob_exact_dedup",
     "matryoshka_recall",
+    # round-5 additions: the scan-bound PII regex pass and the
+    # two-LEAD window + pattern aggregate over 10x events
+    "pii_rates",
+    "event_ngram_patterns",
 ]
 
 

@@ -289,9 +289,101 @@ FROM pairs
 """
 
 
+SEQ_NGRAM_K = 3     # event-type k-gram order
+SEQ_NGRAM_TOP = 20  # patterns reported
+
+
+def event_ngram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, k-gram form: the {SEQ_NGRAM_TOP} most
+    frequent ordered {SEQ_NGRAM_K}-grams of event types within per-user
+    timelines, with occurrence counts, distinct-user support, and the
+    share of all users exhibiting the pattern — the k-th-order extension
+    of event_transition_matrix (first-order is the k=2 special case).
+
+    Scale shape: ONE window pass (the same per-user (ts, event_id)
+    sort event_transition_matrix makes — two LEADs share one sort) and
+    ONE aggregate; patterns collapse to at most |types|^k rows before
+    the top-k, which is orderBy().limit() — TakeOrderedAndProject,
+    per-partition heaps, never a global sort of the pattern relation.
+    The user-count per pattern is a distinct-agg on (pattern, user)
+    pairs, bounded by |types|^k x |users|, itself partial-agg'd.
+    event_id breaks timestamp ties so sequences are engine-identical."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grams = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .where(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(">", "event_type", "t2", "t3").alias("pattern"),
+        )
+    )
+    agg = grams.groupBy("pattern").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tot = F.broadcast(
+        e.agg(F.countDistinct("user_id").alias("n_total_users"))
+    )
+    topk = agg.orderBy(F.desc("n_occurrences"), F.asc("pattern")).limit(
+        SEQ_NGRAM_TOP
+    )
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("pattern"))
+    return (
+        topk.withColumn("rank", F.row_number().over(wr))
+        .crossJoin(tot)
+        .select(
+            "pattern",
+            "rank",
+            "n_occurrences",
+            "n_users",
+            F.round(F.col("n_users") / F.col("n_total_users"), 6).alias(
+                "user_support"
+            ),
+        )
+    )
+
+
+EVENT_NGRAM_SQL = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS t3
+  FROM events
+),
+grams AS (
+  SELECT user_id, event_type || '>' || t2 || '>' || t3 AS pattern
+  FROM seq WHERE t3 IS NOT NULL
+),
+agg AS (
+  SELECT pattern, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM grams GROUP BY pattern
+),
+tot AS (
+  SELECT COUNT(DISTINCT user_id) AS n_total_users FROM events
+),
+ranked AS (
+  SELECT pattern, n_occurrences, n_users,
+         ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pattern)
+           AS rank
+  FROM agg
+)
+SELECT pattern, rank, n_occurrences, n_users,
+       ROUND(CAST(n_users AS DOUBLE) / n_total_users, 6) AS user_support
+FROM ranked, tot
+WHERE rank <= {SEQ_NGRAM_TOP}
+"""
+
+
 QUERIES = {
     "hourly_anomalies": hourly_anomalies,
     "event_transition_matrix": event_transition_matrix,
+    "event_ngram_patterns": event_ngram_patterns,
     "retention_cohorts": retention_cohorts,
     "window_range_7day_spend": window_range_7day_spend,
     "ntile_customer_quartiles": ntile_customer_quartiles,
@@ -301,6 +393,7 @@ QUERIES = {
 ORACLES = {
     "hourly_anomalies": HOURLY_ANOMALY_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
+    "event_ngram_patterns": EVENT_NGRAM_SQL,
     "retention_cohorts": RETENTION_SQL,
     "window_range_7day_spend": RANGE_7DAY_SQL,
     "ntile_customer_quartiles": NTILE_SQL,

@@ -830,6 +830,10 @@ def clusters_from(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
     if stats is not None:
         stats["rounds"] = rounds
         stats["actions"] = actions
+    # every loop exit follows a materializing action, so the returned
+    # labels read from their own cache/checkpoint — the edge cache is
+    # dead weight from here and would otherwise leak for the session
+    edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
@@ -1036,6 +1040,85 @@ FROM ranked WHERE rn = 1
 """
 
 
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): IVF
+    cluster blocking over the document embeddings, within-cluster
+    cosine pairs at/above NEARDUP_COS, connected-components over those
+    pairs, then keep the highest-QUALITY member of each semantic group
+    (ties on doc_id) — one row per multi-member group with the kept doc
+    and how many near-identical copies it displaces.  ``vec_id`` is the
+    fixture's 1:1 ``doc_id``.
+
+    Scale shape: everything up to the pairs is emb_neardup_pairs'
+    dataflow — ~sqrt(N) broadcast centroids, one BLAS gram matrix per
+    cluster group, pairs leave Python only above threshold (O(N^1.5)
+    worst case, near-linear balanced); CC is the adaptive
+    pointer-doubling walk (ids only); the keep decision is one window
+    over (cluster, quality).  No all-pairs product anywhere, and text
+    is never read by this operator at all — quality joins in by id."""
+    from golang_mapreduce_spark.operators.similarity import emb_neardup_pairs
+    from golang_mapreduce_spark.operators.textstats import quality_scores
+
+    pairs = emb_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    clusters = clusters_from(pairs)  # only edge-participating nodes: every
+    # member of a >=2 group, exactly the semantic-dup population
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    ranked = clusters.join(q, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        "quality_score",
+        F.row_number()
+        .over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("quality_score"), F.asc("doc_id")
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("n_members"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("quality_score").alias("best_quality"),
+        "n_members",
+        (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from golang_mapreduce_spark.operators.similarity import (
+        EMB_ASSIGN_CTES,
+        NEARDUP_COS,
+    )
+    from golang_mapreduce_spark.operators.textstats import QUALITY_SQL
+
+    return f"""
+WITH RECURSIVE {EMB_ASSIGN_CTES},
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {NEARDUP_COS}
+),
+{cc_walk_sql('pairs')},
+q AS (
+  {QUALITY_SQL.strip()}
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS keep_doc_id, quality_score AS best_quality,
+       n_members, CAST(n_members - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1
+"""
+
+
 def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Method-agreement audit between the two near-dup detectors: how
     many pairs MinHash/LSH and SimHash banding each find, and how many
@@ -1107,6 +1190,7 @@ QUERIES = {
     "dup_cluster_histogram": dup_cluster_histogram,
     "neardup_method_agreement": neardup_method_agreement,
     "dedup_keep_best": dedup_keep_best,
+    "semantic_dedup_keep": semantic_dedup_keep,
     "paragraph_dedup": paragraph_dedup,
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
@@ -1123,6 +1207,7 @@ ORACLES = {
     "dup_cluster_histogram": DUP_HISTOGRAM_SQL,
     "neardup_method_agreement": _method_agreement_sql(),
     "dedup_keep_best": _dedup_keep_best_sql(),
+    "semantic_dedup_keep": _semantic_dedup_sql(),
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

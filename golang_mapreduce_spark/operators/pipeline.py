@@ -221,23 +221,29 @@ def training_data_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         quality filter → exact dedup → near-dup keep-one →
         eval-slice decontamination → source mixture sampling →
-        greedy sequence packing
+        temperature language rebalancing → greedy sequence packing
 
     i.e. clean_corpus_decontaminated's survivor set, down-weighted per
-    source by the deterministic mixture rule, then packed into
-    fixed-budget bins per language — the manifest a tokenizer/trainer
-    consumes.  Every stage is the already-certified operator; this query
-    pins that the COMPOSITION stays exact end-to-end (one recursive-CTE
-    oracle replays the whole chain).
+    source by the deterministic mixture rule, rebalanced across
+    languages by the alpha=1/2 temperature rule
+    (sampling.temperature_rebalance_sample's exact rate table and salt),
+    then packed into fixed-budget bins per language — the manifest a
+    tokenizer/trainer consumes.  Every stage is the already-certified
+    operator; this query pins that the COMPOSITION stays exact
+    end-to-end (one recursive-CTE oracle replays the whole chain).
 
     Scale: stage boundaries are id-keyed anti/semi-joins carrying ids
-    and hashes; text is re-read only for the final token count of the
-    surviving slice (a fraction of the corpus), and the packing fold's
-    state is O(1) per language."""
+    and hashes; both sampling stages are stateless map-side hash
+    filters against broadcast rate tables (the temperature rates come
+    from the raw corpus language histogram — one |langs|-row aggregate
+    off the same scan, never a second pass over the cleaned chain);
+    text is re-read only for the final token count of the surviving
+    slice, and the packing fold's state is O(1) per language."""
     from golang_mapreduce_spark.operators.corpus import (
         MIX_PCTS,
         pack_docs,
     )
+    from golang_mapreduce_spark.operators.sampling import PPM, temp_rates
     from golang_mapreduce_spark.functions.hashing import hash32
     from golang_mapreduce_spark.functions.text import ws_words
 
@@ -254,7 +260,13 @@ def training_data_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash32(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string")))
         % 100
     )
-    kept = docs.join(surv, "doc_id").where(bucket < pct)
+    h_temp = hash32(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    kept = (
+        docs.join(surv, "doc_id")
+        .where(bucket < pct)
+        .join(temp_rates(docs), "lang")
+        .where(h_temp % PPM < F.col("rate_ppm"))
+    )
     toks = kept.select(
         "doc_id", "lang", F.size(ws_words("text")).cast("bigint").alias("n_toks")
     )
@@ -266,6 +278,10 @@ def _training_data_run_sql() -> str:
     from golang_mapreduce_spark.operators.corpus import (
         MIX_PCTS,
         packed_walk_sql,
+    )
+    from golang_mapreduce_spark.operators.sampling import (
+        TEMP_KEEP_PRED,
+        TEMP_RATES_CTES,
     )
 
     full = _clean_corpus_decon_sql().strip()
@@ -282,12 +298,15 @@ def _training_data_run_sql() -> str:
 surv AS (
   SELECT doc_id, lang, n_chars{final}
 ),
+{TEMP_RATES_CTES},
 toksrc AS (
   SELECT d.doc_id, d.lang,
          CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
   FROM documents d
   JOIN surv s USING (doc_id)
+  JOIN trates r ON r.lang = d.lang
   WHERE {mix_pred}
+    AND {TEMP_KEEP_PRED.format(alias='d')}
 ),
 {packed_walk_sql('toksrc')}
 SELECT doc_id, lang, n_toks, bin_id FROM packwalk

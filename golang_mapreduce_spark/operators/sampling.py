@@ -210,38 +210,53 @@ def temperature_rebalance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: identical to balance_langs_sample — a |langs|-row broadcast
     and a stateless map-side filter."""
     docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
-    min_cnt = counts.agg(F.min("cnt").alias("m"))
-    rates = F.broadcast(
-        counts.crossJoin(F.broadcast(min_cnt)).select(
-            "lang",
-            F.floor(
-                F.sqrt(F.col("m") / F.col("cnt")) * PPM
-            ).alias("rate_ppm"),
-        )
-    )
     h = hash32(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
     return (
-        docs.join(rates, "lang")
+        docs.join(temp_rates(docs), "lang")
         .where(h % PPM < F.col("rate_ppm"))
         .select("doc_id", "lang", "source")
     )
 
 
-TEMPERATURE_REBALANCE_SQL = f"""
-WITH counts AS (
+def temp_rates(docs: DataFrame) -> DataFrame:
+    """Broadcast (lang, rate_ppm) table for alpha=1/2 temperature
+    smoothing over any (…, lang) relation — shared by the standalone
+    sampler and the training_data_run composition.  sqrt is IEEE
+    correctly-rounded on identical integers, so the ppm floor is
+    bit-identical cross-engine."""
+    counts = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    min_cnt = counts.agg(F.min("cnt").alias("m"))
+    return F.broadcast(
+        counts.crossJoin(F.broadcast(min_cnt)).select(
+            "lang",
+            F.floor(F.sqrt(F.col("m") / F.col("cnt")) * PPM).alias("rate_ppm"),
+        )
+    )
+
+
+#: SQL twin of :func:`temp_rates` (CTE block; enclosing WITH required).
+TEMP_RATES_CTES = f"""tcounts AS (
   SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
 ),
-rates AS (
+trates AS (
   SELECT lang,
-         CAST(FLOOR(SQRT((SELECT MIN(cnt) FROM counts) / CAST(cnt AS DOUBLE))
+         CAST(FLOOR(SQRT((SELECT MIN(cnt) FROM tcounts) / CAST(cnt AS DOUBLE))
                     * {PPM}) AS BIGINT) AS rate_ppm
-  FROM counts
+  FROM tcounts
+)"""
+
+#: SQL membership predicate for the 'temp:' hash-threshold sample; the
+#: enclosing query must join ``trates r`` on lang.
+TEMP_KEEP_PRED = (
+    "('0x' || substr(md5('temp:' || CAST({alias}.doc_id AS VARCHAR)), 1, 8))"
+    f"::BIGINT % {PPM} < r.rate_ppm"
 )
+
+TEMPERATURE_REBALANCE_SQL = f"""
+WITH {TEMP_RATES_CTES}
 SELECT d.doc_id, d.lang, d.source
-FROM documents d JOIN rates r USING (lang)
-WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
-      % {PPM} < r.rate_ppm
+FROM documents d JOIN trates r USING (lang)
+WHERE {TEMP_KEEP_PRED.format(alias='d')}
 """
 
 

@@ -520,8 +520,10 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_NEARDUP_SQL = f"""
-WITH emb AS (
+#: Shared CTE block: embeddings cast + ~sqrt(N) centroids + single-probe
+#: IVF assignment — the blocking stage every cluster-restricted oracle
+#: (emb_neardup_pairs, semantic_dedup_keep) builds on.
+EMB_ASSIGN_CTES = f"""emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
 ),
 {_CENT_CTES},
@@ -533,7 +535,10 @@ assign AS (
                                        c.cid) AS arn
     FROM emb e CROSS JOIN cent c
   ) WHERE arn = 1
-)
+)"""
+
+EMB_NEARDUP_SQL = f"""
+WITH {EMB_ASSIGN_CTES}
 SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos_sim
 FROM assign a

@@ -1043,8 +1043,16 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     CUMULATIVE coverage — the curve a tokenizer team reads to pick a
     vocab size (where cum_share flattens, bigger vocabularies stop
     paying).  Frequencies are the canonical map-side-combined word
-    count; the ranking/cumsum windows run over the VOCABULARY (Heaps'
-    law: ~N^0.5 of corpus size), not the corpus."""
+    count.
+
+    Scale shape: the top-k is ``orderBy().limit(k)`` — compiled to
+    TakeOrderedAndProject (per-partition heaps + a k-row driver merge),
+    never a single-partition sort of the vocabulary relation (Heaps'
+    law makes the vocab ~N^0.5 of the corpus, still billions of keys at
+    100 TB).  The rank and cumulative sum then run over ONLY the k-row
+    prefix, where they equal the global windows restricted to
+    rank <= k because both orders coincide; the join_skew_diagnostics
+    pattern (skew.py)."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1054,12 +1062,12 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     total = F.broadcast(vocab.agg(F.sum("cnt").alias("total")))
+    topk = vocab.orderBy(F.desc("cnt"), F.asc("t")).limit(VOCAB_TOP)
     w = Window.orderBy(F.desc("cnt"), F.asc("t"))
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        vocab.withColumn("rank", F.row_number().over(w))
+        topk.withColumn("rank", F.row_number().over(w))
         .withColumn("cum_cnt", F.sum("cnt").over(wc))
-        .where(F.col("rank") <= VOCAB_TOP)
         .crossJoin(total)
         .select(
             F.col("t").alias("token"),

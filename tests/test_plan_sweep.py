@@ -25,6 +25,7 @@ EXECUTING = {
     "clean_corpus",
     "clean_corpus_decontaminated",  # composes clean_corpus's CC loop
     "dedup_keep_best",
+    "semantic_dedup_keep",  # composes clusters_from's CC loop
     "training_data_run",
 }
 # NOT excluded despite composing packed_sequences: packing_efficiency is
@@ -58,6 +59,7 @@ BNLJ_OK = {
     "doc_perplexity_bigram",    # 1-row corpus token total
     "bm25_search",              # 1-row corpus stats (N, total length)
     "vocab_topk",               # 1-row corpus token total
+    "event_ngram_patterns",     # 1-row distinct-user total
     "ann_recall_at_k",          # composes knn_bruteforce + ann_ivf_topk
     "salted_join_revenue",      # deliberate S-row salt-range replication
     "join_skew_diagnostics",    # 1-row global key stats

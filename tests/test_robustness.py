@@ -30,11 +30,17 @@ EDGE_DOCS = [
 ]
 
 DOC_QUERIES = sorted(
-    set(mr_parity.ORACLES)
-    | set(textstats.ORACLES)
-    | set(dedup.ORACLES)
-    | set(pipeline.ORACLES)   # exact-dup docs exercise the collapse stage
-    | set(sampling.ORACLES)
+    (
+        set(mr_parity.ORACLES)
+        | set(textstats.ORACLES)
+        | set(dedup.ORACLES)
+        | set(pipeline.ORACLES)  # exact-dup docs exercise the collapse stage
+        | set(sampling.ORACLES)
+    )
+    # semantic_dedup_keep blocks on the EMBEDDINGS table (text is never
+    # read); this corpus-only fixture can't drive it — its adversarial
+    # coverage is tests/test_emb_fuzz_parity.py's vector edge cases
+    - {"semantic_dedup_keep"}
 )
 
 

@@ -1,0 +1,147 @@
+"""Semantic invariants for the round-5 batch: PII detection/redaction,
+SemDeDup-style semantic dedup, event-sequence n-gram mining, and the
+temperature-rebalance stage composed into training_data_run."""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from golang_mapreduce_spark.operators.analytics import (
+    SEQ_NGRAM_TOP,
+    event_ngram_patterns,
+    event_transition_matrix,
+)
+from golang_mapreduce_spark.operators.dedup import semantic_dedup_keep
+from golang_mapreduce_spark.operators.pii import (
+    EMAIL_MOD,
+    ID_MOD,
+    PHONE_MOD,
+    pii_rates,
+    pii_redacted_sample,
+)
+from golang_mapreduce_spark.operators.similarity import (
+    NEARDUP_COS,
+    emb_neardup_pairs,
+)
+from golang_mapreduce_spark.operators.textstats import quality_scores
+from golang_mapreduce_spark.sources.fixtures import load_table
+
+
+def test_pii_rates_accounting(spark, sf_dir):
+    """Injection is residue-class-exact: total email hits across sources
+    equal |{doc_id % EMAIL_MOD == 0}| (one injected address each), and
+    docs_with_pii counts exactly the union of the three classes."""
+    docs = load_table(spark, sf_dir, "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    rows = pii_rates(spark, sf_dir).collect()
+    tot = lambda c: sum(r[c] for r in rows)  # noqa: E731
+    assert tot("email_hits") == sum(1 for i in ids if i % EMAIL_MOD == 0)
+    assert tot("phone_hits") == sum(1 for i in ids if i % PHONE_MOD == 0)
+    assert tot("id_hits") == sum(1 for i in ids if i % ID_MOD == 0)
+    expected_any = sum(
+        1
+        for i in ids
+        if i % EMAIL_MOD == 0 or i % PHONE_MOD == 0 or i % ID_MOD == 0
+    )
+    assert tot("docs_with_pii") == expected_any
+    assert tot("n_docs") == len(ids)
+    for r in rows:
+        assert abs(r["pii_rate"] - round(r["docs_with_pii"] / r["n_docs"], 6)) < 1e-12
+
+
+def test_pii_redaction_complete(spark, sf_dir):
+    """No raw PII survives redaction: every sampled row contains the
+    placeholder for each class its doc_id residue implies and no
+    email/phone/ID-shaped substring."""
+    email_re = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    num_re = re.compile(r"\d{3}-\d{2,3}-\d{4}")
+    rows = pii_redacted_sample(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        t = r["redacted"]
+        assert not email_re.search(t), t
+        assert not num_re.search(t), t
+        if r["doc_id"] % EMAIL_MOD == 0:
+            assert "[EMAIL]" in t
+        if r["doc_id"] % PHONE_MOD == 0:
+            assert "[PHONE]" in t
+        if r["doc_id"] % ID_MOD == 0:
+            assert "[ID]" in t
+        assert r["injected_chars"] > 0
+
+
+def test_semantic_dedup_covers_pair_graph(spark, sf_dir):
+    """Every doc that appears in a near-dup pair lands in exactly one
+    semantic group; the kept doc has the group's max quality; dropped
+    count is members-1; no singleton groups are emitted."""
+    pairs = emb_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b").collect()
+    in_pairs = {r["vec_a"] for r in pairs} | {r["vec_b"] for r in pairs}
+    q = {
+        r["doc_id"]: r["quality_score"]
+        for r in quality_scores(spark, sf_dir).collect()
+    }
+    rows = semantic_dedup_keep(spark, sf_dir).collect()
+    assert sum(r["n_members"] for r in rows) == len(in_pairs)
+    for r in rows:
+        assert r["n_members"] >= 2
+        assert r["n_dropped"] == r["n_members"] - 1
+        assert r["keep_doc_id"] in in_pairs
+        assert abs(r["best_quality"] - q[r["keep_doc_id"]]) < 1e-12
+    # kept docs are pairwise distinct and so are cluster ids
+    assert len({r["cluster_id"] for r in rows}) == len(rows)
+    assert len({r["keep_doc_id"] for r in rows}) == len(rows)
+
+
+def test_semantic_pairs_meet_threshold(spark, sf_dir):
+    rows = emb_neardup_pairs(spark, sf_dir).collect()
+    assert rows
+    assert all(r["cos_sim"] >= NEARDUP_COS for r in rows)
+
+
+def test_event_ngrams_extend_transitions(spark, sf_dir):
+    """Trigram occurrences sum to sum over users of max(len-2, 0); the
+    rank is contiguous; every trigram's (first, second) prefix is a
+    transition the first-order matrix also saw."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = {
+        r["user_id"]: r["n"]
+        for r in e.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    rows = event_ngram_patterns(spark, sf_dir).collect()
+    assert len(rows) == SEQ_NGRAM_TOP
+    assert sorted(r["rank"] for r in rows) == list(range(1, SEQ_NGRAM_TOP + 1))
+    total_grams = sum(max(n - 2, 0) for n in per_user.values())
+    # top-k covers at most the total; with 5 event types there are at
+    # most 125 patterns, so the top 20 must carry a large share
+    assert 0 < sum(r["n_occurrences"] for r in rows) <= total_grams
+    trans = {
+        (r["prev_type"], r["next_type"])
+        for r in event_transition_matrix(spark, sf_dir).collect()
+    }
+    n_users = len(per_user)
+    for r in rows:
+        a, b, c = r["pattern"].split(">")
+        assert (a, b) in trans and (b, c) in trans
+        assert 0 < r["n_users"] <= n_users
+        assert abs(r["user_support"] - round(r["n_users"] / n_users, 6)) < 1e-12
+
+
+def test_training_run_respects_temperature_stage(spark, sf_dir):
+    """Every packed doc passes the composed temperature filter: the
+    chain's output ids are a subset of the standalone sampler's keep
+    set (same rate table, same salt)."""
+    from golang_mapreduce_spark.operators.pipeline import training_data_run
+    from golang_mapreduce_spark.operators.sampling import (
+        temperature_rebalance_sample,
+    )
+
+    kept = {
+        r["doc_id"]
+        for r in temperature_rebalance_sample(spark, sf_dir).collect()
+    }
+    packed = training_data_run(spark, sf_dir).collect()
+    assert packed
+    assert {r["doc_id"] for r in packed} <= kept
