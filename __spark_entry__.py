@@ -81,11 +81,13 @@ _MODULES = [
 #: late-r4 BLAS batch displaced plus the other 3 queries whose last row
 #: is round 1; (e) r1-cohort refreshes (json_events,
 #: simhash_signatures, wc, indexer) bringing the window's r1-cohort
-#: count to exactly the >=15 floor; then (f) the 15 alphabetically
-#: first of the r2-stale cohort.  Round-6 leftovers: the remaining 25
-#: r2-stale queries (pivot_segment_revenue through
-#: window_range_7day_spend, plus q1x TPC-H shapes), all parity-covered
-#: meanwhile.
+#: count to exactly the >=15 floor; then (f) the 11 alphabetically
+#: first of the r2-stale cohort (the late-round operator batch — DSIR,
+#: budget selection, normalized dedup, novelty curve — claimed 4 of the
+#: 15 (f) slots; new code outranks stale-but-checked cohorts).  Round-6
+#: leftovers: the remaining 29 r2-stale queries
+#: (nearest_centroid_confusion through window_range_7day_spend, plus
+#: q1x TPC-H shapes), all parity-covered meanwhile.
 _ROUND5_WINDOW = [
     # (a) never driver-checked: the 13 late-round-4 operators
     "temperature_rebalance_sample",  # also changed: temp_rates refactor
@@ -106,6 +108,10 @@ _ROUND5_WINDOW = [
     "pii_redacted_sample",
     "semantic_dedup_keep",
     "event_ngram_patterns",
+    "dsir_importance_weights",
+    "source_budget_select",
+    "dedup_normalized",
+    "ngram_novelty_curve",
     # (c) code path changed this round
     "vocab_topk",
     "training_data_run",
@@ -139,10 +145,6 @@ _ROUND5_WINDOW = [
     "json_events_typed",
     "label_centroids",
     "lsh_rp_topk",
-    "nearest_centroid_confusion",
-    "nested_customer_profile",
-    "ngram_jaccard_pruned",
-    "ntile_customer_quartiles",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:

@@ -154,6 +154,10 @@ EXTRA = [
     "pii_redacted_sample",
     "semantic_dedup_keep",
     "event_ngram_patterns",
+    "dsir_importance_weights",
+    "source_budget_select",
+    "dedup_normalized",
+    "ngram_novelty_curve",
 ]
 
 

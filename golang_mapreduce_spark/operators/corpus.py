@@ -476,6 +476,139 @@ GROUP BY d.source
 """
 
 
+#: DSIR hashed-feature space: unigrams + bigrams hashed into this many
+#: buckets (Xie et al. 2023 use ~10^4; the 31-word fixture vocabulary
+#: saturates 64).  The "target" distribution is the held-out slice
+#: (doc_id % DECON_MOD == 0) — the same stand-in eval set the
+#: decontamination operator anchors on.
+DSIR_BUCKETS = 64
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    public): per raw-pool document, the hashed-ngram log importance
+    weight log p_target(doc)/p_pool(doc) under bag-of-hashed-features
+    unigram+bigram models with add-1 smoothing — the score a pipeline
+    exponentiates/ranks to resample a web pool toward a target domain.
+
+    Cross-engine determinism: the per-bucket log-ratio is ONE ln of an
+    exactly-computed rational ((t+1)(s_tot+B)) / ((s+1)(t_tot+B)) —
+    integer products, single division — rounded to 6 dp and cast to
+    DECIMAL(18,6); the per-doc sum is then exact decimal arithmetic
+    (partition-order independent), cast back to double at the end.
+
+    Scale shape: the bucket statistics are two B-row aggregates (B is a
+    constant) broadcast back; the per-doc fold shuffles (doc_id, bucket,
+    cnt) triples — partial-agg'd, never text — so the whole operator is
+    two scans + one narrow exchange keyed on doc_id.  At 100 TB the
+    target side is a tiny eval set: its stats come from one broadcastable
+    aggregate exactly like decontaminate_docs' shingle set."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", ws_words("text").alias("toks"))
+    uni = toks.select("doc_id", F.explode("toks").alias("g"))
+    bi = (
+        toks.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(_shingles(2)).alias("g"))
+    )
+    feats = uni.union(bi).select(
+        "doc_id", (hash32("g") % DSIR_BUCKETS).alias("b")
+    )
+    docb = feats.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
+    is_target = F.col("doc_id") % DECON_MOD == 0
+    tcnt = (
+        feats.where(is_target).groupBy("b").agg(F.count("*").alias("t"))
+    )
+    scnt = (
+        feats.where(~is_target).groupBy("b").agg(F.count("*").alias("s"))
+    )
+    ttot = feats.where(is_target).agg(F.count("*").alias("tt"))
+    stot = feats.where(~is_target).agg(F.count("*").alias("st"))
+    ratio = (
+        scnt.join(tcnt, "b", "left")
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(stot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("t"), F.lit(0)) + 1)
+                        * (F.col("st") + DSIR_BUCKETS)
+                    ).cast("double")
+                    / ((F.col("s") + 1) * (F.col("tt") + DSIR_BUCKETS))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lr"),
+        )
+    )
+    return (
+        docb.where(F.col("doc_id") % DECON_MOD != 0)
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_feats"),
+            F.round(
+                F.sum(F.col("cnt").cast("decimal(18,6)") * F.col("lr"))
+                .cast("double"),
+                6,
+            ).alias("log_weight"),
+        )
+    )
+
+
+DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, t[i] AS g
+  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+),
+bi AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+feats AS (
+  SELECT doc_id, {sql_hash32('g')} % {DSIR_BUCKETS} AS b
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+docb AS (
+  SELECT doc_id, b, COUNT(*) AS cnt FROM feats GROUP BY doc_id, b
+),
+tcnt AS (
+  SELECT b, COUNT(*) AS t FROM feats WHERE doc_id % {DECON_MOD} = 0 GROUP BY b
+),
+scnt AS (
+  SELECT b, COUNT(*) AS s FROM feats WHERE doc_id % {DECON_MOD} <> 0 GROUP BY b
+),
+ttot AS (
+  SELECT COUNT(*) AS tt FROM feats WHERE doc_id % {DECON_MOD} = 0
+),
+stot AS (
+  SELECT COUNT(*) AS st FROM feats WHERE doc_id % {DECON_MOD} <> 0
+),
+ratio AS (
+  SELECT scnt.b,
+         CAST(ROUND(LN(
+           CAST((COALESCE(t, 0) + 1) * (st + {DSIR_BUCKETS}) AS DOUBLE)
+           / ((s + 1) * (tt + {DSIR_BUCKETS}))
+         ), 6) AS DECIMAL(18,6)) AS lr
+  FROM scnt LEFT JOIN tcnt USING (b), ttot, stot
+)
+SELECT d.doc_id,
+       CAST(SUM(d.cnt) AS BIGINT) AS n_feats,
+       ROUND(CAST(SUM(CAST(d.cnt AS DECIMAL(18,6)) * r.lr) AS DOUBLE), 6)
+         AS log_weight
+FROM docb d JOIN ratio r USING (b)
+WHERE d.doc_id % {DECON_MOD} <> 0
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "packing_efficiency": packing_efficiency,
     "decontaminate_docs": decontaminate_docs,
@@ -484,6 +617,7 @@ QUERIES = {
     "packed_sequences": packed_sequences,
     "source_token_concentration": source_token_concentration,
     "contamination_rate_by_source": contamination_rate_by_source,
+    "dsir_importance_weights": dsir_importance_weights,
 }
 
 ORACLES = {
@@ -494,4 +628,5 @@ ORACLES = {
     "packed_sequences": PACKED_SEQUENCES_SQL,
     "source_token_concentration": SOURCE_CONCENTRATION_SQL,
     "contamination_rate_by_source": CONTAMINATION_BY_SOURCE_SQL,
+    "dsir_importance_weights": DSIR_SQL,
 }

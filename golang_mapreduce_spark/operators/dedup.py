@@ -101,6 +101,48 @@ GROUP BY 1
 """
 
 
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-tolerant exact dedup (the C4 / RefinedWeb "fuzzy
+    exact" tier between byte-exact and MinHash): md5 over text after
+    lowercasing, stripping every character outside [a-z0-9 whitespace],
+    and collapsing whitespace runs — catches the re-encoded /
+    re-punctuated / case-shifted copies byte-exact dedup misses, at
+    exact-dedup cost.
+
+    Cross-engine: the normalization is three regex steps both Java
+    regex and RE2 evaluate identically (literal character classes, no
+    locale-dependent constructs beyond lower(), identical on the
+    fixture alphabets).  Scale shape: identical to dedup_exact — the
+    shuffle carries (hash, doc_id) only."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    return (
+        docs.select(F.md5(norm).alias("norm_hash"), "doc_id")
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+DEDUP_NORMALIZED_SQL = """
+SELECT md5(trim(regexp_replace(
+         regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+         '\\s+', ' ', 'g'))) AS norm_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 # --- MinHash -----------------------------------------------------------
 
 def _shingles(n: int) -> F.Column:
@@ -1193,6 +1235,7 @@ QUERIES = {
     "semantic_dedup_keep": semantic_dedup_keep,
     "paragraph_dedup": paragraph_dedup,
     "dedup_exact": dedup_exact,
+    "dedup_normalized": dedup_normalized,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "minhash_calibration": minhash_calibration,
@@ -1211,6 +1254,7 @@ ORACLES = {
     "paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_normalized": DEDUP_NORMALIZED_SQL,
     "minhash_signatures": MINHASH_SIG_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,

@@ -260,12 +260,87 @@ WHERE {TEMP_KEEP_PRED.format(alias='d')}
 """
 
 
+#: Per-source token budget for quality-ranked selection (fixture docs
+#: run 10-99 tokens, ~25 docs/source at any SF — 400 keeps the best
+#: handful per source and exercises the boundary).
+SRC_TOKEN_BUDGET = 400
+
+
+def source_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked data selection under a per-source token budget:
+    within each source, take documents best-quality-first (ties on
+    doc_id) while the running token total stays within
+    {SRC_TOKEN_BUDGET} — the "skim the best K tokens per domain" stage
+    of corpus assembly (the budgeted form of quality filtering: a fixed
+    threshold can't cap a mega-domain, a budget can).
+
+    Scale shape: ONE window pass partitioned by source — the partition
+    key is the high-cardinality domain, so the sort is per-stratum, not
+    global.  A pathological mega-domain (one source >> executor memory)
+    shifts this to the histogram-threshold form: per-(source,
+    quality-bucket) token sums (tiny), cumulative over the histogram to
+    find each source's cutoff bucket, exact ranking only inside the one
+    boundary bucket — same answer, bounded memory.  Tokens are counted
+    from the same whitespace tokenizer every token stat shares."""
+    from pyspark.sql.window import Window
+
+    from golang_mapreduce_spark.functions.text import ws_words
+    from golang_mapreduce_spark.operators.textstats import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(ws_words("text")).cast("bigint").alias("n_toks")
+    )
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.join(q, "doc_id")
+        .select(
+            "source",
+            "doc_id",
+            "quality_score",
+            "n_toks",
+            F.sum("n_toks").over(w).alias("cum_toks"),
+        )
+        .where(F.col("cum_toks") <= SRC_TOKEN_BUDGET)
+    )
+
+
+def _source_budget_sql() -> str:
+    from golang_mapreduce_spark.operators.textstats import QUALITY_SQL
+
+    return f"""
+WITH q AS (
+  {QUALITY_SQL.strip()}
+),
+toks AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents
+),
+ranked AS (
+  SELECT t.source, t.doc_id, q.quality_score, t.n_toks,
+         CAST(SUM(t.n_toks) OVER (PARTITION BY t.source
+                                  ORDER BY q.quality_score DESC, t.doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_toks
+  FROM toks t JOIN q USING (doc_id)
+)
+SELECT source, doc_id, quality_score, n_toks, cum_toks
+FROM ranked WHERE cum_toks <= {SRC_TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "temperature_rebalance_sample": temperature_rebalance_sample,
     "dataset_split_counts": dataset_split_counts,
     "shuffle_shard_manifest": shuffle_shard_manifest,
     "balance_langs_sample": balance_langs_sample,
+    "source_budget_select": source_budget_select,
 }
 
 ORACLES = {
@@ -273,5 +348,6 @@ ORACLES = {
     "dataset_split_counts": DATASET_SPLIT_SQL,
     "shuffle_shard_manifest": SHUFFLE_SHARD_SQL,
     "balance_langs_sample": BALANCE_LANGS_SQL,
+    "source_budget_select": _source_budget_sql(),
     "temperature_rebalance_sample": TEMPERATURE_REBALANCE_SQL,
 }

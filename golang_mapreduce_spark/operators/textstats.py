@@ -1369,9 +1369,89 @@ WHERE len(ss) > 0
 """
 
 
+#: Novelty curve: corpus position buckets of this many doc_ids each.
+NOVELTY_BUCKET = 50
+NOVELTY_NGRAM = 3
+
+
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity-saturation curve: walk the corpus in doc_id
+    order in fixed-width buckets and report, per bucket, how many
+    distinct {NOVELTY_NGRAM}-gram types appear vs how many are NEW
+    (first occurrence anywhere in the corpus falls in this bucket) —
+    the curve that says when additional crawl stops adding novel
+    content (novelty_rate decaying toward 0 = saturated source).
+
+    Scale shape: one shuffle keyed on the 64-bit n-gram hash (uniform,
+    unskewed) computes first-occurrence docs via an algebraic MIN; the
+    per-bucket distinct count shuffles (bucket, hash) pairs.  Both
+    aggregates are partial-agg'd; the result is O(corpus/bucket) rows.
+    n-gram strings never shuffle — hashes only."""
+    docs = load_table(spark, sf_dir, "documents")
+    from golang_mapreduce_spark.operators.dedup import _shingles
+
+    ng = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= NOVELTY_NGRAM)
+        .select("doc_id", F.explode(_shingles(NOVELTY_NGRAM)).alias("g"))
+        .select("doc_id", hash32("g").alias("h"))
+    )
+    bucket = F.expr(f"doc_id div {NOVELTY_BUCKET}")
+    distinct_in_bucket = (
+        ng.select(bucket.alias("bucket"), "h")
+        .distinct()
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_distinct"))
+    )
+    new_in_bucket = (
+        ng.groupBy("h")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select(F.expr(f"first_doc div {NOVELTY_BUCKET}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_new"))
+    )
+    nn = F.coalesce(F.col("n_new"), F.lit(0))
+    # left join: a late bucket may contain ONLY already-seen n-grams
+    # (n_new = 0) — exactly the saturation signal the curve exists for
+    return distinct_in_bucket.join(new_in_bucket, "bucket", "left").select(
+        "bucket",
+        "n_distinct",
+        nn.cast("bigint").alias("n_new"),
+        F.round(nn / F.col("n_distinct"), 6).alias("novelty_rate"),
+    )
+
+
+NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+ng AS (
+  SELECT doc_id,
+         {sql_hash32("t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {NOVELTY_NGRAM - 1})) AS u(i)
+  WHERE len(t) >= {NOVELTY_NGRAM}
+),
+dib AS (
+  SELECT doc_id // {NOVELTY_BUCKET} AS bucket, COUNT(DISTINCT h) AS n_distinct
+  FROM ng GROUP BY 1
+),
+nib AS (
+  SELECT first_doc // {NOVELTY_BUCKET} AS bucket, COUNT(*) AS n_new
+  FROM (SELECT h, MIN(doc_id) AS first_doc FROM ng GROUP BY h)
+  GROUP BY 1
+)
+SELECT bucket, n_distinct,
+       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       ROUND(CAST(COALESCE(n_new, 0) AS DOUBLE) / n_distinct, 6) AS novelty_rate
+FROM dib LEFT JOIN nib USING (bucket)
+"""
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
+    "ngram_novelty_curve": ngram_novelty_curve,
     "doc_perplexity_bigram": doc_perplexity_bigram,
     "bm25_search": bm25_search,
     "doc_repetition_scores": doc_repetition_scores,
@@ -1395,6 +1475,7 @@ QUERIES = {
 ORACLES = {
     "char_trigram_lang_profiles": CHAR_TRIGRAM_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
+    "ngram_novelty_curve": NOVELTY_SQL,
     "doc_perplexity_bigram": DOC_PPL_BIGRAM_SQL,
     "bm25_search": BM25_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,

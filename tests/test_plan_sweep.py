@@ -60,6 +60,7 @@ BNLJ_OK = {
     "bm25_search",              # 1-row corpus stats (N, total length)
     "vocab_topk",               # 1-row corpus token total
     "event_ngram_patterns",     # 1-row distinct-user total
+    "dsir_importance_weights",  # two 1-row feature-total broadcasts
     "ann_recall_at_k",          # composes knn_bruteforce + ann_ivf_topk
     "salted_join_revenue",      # deliberate S-row salt-range replication
     "join_skew_diagnostics",    # 1-row global key stats

@@ -145,3 +145,120 @@ def test_training_run_respects_temperature_stage(spark, sf_dir):
     packed = training_data_run(spark, sf_dir).collect()
     assert packed
     assert {r["doc_id"] for r in packed} <= kept
+
+
+def test_dsir_weights_accounting(spark, sf_dir):
+    """Weights exist for exactly the pool docs that share a feature
+    bucket with anything (all of them: every bucket is pool-populated),
+    n_feats = unigrams + bigrams per doc, and weights are finite."""
+    import math
+
+    from golang_mapreduce_spark.operators.corpus import (
+        DECON_MOD,
+        dsir_importance_weights,
+    )
+    from golang_mapreduce_spark.functions.text import ws_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(ws_words("text")).alias("n")
+        ).collect()
+    }
+    rows = dsir_importance_weights(spark, sf_dir).collect()
+    pool = [i for i in toks if i % DECON_MOD != 0 and toks[i] > 0]
+    assert len(rows) == len(pool)
+    for r in rows:
+        n = toks[r["doc_id"]]
+        assert r["n_feats"] == n + max(n - 1, 0)
+        assert math.isfinite(r["log_weight"])
+
+
+def test_source_budget_select_greedy(spark, sf_dir):
+    """Within each source the kept set is a quality-desc prefix whose
+    token total stays within budget, and adding the first excluded doc
+    would break the budget."""
+    from collections import defaultdict
+
+    from golang_mapreduce_spark.operators.sampling import (
+        SRC_TOKEN_BUDGET,
+        source_budget_select,
+    )
+
+    rows = source_budget_select(spark, sf_dir).collect()
+    assert rows
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (-r["quality_score"], r["doc_id"]))
+        cum = 0
+        for r in rs:
+            cum += r["n_toks"]
+            assert r["cum_toks"] == cum
+        assert cum <= SRC_TOKEN_BUDGET
+
+
+def test_dedup_normalized_collapses_variants(spark):
+    """Case/punctuation/whitespace variants collapse to one group while
+    genuinely different text stays apart."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from golang_mapreduce_spark.operators.dedup import dedup_normalized
+
+    texts = [
+        "Hello, World!",
+        "hello   world",
+        "HELLO WORLD.",
+        "hello\tworld\n",
+        "goodbye world",
+    ]
+    d = tempfile.mkdtemp(prefix="gmrs_norm_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = {r["keep_doc_id"]: r["n_copies"] for r in dedup_normalized(spark, d).collect()}
+    assert rows == {0: 4, 4: 1}
+
+
+def test_novelty_curve_saturates(spark, sf_dir):
+    """Bucket 0's novelty rate is maximal (everything is first-seen at
+    the start), totals of n_new equal the corpus's distinct n-gram
+    count, and rates stay in (0, 1]."""
+    from golang_mapreduce_spark.operators.dedup import _shingles
+    from golang_mapreduce_spark.operators.textstats import (
+        NOVELTY_NGRAM,
+        ngram_novelty_curve,
+    )
+    from golang_mapreduce_spark.functions.text import ws_words
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct_total = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= NOVELTY_NGRAM)
+        .select(F.explode(_shingles(NOVELTY_NGRAM)).alias("g"))
+        .distinct()
+        .count()
+    )
+    rows = sorted(ngram_novelty_curve(spark, sf_dir).collect(), key=lambda r: r["bucket"])
+    assert rows[0]["bucket"] == 0 and rows[0]["novelty_rate"] == 1.0
+    assert sum(r["n_new"] for r in rows) == n_distinct_total
+    for r in rows:
+        assert 0 <= r["n_new"] <= r["n_distinct"]
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+    # saturation: the last bucket discovers less than the first
+    assert rows[-1]["n_new"] <= rows[0]["n_new"]
