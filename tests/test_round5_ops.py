@@ -262,3 +262,40 @@ def test_novelty_curve_saturates(spark, sf_dir):
         assert 0.0 <= r["novelty_rate"] <= 1.0
     # saturation: the last bucket discovers less than the first
     assert rows[-1]["n_new"] <= rows[0]["n_new"]
+
+
+def test_blocked_components_match_iterative_cc(spark, sf_dir):
+    """The one-shuffle per-cluster union-find must produce EXACTLY the
+    labels the iterative pointer-doubling walk converges to on the same
+    single-probe pair graph — the blocking invariant (no component
+    spans clusters) is what makes the localization sound."""
+    from golang_mapreduce_spark.operators.dedup import (
+        blocked_components,
+        clusters_from,
+    )
+
+    pairs = emb_neardup_pairs(spark, sf_dir).select(
+        "cluster",
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+    )
+    local = {
+        (r["doc_id"], r["cluster_id"])
+        for r in blocked_components(pairs).collect()
+    }
+    global_cc = {
+        (r["doc_id"], r["cluster_id"])
+        for r in clusters_from(pairs.select("doc_a", "doc_b")).collect()
+    }
+    assert local == global_cc
+    # and the invariant itself: every edge is intra-cluster (each doc
+    # appears under exactly one blocking cluster)
+    doc_clusters = (
+        pairs.select(F.col("doc_a").alias("d"), "cluster")
+        .union(pairs.select(F.col("doc_b").alias("d"), "cluster"))
+        .groupBy("d")
+        .agg(F.countDistinct("cluster").alias("nc"))
+        .agg(F.max("nc").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert doc_clusters == 1
