@@ -81,12 +81,12 @@ _MODULES = [
 #: late-r4 BLAS batch displaced plus the other 3 queries whose last row
 #: is round 1; (e) r1-cohort refreshes (json_events,
 #: simhash_signatures, wc, indexer) bringing the window's r1-cohort
-#: count to exactly the >=15 floor; then (f) the 11 alphabetically
+#: count to exactly the >=15 floor; then (f) the 10 alphabetically
 #: first of the r2-stale cohort (the late-round operator batch — DSIR,
-#: budget selection, normalized dedup, novelty curve — claimed 4 of the
-#: 15 (f) slots; new code outranks stale-but-checked cohorts).  Round-6
-#: leftovers: the remaining 29 r2-stale queries
-#: (nearest_centroid_confusion through window_range_7day_spend, plus
+#: budget selection, normalized dedup, novelty curve, incremental
+#: triage — claimed 5 of the 15 (f) slots; new code outranks
+#: stale-but-checked cohorts).  Round-6 leftovers: the remaining 30
+#: r2-stale queries (lsh_rp_topk through window_range_7day_spend, plus
 #: q1x TPC-H shapes), all parity-covered meanwhile.
 _ROUND5_WINDOW = [
     # (a) never driver-checked: the 13 late-round-4 operators
@@ -112,6 +112,7 @@ _ROUND5_WINDOW = [
     "source_budget_select",
     "dedup_normalized",
     "ngram_novelty_curve",
+    "dedup_incremental_triage",
     # (c) code path changed this round
     "vocab_topk",
     "training_data_run",
@@ -144,7 +145,6 @@ _ROUND5_WINDOW = [
     "hotkey_salted_join_revenue",
     "json_events_typed",
     "label_centroids",
-    "lsh_rp_topk",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:

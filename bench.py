@@ -158,6 +158,7 @@ EXTRA = [
     "source_budget_select",
     "dedup_normalized",
     "ngram_novelty_curve",
+    "dedup_incremental_triage",
 ]
 
 

@@ -1128,6 +1128,99 @@ def blocked_components(pairs: DataFrame) -> DataFrame:
     )
 
 
+#: Incremental-ingest triage: the "incoming batch" is the residue slice
+#: doc_id % INGEST_MOD == INGEST_RES; everything else is the base corpus.
+INGEST_MOD, INGEST_RES = 10, 7
+
+
+def dedup_incremental_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl ingest triage: classify every INCOMING document
+    against the BASE corpus as exact_dup (byte-normalized hash already
+    present), near_dup (LSH candidate pair with a base doc at/above the
+    MinHash threshold), or novel — with the matched base doc id — the
+    decision table an incremental pipeline writes before admitting a
+    batch (full-corpus re-dedup per ingest is the anti-pattern this
+    replaces).  Precedence: exact > near > novel.
+
+    Scale shape: the exact side is a hash join on md5 against the base
+    hash set keyed (hash -> min doc_id) — ids and hashes only; the near
+    side reuses the banded LSH candidate join, restricted to
+    cross-set (incoming, base) pairs.  In production the base side's
+    signatures/hashes are a MATERIALIZED table updated per batch (the
+    incremental contract: a new doc never changes an old verdict); here
+    both sides derive from one corpus scan so the oracle can replay it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % INGEST_MOD == INGEST_RES
+    text_h = F.md5(F.lower(F.trim("text")))
+    base_hash = (
+        docs.where(~is_inc)
+        .select(text_h.alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_match"))
+    )
+    inc = docs.where(is_inc).select("doc_id", text_h.alias("h"))
+    pairs = minhash_pairs_from(docs).select("doc_a", "doc_b")
+    a_inc = F.col("doc_a") % INGEST_MOD == INGEST_RES
+    b_inc = F.col("doc_b") % INGEST_MOD == INGEST_RES
+    cross = (
+        pairs.where(a_inc & ~b_inc)
+        .select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("partner"))
+        .union(
+            pairs.where(b_inc & ~a_inc).select(
+                F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("partner")
+            )
+        )
+    )
+    near = cross.groupBy("doc_id").agg(F.min("partner").alias("near_match"))
+    return (
+        inc.join(base_hash, "h", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+        )
+    )
+
+
+INCREMENTAL_TRIAGE_SQL = f"""
+WITH pairs AS (
+  {{PAIRS}}
+),
+base_hash AS (
+  SELECT md5(lower(trim(text))) AS h, MIN(doc_id) AS exact_match
+  FROM documents WHERE doc_id % {INGEST_MOD} <> {INGEST_RES} GROUP BY 1
+),
+inc AS (
+  SELECT doc_id, md5(lower(trim(text))) AS h
+  FROM documents WHERE doc_id % {INGEST_MOD} = {INGEST_RES}
+),
+near AS (
+  SELECT doc_id, MIN(partner) AS near_match FROM (
+    SELECT doc_a AS doc_id, doc_b AS partner FROM pairs
+    WHERE doc_a % {INGEST_MOD} = {INGEST_RES}
+      AND doc_b % {INGEST_MOD} <> {INGEST_RES}
+    UNION ALL
+    SELECT doc_b, doc_a FROM pairs
+    WHERE doc_b % {INGEST_MOD} = {INGEST_RES}
+      AND doc_a % {INGEST_MOD} <> {INGEST_RES}
+  ) GROUP BY doc_id
+)
+SELECT i.doc_id,
+       CASE WHEN b.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN n.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS verdict,
+       COALESCE(b.exact_match, n.near_match) AS match_doc_id
+FROM inc i
+LEFT JOIN base_hash b USING (h)
+LEFT JOIN near n USING (doc_id)
+"""
+
+
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public): IVF
     cluster blocking over the document embeddings, within-cluster
@@ -1288,6 +1381,7 @@ QUERIES = {
     "paragraph_dedup": paragraph_dedup,
     "dedup_exact": dedup_exact,
     "dedup_normalized": dedup_normalized,
+    "dedup_incremental_triage": dedup_incremental_triage,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "minhash_calibration": minhash_calibration,
@@ -1307,6 +1401,7 @@ ORACLES = {
     "neardup_clusters": NEARDUP_CLUSTERS_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_normalized": DEDUP_NORMALIZED_SQL,
+    "dedup_incremental_triage": INCREMENTAL_TRIAGE_SQL.format(PAIRS=minhash_pairs_sql("documents").strip()),
     "minhash_signatures": MINHASH_SIG_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,

@@ -299,3 +299,30 @@ def test_blocked_components_match_iterative_cc(spark, sf_dir):
         .collect()[0]["m"]
     )
     assert doc_clusters == 1
+
+
+def test_incremental_triage_partition(spark, sf_dir):
+    """Exactly one verdict per incoming doc; precedence exact > near;
+    every match id is a BASE doc; novel rows have no match."""
+    from golang_mapreduce_spark.operators.dedup import (
+        INGEST_MOD,
+        INGEST_RES,
+        dedup_incremental_triage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    incoming = {
+        r["doc_id"]
+        for r in docs.where(
+            F.col("doc_id") % INGEST_MOD == INGEST_RES
+        ).collect()
+    }
+    rows = dedup_incremental_triage(spark, sf_dir).collect()
+    assert {r["doc_id"] for r in rows} == incoming
+    assert len(rows) == len(incoming)
+    for r in rows:
+        if r["verdict"] == "novel":
+            assert r["match_doc_id"] is None
+        else:
+            assert r["verdict"] in ("exact_dup", "near_dup")
+            assert r["match_doc_id"] % INGEST_MOD != INGEST_RES
