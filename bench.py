@@ -159,6 +159,7 @@ EXTRA = [
     "dedup_normalized",
     "ngram_novelty_curve",
     "dedup_incremental_triage",
+    "bpe_fertility_by_lang",
 ]
 
 

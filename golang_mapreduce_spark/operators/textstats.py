@@ -1448,10 +1448,66 @@ FROM dib LEFT JOIN nib USING (bucket)
 """
 
 
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit: per language, total words, total BPE
+    tokens under the trained merge table, and tokens-per-word — the
+    number a tokenizer team tracks per language to catch under-served
+    scripts (fertility >> 1 means the vocab fragments that language,
+    inflating its effective sequence lengths and training cost; the
+    metric behind per-language vocab budgeting).
+
+    Scale shape: bpe_token_stats' zero-shuffle projection (frozen
+    word -> token-count CASE evaluated JVM-side) followed by ONE
+    partial-agg'd exchange on the tiny lang key; exact integer sums,
+    a single rounded division at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    case = _bpe_case_expr()
+    base = docs.select(
+        "lang",
+        ws_words("text").alias("toks"),
+    ).select(
+        "lang",
+        F.coalesce(F.size("toks"), F.lit(0)).cast("bigint").alias("w"),
+        F.coalesce(
+            F.expr(
+                f"aggregate(transform(toks, w -> CAST(({case}) AS BIGINT)), "
+                "0L, (acc, x) -> acc + x)"
+            ),
+            F.lit(0).cast("long"),
+        ).alias("t"),
+    )
+    return base.groupBy("lang").agg(
+        F.sum("w").cast("bigint").alias("n_words"),
+        F.sum("t").cast("bigint").alias("n_bpe_tokens"),
+        # NULLIF: a language of empty/whitespace docs has 0 words; under
+        # ANSI mode a bare 0/0 would fail the job instead of yielding NULL
+        F.round(F.sum("t") / F.nullif(F.sum("w"), F.lit(0)), 6).alias("fertility"),
+    )
+
+
+BPE_FERTILITY_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 0) AS w,
+         CAST(COALESCE(list_sum(list_transform(
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+           w -> {{CASE}})), 0) AS BIGINT) AS t
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(t) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(t) AS DOUBLE) / NULLIF(SUM(w), 0), 6) AS fertility
+FROM per_doc
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
     "ngram_novelty_curve": ngram_novelty_curve,
+    "bpe_fertility_by_lang": bpe_fertility_by_lang,
     "doc_perplexity_bigram": doc_perplexity_bigram,
     "bm25_search": bm25_search,
     "doc_repetition_scores": doc_repetition_scores,
@@ -1476,6 +1532,7 @@ ORACLES = {
     "char_trigram_lang_profiles": CHAR_TRIGRAM_SQL,
     "vocab_topk": VOCAB_TOPK_SQL,
     "ngram_novelty_curve": NOVELTY_SQL,
+    "bpe_fertility_by_lang": BPE_FERTILITY_SQL.format(CASE=_bpe_case_expr()),
     "doc_perplexity_bigram": DOC_PPL_BIGRAM_SQL,
     "bm25_search": BM25_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,
