@@ -164,3 +164,34 @@ def test_pii_redacted_zero_exchange(spark, sf_dir):
 
     plan = formatted_plan(pii_redacted_sample(spark, sf_dir))
     assert count_nodes(plan, "Exchange") == 0, plan
+
+
+def test_dsir_partial_aggs_no_text_shuffle(spark, sf_dir):
+    """DSIR: the per-doc fold and both bucket statistics must be
+    partial-agg'd (HashAggregate pairs), and the ratio table must reach
+    the fold as a broadcast — no sort-merge join anywhere."""
+    from golang_mapreduce_spark.operators.corpus import dsir_importance_weights
+
+    plan = formatted_plan(dsir_importance_weights(spark, sf_dir))
+    assert count_nodes(plan, "SortMergeJoin") == 0, plan
+    assert count_nodes(plan, "HashAggregate") >= 4, plan
+    assert count_nodes(plan, "BroadcastExchange") >= 1, plan
+
+
+def test_novelty_curve_hash_keyed(spark, sf_dir):
+    """Novelty curve: aggregates keyed on the n-gram hash / bucket id
+    only — no sort-merge joins, no global sort."""
+    from golang_mapreduce_spark.operators.textstats import ngram_novelty_curve
+
+    plan = formatted_plan(ngram_novelty_curve(spark, sf_dir))
+    assert count_nodes(plan, "CartesianProduct") == 0, plan
+    assert count_nodes(plan, "HashAggregate") >= 4, plan
+
+
+def test_fertility_single_exchange(spark, sf_dir):
+    """BPE fertility: zero-shuffle projection + one lang exchange."""
+    from golang_mapreduce_spark.operators.textstats import bpe_fertility_by_lang
+
+    plan = formatted_plan(bpe_fertility_by_lang(spark, sf_dir))
+    assert count_nodes(plan, "Exchange") == 1, plan
+    assert count_nodes(plan, "HashAggregate") >= 2, plan
