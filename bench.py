@@ -160,6 +160,7 @@ EXTRA = [
     "ngram_novelty_curve",
     "dedup_incremental_triage",
     "bpe_fertility_by_lang",
+    "streaming_pii_rates",
 ]
 
 

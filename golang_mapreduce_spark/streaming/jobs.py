@@ -111,6 +111,63 @@ def run_stream_to_batch(result: DataFrame, spark: SparkSession) -> DataFrame:
     return spark.table(name)
 
 
+def docs_stream_schema() -> T.StructType:
+    """Explicit read schema for the documents file stream."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+
+
+def streaming_pii_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII-rate audit executed through Structured Streaming — the
+    shape a compliance pipeline actually runs: documents arrive as a
+    file/Kafka stream, the regex detection is a stateless map on each
+    micro-batch, and the per-source rates accumulate in streaming state
+    (|sources| rows — bounded, no watermark needed for a keyed running
+    aggregate).  Drained output must equal the batch pii_rates oracle.
+
+    Scale: swap ``readStream.parquet`` for the Kafka source and nothing
+    downstream changes; state is one row per source, and the regex work
+    is codegen'd map-side exactly as in the batch operator."""
+    from golang_mapreduce_spark.operators.pii import PII_EMAIL, PII_ID, PII_PHONE, _augmented
+
+    docs = (
+        spark.readStream.schema(docs_stream_schema())
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    t = docs.select("source", _augmented().alias("t"))
+    n_email = F.regexp_count(F.col("t"), F.lit(PII_EMAIL))
+    n_phone = F.regexp_count(F.col("t"), F.lit(PII_PHONE))
+    n_id = F.regexp_count(F.col("t"), F.lit(PII_ID))
+    any_hit = ((n_email + n_phone + n_id) > 0).cast("long")
+    agg = (
+        t.select(
+            "source",
+            n_email.alias("e"),
+            n_phone.alias("p"),
+            n_id.alias("i"),
+            any_hit.alias("a"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("e").cast("bigint").alias("email_hits"),
+            F.sum("p").cast("bigint").alias("phone_hits"),
+            F.sum("i").cast("bigint").alias("id_hits"),
+            F.sum("a").cast("bigint").alias("docs_with_pii"),
+            F.round(F.sum("a") / F.count("*"), 6).alias("pii_rate"),
+        )
+    )
+    return run_stream_to_batch(agg, spark)
+
+
 # --- driver-contract queries -------------------------------------------
 
 def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -494,12 +551,19 @@ def kafka_stream_options(
 from golang_mapreduce_spark.operators.corpus import PACKED_SEQUENCES_SQL  # noqa: E402
 from golang_mapreduce_spark.operators.windows import TUMBLING_SQL  # noqa: E402
 
+
+def _pii_rates_oracle() -> str:
+    from golang_mapreduce_spark.operators.pii import PII_RATES_SQL
+
+    return PII_RATES_SQL
+
 QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "stateful_sessionize": stateful_sessionize,
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_dedup": streaming_dedup,
     "streaming_packed_sequences": streaming_packed_sequences,
+    "streaming_pii_rates": streaming_pii_rates,
 }
 ORACLES = {
     "streaming_tumbling_hourly": TUMBLING_SQL,
@@ -507,4 +571,5 @@ ORACLES = {
     "streaming_click_attribution": CLICK_ATTRIBUTION_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "streaming_packed_sequences": PACKED_SEQUENCES_SQL,
+    "streaming_pii_rates": _pii_rates_oracle(),
 }

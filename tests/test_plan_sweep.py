@@ -21,11 +21,11 @@ EXECUTING = {
     "stateful_sessionize",
     "streaming_click_attribution",
     "streaming_packed_sequences",
+    "streaming_pii_rates",
     "neardup_clusters",
     "clean_corpus",
     "clean_corpus_decontaminated",  # composes clean_corpus's CC loop
     "dedup_keep_best",
-    "semantic_dedup_keep",  # composes clusters_from's CC loop
     "training_data_run",
 }
 # NOT excluded despite composing packed_sequences: packing_efficiency is
@@ -43,6 +43,7 @@ BNLJ_OK = {
     "ann_ivf_topk",             # ~sqrt(N)-row centroid table
     "ann_ivf_adaptive",         # centroid table + 1-row mass target
     "emb_neardup_pairs",
+    "semantic_dedup_keep",       # same centroid broadcast via blocked pairs
     "emb_neardup_multiprobe",
     "pq_codes",
     "pq_adc_topk",
