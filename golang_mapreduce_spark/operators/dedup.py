@@ -3,11 +3,13 @@ training-data-pipeline extension (BASELINE.json north star; absent in the
 reference, whose only dedup-adjacent primitive is distinct-words-per-doc
 in indexer.go:24-27).
 
-Four tiers, each with a full DuckDB oracle (cross-engine md5-derived
-hashing, functions/hashing.py):
+Every tier a production corpus runs, each with a full DuckDB oracle
+(cross-engine md5-derived hashing, functions/hashing.py):
 
 * exact        — hash-groupBy on normalized text; one shuffle of
                  (hash, id), scales linearly.
+* normalized   — the C4-style "fuzzy exact" tier: lower / strip
+                 punctuation / collapse whitespace before the hash.
 * MinHash+LSH  — shingle → 16-perm signature → 4×4 banding → bucket
                  self-join.  The scalable near-dup path: candidate pairs
                  come from bucket collisions (shuffle keyed on band
@@ -20,6 +22,15 @@ hashing, functions/hashing.py):
                  the shingle join does not quadratically explode; the
                  3-gram variant at 100 TB must prune high-DF shingles
                  first or fall back to MinHash).
+* semantic     — SemDeDup-style embedding dedup: IVF-blocked cosine
+                 pairs → per-cluster union-find (blocked_components) →
+                 keep the highest-quality member.
+* incremental  — batch-vs-base triage (exact/near/novel verdicts) for
+                 continuous-crawl ingest.
+
+Clustering primitives: clusters_from (iterative min-label + adaptive
+pointer doubling — any edge list) and blocked_components (one-shuffle
+local union-find — block-confined edge lists only).
 """
 
 from __future__ import annotations
