@@ -81,14 +81,14 @@ _MODULES = [
 #: late-r4 BLAS batch displaced plus the other 3 queries whose last row
 #: is round 1; (e) r1-cohort refreshes (json_events,
 #: simhash_signatures, wc, indexer) bringing the window's r1-cohort
-#: count to exactly the >=15 floor; then (f) the 8 alphabetically
+#: count to exactly the >=15 floor; then (f) the 7 alphabetically
 #: first of the r2-stale cohort (the late-round operator batch — DSIR,
 #: budget selection, normalized dedup, novelty curve, incremental
-#: triage, BPE fertility, streaming PII — claimed 7 of the 15 (f)
-#: slots; new code outranks stale-but-checked cohorts).  Round-6
-#: leftovers: the remaining 32 r2-stale queries (json_events_typed
-#: through window_range_7day_spend, plus q1x TPC-H shapes), all
-#: parity-covered meanwhile.
+#: triage, BPE fertility, streaming PII, DSIR top-k — claimed 8 of
+#: the 15 (f) slots; new code outranks stale-but-checked cohorts).
+#: Round-6 leftovers: the remaining 33 r2-stale queries
+#: (hotkey_salted_join_revenue through window_range_7day_spend, plus
+#: q1x TPC-H shapes), all parity-covered meanwhile.
 _ROUND5_WINDOW = [
     # (a) never driver-checked: the 13 late-round-4 operators
     "temperature_rebalance_sample",  # also changed: temp_rates refactor
@@ -116,6 +116,7 @@ _ROUND5_WINDOW = [
     "dedup_incremental_triage",
     "bpe_fertility_by_lang",
     "streaming_pii_rates",
+    "dsir_topk_selection",
     # (c) code path changed this round
     "vocab_topk",
     "training_data_run",
@@ -145,7 +146,6 @@ _ROUND5_WINDOW = [
     "funnel_conversion",
     "grouping_sets_orders",
     "hash_sample_docs",
-    "hotkey_salted_join_revenue",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:

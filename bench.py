@@ -161,6 +161,7 @@ EXTRA = [
     "dedup_incremental_triage",
     "bpe_fertility_by_lang",
     "streaming_pii_rates",
+    "dsir_topk_selection",
 ]
 
 

@@ -609,6 +609,47 @@ GROUP BY d.doc_id
 """
 
 
+DSIR_TOP = 100  # selected-pool size for the rank-based DSIR selection
+
+
+def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR SELECTION step: the {DSIR_TOP} raw-pool documents whose
+    hashed-ngram importance weight ranks highest (ties on doc_id) —
+    i.e. the slice of the web pool most target-like under the bag
+    models, the set the original method resamples from.  Rank-based
+    selection (not exp-weight thresholding) keeps the decision exactly
+    reproducible cross-engine: ranking is on the DECIMAL-summed
+    log-weight, so no transcendental function sits on a comparison
+    boundary.
+
+    Scale shape: dsir_importance_weights' dataflow (B-row broadcast
+    stats, (doc_id, bucket, cnt) shuffle) followed by
+    ``orderBy().limit(k)`` — TakeOrderedAndProject per-partition heaps,
+    never a global sort of the pool; the rank window then runs over the
+    k-row prefix only (the vocab_topk pattern)."""
+    from pyspark.sql.window import Window
+
+    w = dsir_importance_weights(spark, sf_dir)
+    topk = w.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(DSIR_TOP)
+    wr = Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(wr)).select(
+        "rank", "doc_id", "n_feats", "log_weight"
+    )
+
+
+DSIR_TOPK_SQL = f"""
+WITH w AS (
+  {{DSIR}}
+)
+SELECT rank, doc_id, n_feats, log_weight FROM (
+  SELECT doc_id, n_feats, log_weight,
+         ROW_NUMBER() OVER (ORDER BY log_weight DESC, doc_id) AS rank
+  FROM w
+)
+WHERE rank <= {DSIR_TOP}
+"""
+
+
 QUERIES = {
     "packing_efficiency": packing_efficiency,
     "decontaminate_docs": decontaminate_docs,
@@ -618,6 +659,7 @@ QUERIES = {
     "source_token_concentration": source_token_concentration,
     "contamination_rate_by_source": contamination_rate_by_source,
     "dsir_importance_weights": dsir_importance_weights,
+    "dsir_topk_selection": dsir_topk_selection,
 }
 
 ORACLES = {
@@ -629,4 +671,5 @@ ORACLES = {
     "source_token_concentration": SOURCE_CONCENTRATION_SQL,
     "contamination_rate_by_source": CONTAMINATION_BY_SOURCE_SQL,
     "dsir_importance_weights": DSIR_SQL,
+    "dsir_topk_selection": DSIR_TOPK_SQL.format(DSIR=DSIR_SQL.strip()),
 }

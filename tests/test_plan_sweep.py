@@ -62,6 +62,7 @@ BNLJ_OK = {
     "vocab_topk",               # 1-row corpus token total
     "event_ngram_patterns",     # 1-row distinct-user total
     "dsir_importance_weights",  # two 1-row feature-total broadcasts
+    "dsir_topk_selection",      # same broadcasts under the top-k
     "ann_recall_at_k",          # composes knn_bruteforce + ann_ivf_topk
     "salted_join_revenue",      # deliberate S-row salt-range replication
     "join_skew_diagnostics",    # 1-row global key stats
