@@ -271,35 +271,107 @@ FROM customer LEFT JOIN top5 ON c_custkey = o_custkey
 """
 
 
+#: Relative band for the HLL++ distinct-count contract: rsd=0.02 is one
+#: standard deviation of the sketch estimator, so 5x rsd (=10%) holds
+#: with overwhelming margin on any group — and the sketch is
+#: deterministic for fixed data, so the banded verdict is reproducible.
+HLL_RSD = 0.02
+HLL_BAND = 5 * HLL_RSD
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch cardinality of users per event type — the 100 TB
     path for high-cardinality distincts (mergeable, single pass, no
-    distinct expansion).  Sketch estimates are engine-specific, so this
-    is a rows-only query; tests bound its relative error against the
-    exact count."""
+    distinct expansion).  Sketch estimates are engine-specific, so the
+    CONTRACT is banded (VERDICT r5 #2): the query computes both the
+    sketch estimate and the exact distinct count and emits
+    ``within_band`` = |approx − exact| <= {HLL_BAND} · exact; the
+    oracle recomputes the exact side and asserts the band verdict is
+    TRUE everywhere — a real hash-matched driver row, not rows-only.
+    (The exact side is only affordable at fixture scale; at 100 TB the
+    sketch IS the answer and the band is validated on samples.)"""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.count("*").alias("n_events"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.lit(HLL_BAND) * F.col("exact_users")
+            ).alias("within_band"),
+        )
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_band
+FROM events
+GROUP BY event_type
+"""
 
 
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (Spark's approx_percentile / t-digest-like
-    quantile summaries): mergeable, single-pass, no per-group sort — the
-    100 TB replacement for percentile_prices.  Sketch output is
-    engine-specific, so rows-only; tests bound its error against the
-    exact interpolated percentile."""
+    """Sketch-based percentiles (Spark's approx_percentile, a
+    quantile-summary sketch): mergeable, single-pass, no per-group sort
+    — the 100 TB replacement for percentile_prices.  Sketch values are
+    engine-specific, so the CONTRACT is banded (VERDICT r5 #2):
+    accuracy=10000 guarantees rank error <= 1e-4, so the approx median
+    must land between the exact 0.45 and 0.55 quantiles (and p90
+    between 0.85/0.95) — the query emits those verdicts as booleans
+    plus the exact rounded percentiles (cross-engine interpolation
+    parity is already pinned by percentile_prices), and the oracle
+    asserts the same shape with TRUE."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return (
+    g = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
-            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("median_approx"),
-            F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("p90_approx"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("m_apx"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("p_apx"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("m_ex"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p_ex"),
+            F.expr("percentile(o_totalprice, 0.45)").alias("m_lo"),
+            F.expr("percentile(o_totalprice, 0.55)").alias("m_hi"),
+            F.expr("percentile(o_totalprice, 0.85)").alias("p_lo"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("p_hi"),
+            F.count("*").alias("n_orders"),
         )
     )
+    return g.select(
+        "c_mktsegment",
+        "n_orders",
+        F.round("m_ex", 6).alias("median_exact"),
+        F.round("p_ex", 6).alias("p90_exact"),
+        (
+            (F.col("m_apx") >= F.col("m_lo")) & (F.col("m_apx") <= F.col("m_hi"))
+        ).alias("median_in_band"),
+        (
+            (F.col("p_apx") >= F.col("p_lo")) & (F.col("p_apx") <= F.col("p_hi"))
+        ).alias("p90_in_band"),
+    )
+
+
+APPROX_PERCENTILE_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_exact,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_exact,
+       TRUE AS median_in_band,
+       TRUE AS p90_in_band
+FROM orders o JOIN customer c ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
 
 
 QUERIES = {
@@ -322,5 +394,7 @@ ORACLES = {
     "stats_summary": STATS_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "percentile_prices": PERCENTILE_SQL,
-    # approx_distinct_users: sketch-based, rows-only by design
+    # banded contracts (VERDICT r5 #2): engine-side band verdict vs TRUE
+    "approx_distinct_users": APPROX_DISTINCT_SQL,
+    "approx_percentile_prices": APPROX_PERCENTILE_SQL,
 }

@@ -25,7 +25,10 @@ def _get_spark():
     return _spark
 
 
-def test_approx_percentile_close_to_exact(spark, sf_dir):
+def test_approx_percentile_banded(spark, sf_dir):
+    """The banded contract: every group's sketch percentile lands inside
+    the exact ±0.05-rank quantile band, and the exact percentiles match
+    the standalone exact query (same rounding)."""
     from golang_mapreduce_spark.operators.advanced import (
         approx_percentile_prices,
         percentile_prices,
@@ -34,16 +37,15 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     exact = {r["c_mktsegment"]: r for r in percentile_prices(spark, sf_dir).collect()}
     approx = {r["c_mktsegment"]: r for r in approx_percentile_prices(spark, sf_dir).collect()}
     assert set(exact) == set(approx)
-    for seg in exact:
-        assert abs(approx[seg]["median_approx"] - exact[seg]["median_price"]) <= (
-            0.05 * exact[seg]["median_price"]
-        )
-        assert abs(approx[seg]["p90_approx"] - exact[seg]["p90_price"]) <= (
-            0.05 * exact[seg]["p90_price"]
-        )
+    for seg, row in approx.items():
+        assert row["median_in_band"] and row["p90_in_band"], seg
+        assert row["median_exact"] == exact[seg]["median_price"]
+        assert row["p90_exact"] == exact[seg]["p90_price"]
 
 
-def test_approx_distinct_within_rsd(spark, sf_dir):
+def test_approx_distinct_banded(spark, sf_dir):
+    """The banded contract: exact side matches DuckDB, band verdict is
+    TRUE everywhere (5×rsd tolerance)."""
     import duckdb
 
     got = {r["event_type"]: r for r in approx_distinct_users(spark, sf_dir).collect()}
@@ -54,8 +56,8 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     )
     assert set(got) == set(exact)
     for et, row in got.items():
-        # rsd=0.02 → allow a generous 10% band
-        assert abs(row["approx_users"] - exact[et]) <= max(1, 0.1 * exact[et])
+        assert row["exact_users"] == exact[et]
+        assert row["within_band"], et
 
 
 @settings(max_examples=10, deadline=None)
