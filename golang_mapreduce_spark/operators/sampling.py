@@ -334,6 +334,166 @@ FROM ranked WHERE cum_toks <= {SRC_TOKEN_BUDGET}
 """
 
 
+#: Quality-bucket count for the histogram-threshold budget fallback.
+#: Bucketing is a monotone coarsening of the quality order, so the
+#: per-bucket window refines to the identical global answer; more
+#: buckets = smaller per-sort partitions (memory bound ~1/N_QBUCKETS of
+#: the stratum).
+N_QBUCKETS = 20
+
+
+def source_budget_select_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEGA-DOMAIN form of :func:`source_budget_select` (VERDICT r5
+    #6) — same answer, bounded memory.  The plain form sorts each whole
+    source stratum in one window partition; a source bigger than
+    executor memory breaks that.  This form:
+
+    1. buckets quality into {N_QBUCKETS} monotone bins and aggregates a
+       per-(source, bucket) token HISTOGRAM (tiny: |sources|x{N_QBUCKETS}
+       rows, partial-agg'd);
+    2. computes each bucket's ``above`` = tokens in strictly better
+       buckets via a window over the histogram rows only;
+    3. PRUNES every bucket whose ``above`` already exceeds the budget —
+       the bulk of a mega-domain is dropped map-side before any sort;
+    4. ranks the surviving docs in windows partitioned by
+       (source, bucket) — each sort is one bucket of one source, ~1/{N_QBUCKETS}
+       the stratum — and keeps ``above + within-bucket running sum <=
+       budget``.
+
+    Equivalence to the window form is exact because bucket order refines
+    quality order: a doc's global running sum equals its bucket's
+    ``above`` plus its within-bucket running sum
+    (tests/test_sampling_hist.py pins it; the driver oracle is the SAME
+    SQL as source_budget_select)."""
+    from pyspark.sql.window import Window
+
+    from golang_mapreduce_spark.functions.text import ws_words
+    from golang_mapreduce_spark.operators.textstats import quality_scores
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(ws_words("text")).cast("bigint").alias("n_toks")
+    )
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    d = (
+        docs.join(q, "doc_id")
+        .withColumn(
+            "qb", F.floor(F.col("quality_score") * N_QBUCKETS).cast("int")
+        )
+    )
+    hist = d.groupBy("source", "qb").agg(F.sum("n_toks").alias("b_toks"))
+    wh = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    above = hist.select(
+        "source",
+        "qb",
+        F.coalesce(F.sum("b_toks").over(wh), F.lit(0)).alias("above_toks"),
+    ).where(F.col("above_toks") <= SRC_TOKEN_BUDGET)
+    wb = (
+        Window.partitionBy("source", "qb")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(above), ["source", "qb"])
+        .select(
+            "source",
+            "doc_id",
+            "quality_score",
+            "n_toks",
+            (F.col("above_toks") + F.sum("n_toks").over(wb)).alias("cum_toks"),
+        )
+        .where(F.col("cum_toks") <= SRC_TOKEN_BUDGET)
+    )
+
+
+#: Per-topic (IVF-cluster) token budget: clusters are the ~sqrt(N)
+#: centroid family (~20 docs/cluster on the fixtures), so 400 keeps the
+#: best handful per topic and exercises the boundary, mirroring
+#: SRC_TOKEN_BUDGET.
+TOPIC_TOKEN_BUDGET = 400
+
+
+def topic_balanced_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced data selection (VERDICT r5 #4) — the
+    embedding-space analog of :func:`source_budget_select`: assign every
+    document to its IVF cluster (single-probe, broadcast ~sqrt(N)
+    centroids — the same assignment SemDeDup blocks on), then take
+    documents best-quality-first within each TOPIC under a per-cluster
+    token budget.  This is the cluster-balancing stage public pipelines
+    run after dedup: source budgets cap domains, topic budgets cap
+    semantic redundancy a domain split can't see (one topic spread
+    across 1000 mirrors).
+
+    Scale shape: the assignment is one BLAS pass against broadcast
+    centroids (no all-pairs, no shuffle of embeddings beyond the scan);
+    the budget window is partitioned by cluster — per-stratum sorts of
+    ~N/sqrt(N) docs, never a global sort; a mega-cluster falls back to
+    the same histogram-threshold form as source_budget_select_hist.
+    ``vec_id`` is the fixture's 1:1 ``doc_id``."""
+    from pyspark.sql.window import Window
+
+    from golang_mapreduce_spark.functions.text import ws_words
+    from golang_mapreduce_spark.operators.similarity import _centroids, _emb, _ivf_assign
+    from golang_mapreduce_spark.operators.textstats import quality_scores
+
+    emb = _emb(spark, sf_dir)
+    assign = _ivf_assign(emb, _centroids(emb)).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(ws_words("text")).cast("bigint").alias("n_toks")
+    )
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    w = (
+        Window.partitionBy("cluster")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        assign.join(docs, "doc_id")
+        .join(q, "doc_id")
+        .select(
+            "cluster",
+            "doc_id",
+            "quality_score",
+            "n_toks",
+            F.sum("n_toks").over(w).alias("cum_toks"),
+        )
+        .where(F.col("cum_toks") <= TOPIC_TOKEN_BUDGET)
+    )
+
+
+def _topic_balanced_sql() -> str:
+    from golang_mapreduce_spark.operators.similarity import EMB_ASSIGN_CTES
+    from golang_mapreduce_spark.operators.textstats import QUALITY_SQL
+
+    return f"""
+WITH {EMB_ASSIGN_CTES},
+q AS (
+  {QUALITY_SQL.strip()}
+),
+toks AS (
+  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents
+),
+ranked AS (
+  SELECT a.cluster, a.vec_id AS doc_id, q.quality_score, t.n_toks,
+         CAST(SUM(t.n_toks) OVER (PARTITION BY a.cluster
+                                  ORDER BY q.quality_score DESC, a.vec_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_toks
+  FROM assign a
+  JOIN toks t ON t.doc_id = a.vec_id
+  JOIN q ON q.doc_id = a.vec_id
+)
+SELECT cluster, doc_id, quality_score, n_toks, cum_toks
+FROM ranked WHERE cum_toks <= {TOPIC_TOKEN_BUDGET}
+"""
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "temperature_rebalance_sample": temperature_rebalance_sample,
@@ -341,6 +501,8 @@ QUERIES = {
     "shuffle_shard_manifest": shuffle_shard_manifest,
     "balance_langs_sample": balance_langs_sample,
     "source_budget_select": source_budget_select,
+    "source_budget_select_hist": source_budget_select_hist,
+    "topic_balanced_select": topic_balanced_select,
 }
 
 ORACLES = {
@@ -349,5 +511,10 @@ ORACLES = {
     "shuffle_shard_manifest": SHUFFLE_SHARD_SQL,
     "balance_langs_sample": BALANCE_LANGS_SQL,
     "source_budget_select": _source_budget_sql(),
+    # the histogram fallback is answer-identical by construction, so it
+    # shares the window form's oracle — the driver row certifies the
+    # equivalence end-to-end
+    "source_budget_select_hist": _source_budget_sql(),
+    "topic_balanced_select": _topic_balanced_sql(),
     "temperature_rebalance_sample": TEMPERATURE_REBALANCE_SQL,
 }
