@@ -240,6 +240,24 @@ GROUP BY doc_id
 """
 
 
+#: Per-row band-struct expression over a ``sig`` array column — shared
+#: by the batch banding and the streaming (stateless) ingest path.
+BAND_STRUCT_EXPR = (
+    f"transform(sequence(0, {BANDS - 1}), "
+    f"b -> struct(b AS band, concat_ws(',', transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}), x -> CAST(x AS STRING))) AS bkey))"
+)
+
+
+def _bands_from(sig: DataFrame) -> DataFrame:
+    """Explode a (doc_id, sig array) relation into its LSH band-bucket
+    rows (doc_id, band, bkey) — shared by the single-scan pair join and
+    the materialized-base incremental path."""
+    return sig.select(
+        "doc_id",
+        F.explode(F.expr(BAND_STRUCT_EXPR)).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+
 def minhash_pairs_from(docs: DataFrame) -> DataFrame:
     """LSH candidate pairs over any (doc_id, text) relation: band the
     16-value signature into 4 bands of 4; docs sharing any band bucket
@@ -259,15 +277,7 @@ def minhash_pairs_from(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {BANDS - 1}), "
-                f"b -> struct(b AS band, concat_ws(',', transform(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND}), x -> CAST(x AS STRING))) AS bkey))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    bands = _bands_from(sig)
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -296,6 +306,32 @@ def minhash_pairs_from(docs: DataFrame) -> DataFrame:
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs_from(load_table(spark, sf_dir, "documents"))
+
+
+#: Spark-SQL fragment computing hash32 inside a lambda (hashing.hash32's
+#: Column form can't be referenced from transform()'s lambda scope).
+_H32_LAMBDA = "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)"
+
+
+def rowwise_hashes(sh_col: str = "sh") -> F.Column:
+    """Per-row hash32 of every shingle in a shingle-array column (the
+    intermediate for :func:`rowwise_signature` — hash once, fold 16
+    minima over the hashed array)."""
+    return F.expr(f"transform({sh_col}, s -> {_H32_LAMBDA})")
+
+
+def rowwise_signature(hs_col: str = "hs") -> F.Column:
+    """The 16-perm MinHash signature as ONE per-row expression over a
+    hashed-shingle array column (:func:`rowwise_hashes`) — no explode,
+    no shuffle, no state: the streaming-safe form of
+    :func:`_signatures_from` (identical values;
+    tests/test_streaming_triage.py pins the equivalence).  NULL for
+    empty shingle arrays, mirroring the batch form's >=3-token gate."""
+    mins = ", ".join(
+        f"array_min(transform({hs_col}, x -> ({a} * x + {b}) % {MINHASH_PRIME}))"
+        for a, b in SEEDS
+    )
+    return F.expr(f"CASE WHEN size({hs_col}) > 0 THEN array({mins}) END")
 
 
 def minhash_pairs_sql(src: str = "documents") -> str:
@@ -890,24 +926,27 @@ def clusters_from(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-def cc_walk_sql(pairs_cte: str) -> str:
+def cc_walk_sql(pairs_cte: str, prefix: str = "") -> str:
     """Connected-components recursive CTE block over a pairs relation
     exposing (doc_a, doc_b) — the SQL twin of :func:`clusters_from`,
     shared by every oracle that composes clustering.  Yields the
     ``edges``/``walk`` CTEs plus a final ``clusters(doc_id,
-    cluster_id)``; the enclosing statement must be WITH RECURSIVE."""
-    return f"""edges(a, b) AS (
+    cluster_id)``; the enclosing statement must be WITH RECURSIVE.
+    ``prefix`` renames all three CTEs so two independent CC walks (e.g.
+    the text near-dup graph and the semantic graph) can coexist in one
+    composed oracle."""
+    return f"""{prefix}edges(a, b) AS (
   SELECT doc_a, doc_b FROM {pairs_cte}
   UNION
   SELECT doc_b, doc_a FROM {pairs_cte}
 ),
-walk(node, label) AS (
-  SELECT a, a FROM edges
+{prefix}walk(node, label) AS (
+  SELECT a, a FROM {prefix}edges
   UNION
-  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+  SELECT e.b, w.label FROM {prefix}walk w JOIN {prefix}edges e ON e.a = w.node
 ),
-clusters AS (
-  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+{prefix}clusters AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM {prefix}walk GROUP BY node
 )"""
 
 
@@ -1232,6 +1271,168 @@ LEFT JOIN near n USING (doc_id)
 """
 
 
+def materialize_dedup_base(spark: SparkSession, sf_dir: str, base_dir: str) -> None:
+    """Write the BASE corpus's dedup state as the two parquet tables the
+    incremental contract reads instead of re-scanning the base per
+    batch (VERDICT r5 #5):
+
+    * ``base_hash``  — (h, exact_match): normalized-text md5 → min
+      base doc_id (the exact-dup probe table);
+    * ``base_sig``   — (doc_id, sig): the 16-perm MinHash signature
+      array (band buckets re-derive from it with zero text access).
+
+    In production these are updated per admitted batch (append new
+    hashes/signatures); a new doc never changes an old verdict, so the
+    tables only grow."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % INGEST_MOD == INGEST_RES
+    base = docs.where(~is_inc)
+    (
+        base.select(F.md5(F.lower(F.trim("text"))).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_match"))
+        .write.mode("overwrite")
+        .parquet(f"{base_dir}/base_hash")
+    )
+    (
+        _signatures_from(base)
+        .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
+        .write.mode("overwrite")
+        .parquet(f"{base_dir}/base_sig")
+    )
+
+
+def dedup_incremental_triage_from_base(
+    spark: SparkSession, sf_dir: str, base_dir: str
+) -> DataFrame:
+    """:func:`dedup_incremental_triage` against a MATERIALIZED base
+    (written by :func:`materialize_dedup_base`): the base corpus's text
+    is never re-read — the exact probe hits the stored hash table and
+    the near probe bands the stored signatures.  Only the incoming
+    batch is scanned/shingled.  Verdict-identical to the single-scan
+    form by construction (signatures are per-doc, banding and the
+    est-Jaccard filter are pure functions of the two signatures) —
+    tests/test_incremental_base.py pins the equivalence.
+
+    Scale shape: incoming-batch scan + two hash joins against the base
+    tables; the band join shuffles (band, bkey) collisions only.  Per
+    ingest batch of size B against a base of size N, work is O(B) scan
+    + O(collisions) — never O(N)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % INGEST_MOD == INGEST_RES
+    text_h = F.md5(F.lower(F.trim("text")))
+    base_hash = spark.read.parquet(f"{base_dir}/base_hash")
+    base_sig = spark.read.parquet(f"{base_dir}/base_sig")
+
+    inc_docs = docs.where(is_inc)
+    inc = inc_docs.select("doc_id", text_h.alias("h"))
+    inc_sig = _signatures_from(inc_docs).select(
+        "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    inc_bands = _bands_from(inc_sig)
+    base_bands = _bands_from(base_sig)
+    cand = (
+        inc_bands.alias("a")
+        .join(
+            base_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner"))
+        .distinct()
+    )
+    sa = inc_sig.select(F.col("doc_id"), F.col("sig").alias("sig_a"))
+    sb = base_sig.select(F.col("doc_id").alias("partner"), F.col("sig").alias("sig_b"))
+    near = (
+        cand.join(sa, "doc_id")
+        .join(sb, "partner")
+        .where(
+            F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+            / F.lit(float(NUM_HASHES))
+            >= MINHASH_EST_THRESHOLD
+        )
+        .groupBy("doc_id")
+        .agg(F.min("partner").alias("near_match"))
+    )
+    return (
+        inc.join(base_hash, "h", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+        )
+    )
+
+
+def _semantic_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared semantic-dup ranking: IVF-blocked cosine pairs →
+    per-cluster union-find (:func:`blocked_components`) → quality rank
+    within each semantic group.  Only edge-participating nodes appear —
+    every member of a >=2 group, exactly the semantic-dup population.
+    Consumers: :func:`semantic_dedup_keep` (rn == 1 summary) and
+    :func:`semantic_drop_ids` (rn > 1, the drop set the flagship
+    pipeline subtracts)."""
+    from golang_mapreduce_spark.operators.similarity import emb_neardup_pairs
+    from golang_mapreduce_spark.operators.textstats import quality_scores
+
+    pairs = emb_neardup_pairs(spark, sf_dir).select(
+        "cluster",
+        F.col("vec_a").alias("doc_a"),
+        F.col("vec_b").alias("doc_b"),
+    )
+    clusters = blocked_components(pairs)
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    return clusters.join(q, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        "quality_score",
+        F.row_number()
+        .over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.desc("quality_score"), F.asc("doc_id")
+            )
+        )
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy("cluster_id")).alias("n_members"),
+    )
+
+
+def semantic_drop_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_ids displaced by semantic dedup: every member of a semantic
+    group except its best-quality representative.  ``vec_id`` is the
+    fixture's 1:1 ``doc_id``.  Computed on the raw corpus, so
+    subtracting it anywhere in an id-filter chain is commutative."""
+    return _semantic_ranked(spark, sf_dir).where(F.col("rn") > 1).select("doc_id")
+
+
+def semantic_drop_ctes(prefix: str = "s") -> str:
+    """Oracle CTE block for the semantic drop set: requires
+    ``EMB_ASSIGN_CTES`` (emb/cent/assign) and a quality CTE ``q`` in the
+    enclosing WITH RECURSIVE; yields ``{prefix}pairs`` / the prefixed CC
+    walk / ``semdrop(doc_id)``."""
+    from golang_mapreduce_spark.operators.similarity import NEARDUP_COS
+
+    return f"""{prefix}pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= {NEARDUP_COS}
+),
+{cc_walk_sql(prefix + 'pairs', prefix=prefix)},
+semdrop AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                              ORDER BY q.quality_score DESC, c.doc_id) AS rn
+    FROM {prefix}clusters c JOIN q USING (doc_id)
+  ) WHERE rn > 1
+)"""
+
+
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, public): IVF
     cluster blocking over the document embeddings, within-cluster
@@ -1252,30 +1453,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     warm).  The keep decision is one window over
     (cluster, quality).  No all-pairs product anywhere, and text is
     never read by this operator at all — quality joins in by id."""
-    from golang_mapreduce_spark.operators.similarity import emb_neardup_pairs
-    from golang_mapreduce_spark.operators.textstats import quality_scores
-
-    pairs = emb_neardup_pairs(spark, sf_dir).select(
-        "cluster",
-        F.col("vec_a").alias("doc_a"),
-        F.col("vec_b").alias("doc_b"),
-    )
-    clusters = blocked_components(pairs)  # only edge-participating nodes:
-    # every member of a >=2 group, exactly the semantic-dup population
-    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
-    ranked = clusters.join(q, "doc_id").select(
-        "cluster_id",
-        "doc_id",
-        "quality_score",
-        F.row_number()
-        .over(
-            Window.partitionBy("cluster_id").orderBy(
-                F.desc("quality_score"), F.asc("doc_id")
-            )
-        )
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy("cluster_id")).alias("n_members"),
-    )
+    ranked = _semantic_ranked(spark, sf_dir)
     return ranked.where(F.col("rn") == 1).select(
         "cluster_id",
         F.col("doc_id").alias("keep_doc_id"),
@@ -1384,6 +1562,232 @@ GROUP BY n_copies
 """
 
 
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-text fraction (the RefinedWeb/Gopher
+    "fraction of n-grams in duplicated n-grams" repetition-across-corpus
+    signal, Penedo et al. 2023 §4.2): for every document with >= 5
+    tokens, the share of its 5-gram POSITIONS whose 5-gram also occurs
+    in at least one OTHER document — the per-doc score a pipeline
+    thresholds to drop boilerplate-heavy/templated documents that exact
+    and MinHash dedup both miss (no single pair is similar, but the
+    text is assembled from corpus-wide repeated spans).
+
+    Scale shape: one explode to (doc_id, hash) position rows; the
+    doc-frequency side is a distinct + count keyed on the 64-bit hash
+    (partial-agg'd; n-gram STRINGS never shuffle); the score join is
+    hash-keyed.  O(total positions) end to end, no pair product of any
+    kind — this is the linear-cost alternative to pairwise span dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= JACCARD_NGRAM)
+        .select("doc_id", F.explode(_shingles(JACCARD_NGRAM)).alias("s"))
+        .select("doc_id", hash32("s").alias("h"))
+    )
+    dfreq = (
+        pos.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    dup = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        pos.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pos"),
+            F.sum(dup).cast("bigint").alias("dup_pos"),
+        )
+        .select(
+            "doc_id",
+            "n_pos",
+            "dup_pos",
+            F.round(F.col("dup_pos").cast("double") / F.col("n_pos"), 6).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+DUP_NGRAM_FRACTION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         {sql_hash32("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {JACCARD_NGRAM - 1})) AS g(i)
+  WHERE len(t) >= {JACCARD_NGRAM}
+),
+dfreq AS (
+  SELECT h, COUNT(*) AS n_docs FROM (SELECT DISTINCT doc_id, h FROM pos) GROUP BY h
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_pos,
+       CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_pos,
+       ROUND(CAST(SUM(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+FROM pos p JOIN dfreq d USING (h)
+GROUP BY p.doc_id
+"""
+
+
+#: Minimum one-sided containment for a reported pair.
+CONTAINMENT_MIN = 0.5
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by n-gram CONTAINMENT
+    (|A∩B| / |A|): catches a short document wholly quoted inside a long
+    one, where Jaccard is tiny (union dominated by the long doc) and
+    both MinHash and SimHash stay silent — the news-wire / quote-chain
+    case the C4 and RealNews pipelines handle with containment, not
+    resemblance (Broder's distinction, "On the resemblance and
+    containment of documents", 1997).
+
+    Candidates come from the banded-LSH collision join (collisions, not
+    all-pairs); the exact intersection then anchors on candidate pairs
+    exactly as minhash_calibration does (O(candidates × shingles/doc)),
+    and a pair is reported when EITHER side's containment clears
+    {CONTAINMENT_MIN}.  Caveat, documented for scale honesty: LSH on
+    MinHash recalls high-JACCARD pairs, so extreme size-ratio
+    containments can be missed at the candidate stage; the production
+    fix is the same banding over a containment-preserving sketch
+    (e.g. a bottom-k sketch of the shorter side), which slots into this
+    exact dataflow."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = (
+        _signatures_from(docs)
+        .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = _bands_from(sig)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    doc_sh = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(_shingles(3)).alias("s"))
+        .select("doc_id", hash32("s").alias("h"))
+        .distinct()
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = doc_sh.select(F.col("doc_id").alias("doc_a"), "h")
+    sb = doc_sh.select(F.col("doc_id").alias("doc_b"), "h")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont_a = F.round(F.col("n_common").cast("double") / F.col("n_a"), 6)
+    cont_b = F.round(F.col("n_common").cast("double") / F.col("n_b"), 6)
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+        )
+        .where(
+            (F.col("containment_a") >= CONTAINMENT_MIN)
+            | (F.col("containment_b") >= CONTAINMENT_MIN)
+        )
+    )
+
+
+NGRAM_CONTAINMENT_SQL = f"""
+WITH {_sql_signature_cte()},
+sig AS (
+  SELECT doc_id, list(mv ORDER BY i) AS sig FROM mh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b AS band,
+         array_to_string(list_slice(sig, b * {ROWS_PER_BAND} + 1, (b + 1) * {ROWS_PER_BAND}), ',') AS bkey
+  FROM sig, (SELECT unnest(generate_series(0, {BANDS - 1})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sh3 AS (
+  SELECT DISTINCT doc_id, h FROM hashes
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN sh3 a ON a.doc_id = c.doc_a
+  JOIN sh3 b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, n_common,
+       ROUND(CAST(n_common AS DOUBLE) / na.n_sh, 6) AS containment_a,
+       ROUND(CAST(n_common AS DOUBLE) / nb.n_sh, 6) AS containment_b
+FROM common
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE ROUND(CAST(n_common AS DOUBLE) / na.n_sh, 6) >= {CONTAINMENT_MIN}
+   OR ROUND(CAST(n_common AS DOUBLE) / nb.n_sh, 6) >= {CONTAINMENT_MIN}
+"""
+
+
+def semantic_drop_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source semantic-duplication rate: how many of each source's
+    documents the SemDeDup tier displaces (non-representative members of
+    embedding-cosine groups) — the domain-level readout that turns
+    per-doc semantic dedup into a blocklist/down-weight decision, the
+    same way source_reputation rolls up the exact-dup tier.  One
+    ids-only left join and a |sources|-row aggregate on top of the
+    semantic drop set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    drops = semantic_drop_ids(spark, sf_dir).withColumn("is_drop", F.lit(1))
+    d = docs.join(drops, "doc_id", "left")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.coalesce("is_drop", F.lit(0))).cast("bigint").alias("n_dropped"),
+        F.round(
+            F.sum(F.coalesce("is_drop", F.lit(0))).cast("double") / F.count("*"), 6
+        ).alias("drop_rate"),
+    )
+
+
+def _semantic_drop_by_source_sql() -> str:
+    from golang_mapreduce_spark.operators.similarity import EMB_ASSIGN_CTES
+    from golang_mapreduce_spark.operators.textstats import QUALITY_SQL
+
+    return f"""
+WITH RECURSIVE {EMB_ASSIGN_CTES},
+q AS (
+  {QUALITY_SQL.strip()}
+),
+{semantic_drop_ctes()}
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_dropped,
+       ROUND(CAST(SUM(CASE WHEN s.doc_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS drop_rate
+FROM documents d LEFT JOIN semdrop s USING (doc_id)
+GROUP BY d.source
+"""
+
+
 QUERIES = {
     "dup_cluster_histogram": dup_cluster_histogram,
     "neardup_method_agreement": neardup_method_agreement,
@@ -1401,6 +1805,9 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "ngram_jaccard_pruned": ngram_jaccard_pruned,
     "neardup_clusters": neardup_clusters,
+    "dup_ngram_fraction": dup_ngram_fraction,
+    "ngram_containment_pairs": ngram_containment_pairs,
+    "semantic_drop_by_source": semantic_drop_by_source,
 }
 
 ORACLES = {
@@ -1420,4 +1827,7 @@ ORACLES = {
     "simhash_neardup_pairs": SIMHASH_NEARDUP_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "ngram_jaccard_pruned": NGRAM_JACCARD_PRUNED_SQL,
+    "dup_ngram_fraction": DUP_NGRAM_FRACTION_SQL,
+    "ngram_containment_pairs": NGRAM_CONTAINMENT_SQL,
+    "semantic_drop_by_source": _semantic_drop_by_source_sql(),
 }

@@ -239,6 +239,16 @@ def training_data_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the same scan, never a second pass over the cleaned chain);
     text is re-read only for the final token count of the surviving
     slice, and the packing fold's state is O(1) per language."""
+    surv = clean_corpus_decontaminated(spark, sf_dir).select("doc_id")
+    return _mixture_temp_pack(spark, sf_dir, surv)
+
+
+def _mixture_temp_pack(spark: SparkSession, sf_dir: str, surv: DataFrame) -> DataFrame:
+    """Shared tail of the flagship pipelines: source mixture sampling →
+    temperature language rebalancing → greedy per-language sequence
+    packing, over any survivor id set.  Both sampling stages are
+    stateless map-side hash filters against broadcast rate tables; text
+    is re-read only for the final token count of the surviving slice."""
     from golang_mapreduce_spark.operators.corpus import (
         MIX_PCTS,
         pack_docs,
@@ -247,7 +257,6 @@ def training_data_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     from golang_mapreduce_spark.functions.hashing import hash32
     from golang_mapreduce_spark.functions.text import ws_words
 
-    surv = clean_corpus_decontaminated(spark, sf_dir).select("doc_id")
     docs = load_table(spark, sf_dir, "documents")
     src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
     pct = (
@@ -273,7 +282,11 @@ def training_data_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_docs(toks)
 
 
-def _training_data_run_sql() -> str:
+def _training_tail_sql(extra_ctes: str = "", extra_pred: str = "") -> str:
+    """Assemble the full training-run oracle: the clean+decontaminate
+    chain, optional extra CTEs spliced before ``surv`` (and an optional
+    extra predicate on ``surv``), then the shared mixture → temperature
+    → pack tail."""
     from golang_mapreduce_spark.functions.hashing import sql_hash32
     from golang_mapreduce_spark.operators.corpus import (
         MIX_PCTS,
@@ -294,9 +307,11 @@ def _training_data_run_sql() -> str:
         f"WHEN 0 THEN {MIX_PCTS[0]} WHEN 1 THEN {MIX_PCTS[1]} "
         f"WHEN 2 THEN {MIX_PCTS[2]} ELSE {MIX_PCTS[3]} END"
     )
+    extra_ctes_clause = f"{extra_ctes},\n" if extra_ctes else ""
     return f"""{head.rstrip().rstrip(',')},
-surv AS (
+{extra_ctes_clause}surv AS (
   SELECT doc_id, lang, n_chars{final}
+  {extra_pred}
 ),
 {TEMP_RATES_CTES},
 toksrc AS (
@@ -313,15 +328,61 @@ SELECT doc_id, lang, n_toks, bin_id FROM packwalk
 """
 
 
+def _training_data_run_sql() -> str:
+    return _training_tail_sql()
+
+
+def training_data_run_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline with the SEMANTIC dedup tier composed in
+    (VERDICT r5 #3):
+
+        quality filter → exact dedup → near-dup keep-one →
+        SEMANTIC dedup (IVF-blocked cosine groups, keep-best-quality) →
+        eval-slice decontamination → source mixture sampling →
+        temperature language rebalancing → greedy sequence packing
+
+    The semantic stage subtracts :func:`dedup.semantic_drop_ids` — the
+    non-representative members of every embedding-cosine group — so the
+    end-to-end chain exercises blocked_components' one-shuffle
+    union-find and the quality-keep decision inside the composition.
+    The drop set is computed on the raw corpus (embeddings are per-doc),
+    so the anti-join commutes with the other id filters and the oracle
+    replays the whole chain in the same single recursive-CTE statement.
+
+    Scale: adds exactly the SemDeDup dataflow (broadcast ~sqrt(N)
+    centroids, per-cluster BLAS gram, ids-only drop set) between two
+    id-keyed anti-joins; no new text scan, no new global shuffle."""
+    from golang_mapreduce_spark.operators.dedup import semantic_drop_ids
+
+    surv = (
+        clean_corpus_decontaminated(spark, sf_dir)
+        .select("doc_id")
+        .join(semantic_drop_ids(spark, sf_dir), "doc_id", "left_anti")
+    )
+    return _mixture_temp_pack(spark, sf_dir, surv)
+
+
+def _training_data_run_semantic_sql() -> str:
+    from golang_mapreduce_spark.operators.dedup import semantic_drop_ctes
+    from golang_mapreduce_spark.operators.similarity import EMB_ASSIGN_CTES
+
+    return _training_tail_sql(
+        extra_ctes=f"{EMB_ASSIGN_CTES},\n{semantic_drop_ctes()}",
+        extra_pred="AND doc_id NOT IN (SELECT doc_id FROM semdrop)",
+    )
+
+
 QUERIES = {
     "clean_corpus": clean_corpus,
     "clean_corpus_decontaminated": clean_corpus_decontaminated,
     "source_reputation": source_reputation,
     "training_data_run": training_data_run,
+    "training_data_run_semantic": training_data_run_semantic,
 }
 ORACLES = {
     "clean_corpus": CLEAN_CORPUS_SQL,
     "clean_corpus_decontaminated": _clean_corpus_decon_sql(),
     "source_reputation": _source_reputation_sql(),
     "training_data_run": _training_data_run_sql(),
+    "training_data_run_semantic": _training_data_run_semantic_sql(),
 }
