@@ -2002,6 +2002,51 @@ FROM ks LEFT JOIN hits USING (query_id)
 """
 
 
+def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health diagnostics: per coarse cluster, its member
+    count and the mean/min cosine of members to their centroid — the
+    balance/coherence table that decides when to re-train centroids or
+    re-shard partitions (a skewed or incoherent cluster is exactly what
+    degrades both ANN recall and SemDeDup blocking).  At 100 TB this is
+    the table you chart after every centroid refresh.
+
+    Scale shape: the assignment is the shared BLAS pass against
+    broadcast ~sqrt(N) centroids; the member→centroid cosine is one
+    JVM fold per vector against its OWN centroid only (N cosines, not
+    N×C — the broadcast join is on cluster id); the rollup is one
+    partial-agg'd exchange with ~sqrt(N) output rows.  Mean cosine sums
+    exact DECIMAL(18,6) over the rounded values — partition-order
+    independent, the established avg convention."""
+    emb = _emb(spark, sf_dir)
+    cent = _centroids(emb)
+    assign = _ivf_assign(emb, cent)
+    c = cent.select(F.col("cid").alias("cluster"), "c_emb")
+    scored = assign.join(F.broadcast(c), "cluster").select(
+        "cluster", _cos("emb", "c_emb").alias("cos_c")
+    )
+    return scored.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.expr(
+            "round(CAST(SUM(CAST(cos_c AS DECIMAL(18,6))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("avg_cos"),
+        F.min("cos_c").alias("min_cos"),
+    )
+
+
+IVF_CLUSTER_STATS_SQL = f"""
+WITH {EMB_ASSIGN_CTES}
+SELECT a.cluster,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(ROUND(list_cosine_similarity(a.emb, c.c_emb), 6)
+                           AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_cos,
+       MIN(ROUND(list_cosine_similarity(a.emb, c.c_emb), 6)) AS min_cos
+FROM assign a JOIN cent c ON c.cid = a.cluster
+GROUP BY a.cluster
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -2023,6 +2068,7 @@ QUERIES = {
     "embedding_outliers": embedding_outliers,
     "knn_label_vote": knn_label_vote,
     "matryoshka_recall": matryoshka_recall,
+    "ivf_cluster_stats": ivf_cluster_stats,
 }
 
 ORACLES = {
@@ -2046,4 +2092,5 @@ ORACLES = {
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "knn_label_vote": KNN_LABEL_VOTE_SQL,
     "matryoshka_recall": MATRYOSHKA_SQL,
+    "ivf_cluster_stats": IVF_CLUSTER_STATS_SQL,
 }
