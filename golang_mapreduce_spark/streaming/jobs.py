@@ -557,6 +557,123 @@ def _pii_rates_oracle() -> str:
 
     return PII_RATES_SQL
 
+def streaming_incremental_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl ingest triage as a STREAMING job — the
+    production shape of dedup_incremental_triage: incoming documents
+    arrive on a stream, and every probe against the base corpus is a
+    STREAM-STATIC join (exact: md5 → base hash table; near: stateless
+    per-row MinHash signature → band explode → collision join with the
+    base's band table → est-Jaccard filter against the base's stored
+    signatures).  No text aggregation happens in streaming state: the
+    signature is the shuffle-free per-row form
+    (dedup.rowwise_signature — identical values to the batch explode +
+    groupBy form), so the only stateful operator is the final per-doc
+    verdict fold (MIN of matched partners), whose state is one row per
+    incoming-batch document — bounded by the ingest batch, the unit
+    production admission actually works in.
+
+    Drained output must equal the batch triage oracle exactly.  At
+    scale: the static side IS the materialized base
+    (dedup.materialize_dedup_base); swap the file source for Kafka and
+    nothing downstream changes."""
+    from golang_mapreduce_spark.operators.dedup import (
+        BAND_STRUCT_EXPR,
+        INGEST_MOD,
+        INGEST_RES,
+        MINHASH_EST_THRESHOLD,
+        NUM_HASHES,
+        _bands_from,
+        _shingles,
+        _signatures_from,
+        rowwise_hashes,
+        rowwise_signature,
+    )
+    from golang_mapreduce_spark.functions.text import ws_words
+    from golang_mapreduce_spark.sources.fixtures import load_table
+
+    # static base side (in production: the materialized base tables)
+    docs_b = load_table(spark, sf_dir, "documents")
+    is_inc = F.col("doc_id") % INGEST_MOD == INGEST_RES
+    base = docs_b.where(~is_inc)
+    base_hash = (
+        base.select(F.md5(F.lower(F.trim("text"))).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_match"))
+    )
+    base_sig = _signatures_from(base).select(
+        "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    )
+    base_bands = _bands_from(base_sig).select(
+        F.col("doc_id").alias("partner"), "band", "bkey"
+    )
+    base_sig_p = base_sig.select(
+        F.col("doc_id").alias("partner"), F.col("sig").alias("sig_b")
+    )
+
+    stream = (
+        spark.readStream.schema(docs_stream_schema())
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(is_inc)
+    )
+    inc = stream.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("h"),
+        ws_words("text").alias("toks"),
+    )
+    # branch E: every incoming doc probes the exact-hash table
+    null_id = F.lit(None).cast("long")
+    exact_rows = inc.join(base_hash, "h", "left").select(
+        "doc_id", "exact_match", null_id.alias("near_partner")
+    )
+    # branch N: stateless signature → bands → collision join → est filter
+    inc_sig = (
+        inc.where(F.size("toks") >= 3)
+        .select("doc_id", _shingles(3).alias("sh"))
+        .select("doc_id", rowwise_hashes("sh").alias("hs"))
+        .select("doc_id", rowwise_signature("hs").alias("sig"))
+    )
+    inc_bands = inc_sig.select(
+        "doc_id", "sig", F.explode(F.expr(BAND_STRUCT_EXPR)).alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    est = (
+        F.expr("size(filter(zip_with(sig, sig_b, (x, y) -> x = y), v -> v))")
+        / F.lit(float(NUM_HASHES))
+    )
+    near_rows = (
+        inc_bands.join(base_bands, ["band", "bkey"])
+        .join(base_sig_p, "partner")
+        .where(est >= MINHASH_EST_THRESHOLD)
+        .select("doc_id", null_id.alias("exact_match"), F.col("partner").alias("near_partner"))
+    )
+    agg = (
+        exact_rows.unionByName(near_rows)
+        .groupBy("doc_id")
+        .agg(
+            F.min("exact_match").alias("exact_match"),
+            F.min("near_partner").alias("near_match"),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), "exact_dup")
+            .when(F.col("near_match").isNotNull(), "near_dup")
+            .otherwise("novel")
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+        )
+    )
+    return run_stream_to_batch(agg, spark)
+
+
+def _streaming_triage_oracle() -> str:
+    from golang_mapreduce_spark.operators.dedup import (
+        INCREMENTAL_TRIAGE_SQL,
+        minhash_pairs_sql,
+    )
+
+    return INCREMENTAL_TRIAGE_SQL.format(PAIRS=minhash_pairs_sql("documents").strip())
+
+
 QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "stateful_sessionize": stateful_sessionize,
@@ -564,6 +681,7 @@ QUERIES = {
     "streaming_dedup": streaming_dedup,
     "streaming_packed_sequences": streaming_packed_sequences,
     "streaming_pii_rates": streaming_pii_rates,
+    "streaming_incremental_triage": streaming_incremental_triage,
 }
 ORACLES = {
     "streaming_tumbling_hourly": TUMBLING_SQL,
@@ -572,4 +690,5 @@ ORACLES = {
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "streaming_packed_sequences": PACKED_SEQUENCES_SQL,
     "streaming_pii_rates": _pii_rates_oracle(),
+    "streaming_incremental_triage": _streaming_triage_oracle(),
 }
