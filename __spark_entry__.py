@@ -58,101 +58,99 @@ _MODULES = [
 ]
 
 #: The external driver records correctness for the FIRST 50 registered
-#: queries only, so _ROUND5_WINDOW IS the round's driver window: exactly the
+#: queries only, so _ROUND6_WINDOW IS the round's driver window: exactly the
 #: first 50 names below get a CORRECTNESS row; EVERYTHING after entry 50
 #: is unchecked by the driver this round and is covered instead by the
 #: mandatory local type-sensitive parity suite
 #: (tests/test_oracle_parity.py, parameterized over all oracle-backed
 #: queries — keep it green in CI; it is the compensating gate).
 #:
-#: Round-5 window (VERDICT r4 #1 sets the rotation): (a) the 13
-#: round-4 operators that have never earned a driver row (added after
-#: the r4 window froze, per the rotate-after-recording convention) —
-#: with these recorded, every query registered through round 4 has at
-#: least one driver row across r1-r5; (b) the operators NEW this round
-#: (PII stats/redaction, SemDeDup-style semantic dedup, event-sequence
-#: n-gram mining — VERDICT r4 #2/#5/#6), so no new-op driver debt
-#: carries into round 6; (c) queries whose code path changed this
-#: round: vocab_topk (TakeOrderedAndProject rewrite, VERDICT r4 #3),
-#: training_data_run (temperature-rebalance stage composed in, VERDICT
-#: r4 #4), knn_numpy_batched (zero-norm mask in the shared batched
-#: scorer, ADVICE r4; its other consumers matryoshka_recall /
-#: knn_label_vote are already in (a)); (d) the 8 relational shapes the
-#: late-r4 BLAS batch displaced plus the other 3 queries whose last row
-#: is round 1; (e) r1-cohort refreshes (json_events,
-#: simhash_signatures, wc, indexer) bringing the window's r1-cohort
-#: count to exactly the >=15 floor; then (f) the 7 alphabetically
-#: first of the r2-stale cohort (the late-round operator batch — DSIR,
-#: budget selection, normalized dedup, novelty curve, incremental
-#: triage, BPE fertility, streaming PII, DSIR top-k — claimed 8 of
-#: the 15 (f) slots; new code outranks stale-but-checked cohorts).
-#: Round-6 leftovers: the remaining 33 r2-stale queries
-#: (hotkey_salted_join_revenue through window_range_7day_spend, plus
-#: q1x TPC-H shapes), all parity-covered meanwhile.
-_ROUND5_WINDOW = [
-    # (a) never driver-checked: the 13 late-round-4 operators
-    "temperature_rebalance_sample",  # also changed: temp_rates refactor
-    "balance_langs_sample",
-    "event_transition_matrix",
-    "minhash_calibration",       # also changed: est persist (ADVICE r4)
-    "knn_label_vote",
-    "matryoshka_recall",         # also changed: zero-prefix guard
-    "doc_length_histogram",
-    "quality_linear_score",
-    "sentence_stats",
-    "subword_sample_stats",
-    "blob_exact_dedup",
-    "source_token_concentration",
-    "contamination_rate_by_source",
-    # (b) new this round
-    "pii_rates",
-    "pii_redacted_sample",
+#: Round-6 window (VERDICT r5 #1/#2 set the rotation): (a) the
+#: operators NEW this round — the semantic-tier flagship, topic-balanced
+#: selection, the mega-domain histogram budget form (VERDICT r5 #3/#4/
+#: #6); (b) queries whose CODE PATH changed this round: the two approx
+#: sketches rewritten to the banded-oracle contract (VERDICT r5 #2 —
+#: their first-ever hash-matchable rows), semantic_dedup_keep (ranking
+#: refactored into the shared _semantic_ranked the flagship drop-set
+#: also uses), training_data_run (tail factored into _mixture_temp_pack
+#: shared with the semantic variant); (c) the r3-stale queries that are
+#: also r1-cohort, which double-count toward the >=15 r1-cohort floor —
+#: r2-stale ∩ r1-cohort is EMPTY, so the floor can only be met from
+#: r3-stale and fresher cohorts; (d) r1-cohort refreshes to reach the
+#: floor (15 r1-cohort entries); (e) 23 of the 33 r2-stale queries.
+#: Rotation-math necessity (new code outranks stale-but-checked — the
+#: five mid-round operators claimed their slots): 10 r2-stale defer to
+#: round 7, each with a fresher family member IN this window — the
+#: advanced-module cohort (pivot_segment_revenue, window_order_gaps,
+#: stats_summary, tfidf_top_terms, percentile_prices,
+#: nested_customer_profile; module mates approx_* re-checked now),
+#: label_centroids + nearest_centroid_confusion (centroid family —
+#: ivf_cluster_stats exercises it), quality_calibrated (quality_scores
+#: in window), ngram_jaccard_pruned (ngram_jaccard_pairs in window).
+#: All ten stay parity-covered in CI.
+_ROUND6_WINDOW = [
+    # (a) new this round
+    "training_data_run_semantic",
+    "topic_balanced_select",
+    "source_budget_select_hist",
+    "dup_ngram_fraction",
+    "ngram_containment_pairs",
+    "semantic_drop_by_source",
+    "ivf_cluster_stats",
+    "streaming_incremental_triage",
+    # (b) code path changed this round
+    "approx_distinct_users",     # banded contract — first hash-matched row
+    "approx_percentile_prices",  # banded contract — first hash-matched row
     "semantic_dedup_keep",
-    "event_ngram_patterns",
-    "dsir_importance_weights",
-    "source_budget_select",
-    "dedup_normalized",
-    "ngram_novelty_curve",
-    "dedup_incremental_triage",
-    "bpe_fertility_by_lang",
-    "streaming_pii_rates",
-    "dsir_topk_selection",
-    # (c) code path changed this round
-    "vocab_topk",
     "training_data_run",
-    "knn_numpy_batched",
-    # (d) stalest cohort: last driver row is round 1
-    "agg_cube_orders",
-    "agg_rollup_returns",
-    "correlated_min_price_parts",
-    "date_funcs",
-    "distinct_stats",
-    "join_anti_inactive_customers",
-    "join_left_order_counts",
-    "join_semi_big_spenders",
-    "media_blob_stats",
-    "scalar_funcs",
-    "set_ops_segments",
-    # (e) r1-cohort refreshes (floor: >= 15 r1-cohort entries/window)
-    "json_events",
-    "simhash_signatures",
-    "wc",
-    "indexer",
-    # (f) oldest r2-stale cohort (alphabetical prefix; rest to round 6)
-    "ann_recall_at_k",
-    "asof_purchase_click",
-    "bpe_token_stats",
-    "dataset_split_counts",
-    "funnel_conversion",
-    "grouping_sets_orders",
-    "hash_sample_docs",
+    # (c) r3-stale ∩ r1-cohort (floor contributors)
+    "file_counts",
+    "file_profile",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_priority_count",
+    "mr_wc",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_pairs",
+    "ngram_jaccard_pairs",
+    "knn_bruteforce",
+    # (d) r1-cohort refreshes to the >=15 floor (+1 spare)
+    "q5_local_supplier",
+    "q6_revenue_forecast",
+    "quality_scores",
+    "emb_neardup_pairs",   # feeds the new semantic flagship stage
+    # (e) r2-stale cohort (28 of 33; 5 defer to round 7, see above)
+    "json_events_typed",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q19_discounted_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_rich_customers",
+    "range_clicks_before_error",
+    "window_range_7day_spend",
+    "ntile_customer_quartiles",
+    "simhash_neardup_pairs",
+    "lsh_rp_topk",
+    "salted_word_count",
+    "salted_join_revenue",
+    "hotkey_salted_join_revenue",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:
     merged: dict = {}
     for d in dicts:
         merged.update(d)
-    out = {name: merged[name] for name in _ROUND5_WINDOW if name in merged}
+    out = {name: merged[name] for name in _ROUND6_WINDOW if name in merged}
     out.update({k: v for k, v in merged.items() if k not in out})
     return out
 

@@ -162,6 +162,12 @@ EXTRA = [
     "bpe_fertility_by_lang",
     "streaming_pii_rates",
     "dsir_topk_selection",
+    # round-6 additions
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    "training_data_run_semantic",
+    "topic_balanced_select",
+    "source_budget_select_hist",
 ]
 
 
@@ -221,6 +227,16 @@ BIG_QUERIES = [
     # two-LEAD window + pattern aggregate over 10x events
     "pii_rates",
     "event_ngram_patterns",
+    # round-6 additions (VERDICT r5 #7): the broadcast-stats DSIR pass,
+    # the hash-only novelty aggregate, the regex-bound normalized-dedup
+    # scan, and the SemDeDup chain.  Replicated-fixture degeneracy
+    # (every doc/vector has k-1 exact copies) makes semantic groups k×
+    # denser — a useful worst case, like minhash's, not a typical one.
+    "dsir_importance_weights",
+    "ngram_novelty_curve",
+    "dedup_normalized",
+    "semantic_dedup_keep",
+    "topic_balanced_select",
 ]
 
 

@@ -27,6 +27,8 @@ EXECUTING = {
     "clean_corpus_decontaminated",  # composes clean_corpus's CC loop
     "dedup_keep_best",
     "training_data_run",
+    "training_data_run_semantic",  # same CC loop + the temp_rates 1-row BNLJ
+    "streaming_incremental_triage",
 }
 # NOT excluded despite composing packed_sequences: packing_efficiency is
 # a pure DataFrame rollup over the applyInPandas packing plan — building
