@@ -1562,6 +1562,69 @@ GROUP BY n_copies
 """
 
 
+#: ppm granularity for the duplicate-aware keep-rate (matches the
+#: sampling module's convention; defined locally to keep module
+#: dependencies acyclic).
+_CW_PPM = 1_000_000
+
+
+def neardup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-AWARE soft dedup: instead of keep-one-per-cluster,
+    keep each member of a near-dup cluster with probability
+    1/cluster_size (hash-threshold membership, salt 'cw:') — expected
+    ONE surviving copy per cluster, but which copy survives varies by
+    doc hash, and popular content is down-weighted rather than
+    hard-deleted.  This is the soft-dedup alternative public pipelines
+    use when duplication frequency itself carries signal (a page
+    mirrored 1000x is still one page of "mass"): hard dedup biases
+    toward whichever copy sorts first, soft dedup preserves the
+    corpus-level distribution while killing the 1000x overcount.
+
+    Scale shape: the cluster labels are neardup_clusters' CC output
+    (ids only); sizes are one partial-agg'd count per cluster joined
+    back by id; the keep decision is a stateless map-side hash
+    threshold — identical membership on any engine or partitioning.
+    Unclustered docs have size 1 and always survive."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    clusters = clusters_from(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("csize"))
+    memb = (
+        docs.join(clusters, "doc_id", "left")
+        .join(sizes, "cluster_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            F.coalesce("csize", F.lit(1)).cast("bigint").alias("cluster_size"),
+        )
+    )
+    h = hash32(F.concat(F.lit("cw:"), F.col("doc_id").cast("string")))
+    return memb.where(h % _CW_PPM < F.expr(f"{_CW_PPM} div cluster_size"))
+
+
+NEARDUP_WEIGHTED_SAMPLE_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {DEDUP_MINHASH_PAIRS_SQL.strip()}
+),
+{cc_walk_sql('pairs')},
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS csize FROM clusters GROUP BY cluster_id
+),
+memb AS (
+  SELECT d.doc_id,
+         COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         CAST(COALESCE(s.csize, 1) AS BIGINT) AS cluster_size
+  FROM documents d
+  LEFT JOIN clusters c USING (doc_id)
+  LEFT JOIN sizes s ON s.cluster_id = c.cluster_id
+)
+SELECT doc_id, cluster_id, cluster_size
+FROM memb
+WHERE ('0x' || substr(md5('cw:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      % {_CW_PPM} < {_CW_PPM} // cluster_size
+"""
+
+
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-text fraction (the RefinedWeb/Gopher
     "fraction of n-grams in duplicated n-grams" repetition-across-corpus
@@ -1808,6 +1871,7 @@ QUERIES = {
     "dup_ngram_fraction": dup_ngram_fraction,
     "ngram_containment_pairs": ngram_containment_pairs,
     "semantic_drop_by_source": semantic_drop_by_source,
+    "neardup_weighted_sample": neardup_weighted_sample,
 }
 
 ORACLES = {
@@ -1830,4 +1894,5 @@ ORACLES = {
     "dup_ngram_fraction": DUP_NGRAM_FRACTION_SQL,
     "ngram_containment_pairs": NGRAM_CONTAINMENT_SQL,
     "semantic_drop_by_source": _semantic_drop_by_source_sql(),
+    "neardup_weighted_sample": NEARDUP_WEIGHTED_SAMPLE_SQL,
 }

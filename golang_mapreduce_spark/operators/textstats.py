@@ -630,6 +630,61 @@ FROM per_doc
 """
 
 
+def perplexity_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tercile split (Wenzek et al. 2020, §4.3):
+    per LANGUAGE, rank documents by their LM surprisal and cut the
+    corpus into head / middle / tail thirds — the standard
+    quality-stratification a pipeline trains on (head+middle) or
+    down-weights (tail).  Thresholds are the exact 1/3 and 2/3
+    interpolated quantiles of the 6-dp-rounded per-doc surprisal within
+    each language; assignment compares rounded values to rounded
+    thresholds, so the bucket is engine-independent.
+
+    Scale shape: the surprisal table is doc_perplexity's dataflow
+    (token-keyed joins, micro-unit exact sums); the thresholds are a
+    |langs|x2 aggregate broadcast back; the split itself is a stateless
+    map-side CASE.  At 100 TB the exact per-group percentile becomes
+    the approx_percentile sketch with a banded contract — same shape,
+    sketch thresholds (the head/tail boundary tolerates epsilon-rank
+    error by design)."""
+    ppl = doc_perplexity(spark, sf_dir).select("doc_id", "avg_surprisal")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = docs.join(ppl, "doc_id")
+    th = d.groupBy("lang").agg(
+        F.round(F.expr("percentile(avg_surprisal, CAST(1.0/3 AS DOUBLE))"), 6).alias("t1"),
+        F.round(F.expr("percentile(avg_surprisal, CAST(2.0/3 AS DOUBLE))"), 6).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_surprisal") <= F.col("t1"), "head")
+        .when(F.col("avg_surprisal") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return d.join(F.broadcast(th), "lang").select(
+        "doc_id", "lang", "avg_surprisal", bucket.alias("bucket")
+    )
+
+
+PERPLEXITY_TAIL_SQL = f"""
+WITH pp AS (
+  {DOC_PERPLEXITY_SQL.strip()}
+),
+th AS (
+  SELECT d.lang,
+         ROUND(quantile_cont(p.avg_surprisal, CAST(1.0/3 AS DOUBLE)), 6) AS t1,
+         ROUND(quantile_cont(p.avg_surprisal, CAST(2.0/3 AS DOUBLE)), 6) AS t2
+  FROM pp p JOIN documents d USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT p.doc_id, d.lang, p.avg_surprisal,
+       CASE WHEN p.avg_surprisal <= t.t1 THEN 'head'
+            WHEN p.avg_surprisal <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM pp p
+JOIN documents d USING (doc_id)
+JOIN th t ON t.lang = d.lang
+"""
+
+
 #: Per-language stopword inventory size (top-K most frequent tokens).
 STOP_TOP_K = 20
 
@@ -1514,6 +1569,7 @@ QUERIES = {
     "lang_stopword_quality": lang_stopword_quality,
     "quality_calibrated": quality_calibrated,
     "doc_perplexity": doc_perplexity,
+    "perplexity_tail_split": perplexity_tail_split,
     "lang_doc_stats": lang_doc_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "quality_scores": quality_scores,
@@ -1539,6 +1595,7 @@ ORACLES = {
     "lang_stopword_quality": LANG_STOPWORD_SQL,
     "quality_calibrated": QUALITY_CALIBRATED_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,
+    "perplexity_tail_split": PERPLEXITY_TAIL_SQL,
     "bigram_counts": BIGRAM_SQL,
     "winnow_fingerprints": WINNOW_SQL,
     "lang_doc_stats": LANG_STATS_SQL,

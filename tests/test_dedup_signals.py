@@ -68,3 +68,58 @@ def test_semantic_drop_by_source_consistent_with_drop_ids(spark, sf_dir):
     assert sum(r["n_dropped"] for r in per_source) == total_drops
     assert all(0.0 <= r["drop_rate"] <= 1.0 for r in per_source)
     spark.catalog.clearCache()
+
+
+def test_neardup_weighted_sample_soft_dedup(spark, sf_dir):
+    """Unclustered docs always survive; the expected surviving mass of
+    a cluster is ~1 (rate = PPM div size); and survivors report their
+    true cluster size."""
+    from golang_mapreduce_spark.operators.dedup import (
+        clusters_from,
+        dedup_minhash_pairs,
+        neardup_weighted_sample,
+    )
+    from golang_mapreduce_spark.sources.fixtures import load_table
+
+    kept = {r["doc_id"]: r for r in neardup_weighted_sample(spark, sf_dir).collect()}
+    assert kept
+    clustered = {
+        r["doc_id"]: r["cluster_id"]
+        for r in clusters_from(
+            dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        ).collect()
+    }
+    all_ids = {
+        r["doc_id"] for r in load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    # every unclustered doc (cluster_size 1) must survive
+    for d in all_ids - set(clustered):
+        assert d in kept and kept[d]["cluster_size"] == 1
+    # survivors of real clusters report a size >= 2
+    for d, r in kept.items():
+        if d in clustered:
+            assert r["cluster_size"] >= 2
+            assert r["cluster_id"] == clustered[d]
+    spark.catalog.clearCache()
+
+
+def test_perplexity_tail_split_terciles(spark, sf_dir):
+    """Within each language the three buckets are non-empty (enough
+    docs) and ordered: every head surprisal <= every middle <= every
+    tail."""
+    from collections import defaultdict
+
+    from golang_mapreduce_spark.operators.textstats import perplexity_tail_split
+
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in perplexity_tail_split(spark, sf_dir).collect():
+        by_lang[r["lang"]][r["bucket"]].append(r["avg_surprisal"])
+    assert by_lang
+    for lang, buckets in by_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        if n >= 9:
+            assert set(buckets) == {"head", "middle", "tail"}, (lang, set(buckets))
+        if buckets.get("head") and buckets.get("middle"):
+            assert max(buckets["head"]) <= min(buckets["middle"])
+        if buckets.get("middle") and buckets.get("tail"):
+            assert max(buckets["middle"]) <= min(buckets["tail"])
