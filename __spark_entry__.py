@@ -77,17 +77,19 @@ _MODULES = [
 #: also r1-cohort, which double-count toward the >=15 r1-cohort floor —
 #: r2-stale ∩ r1-cohort is EMPTY, so the floor can only be met from
 #: r3-stale and fresher cohorts; (d) r1-cohort refreshes to reach the
-#: floor (15 r1-cohort entries); (e) 23 of the 33 r2-stale queries.
+#: floor (15 r1-cohort entries); (e) 21 of the 33 r2-stale queries.
 #: Rotation-math necessity (new code outranks stale-but-checked — the
-#: five mid-round operators claimed their slots): 10 r2-stale defer to
+#: seven mid-round operators claimed their slots): 12 r2-stale defer to
 #: round 7, each with a fresher family member IN this window — the
 #: advanced-module cohort (pivot_segment_revenue, window_order_gaps,
 #: stats_summary, tfidf_top_terms, percentile_prices,
 #: nested_customer_profile; module mates approx_* re-checked now),
 #: label_centroids + nearest_centroid_confusion (centroid family —
 #: ivf_cluster_stats exercises it), quality_calibrated (quality_scores
-#: in window), ngram_jaccard_pruned (ngram_jaccard_pairs in window).
-#: All ten stay parity-covered in CI.
+#: in window), ngram_jaccard_pruned (ngram_jaccard_pairs in window),
+#: json_events_typed (json_events r5-fresh), range_clicks_before_error
+#: (temporal family; asof_purchase_click r5-fresh).  All twelve stay
+#: parity-covered in CI.
 _ROUND6_WINDOW = [
     # (a) new this round
     "training_data_run_semantic",
@@ -98,6 +100,8 @@ _ROUND6_WINDOW = [
     "semantic_drop_by_source",
     "ivf_cluster_stats",
     "streaming_incremental_triage",
+    "perplexity_tail_split",
+    "neardup_weighted_sample",
     # (b) code path changed this round
     "approx_distinct_users",     # banded contract — first hash-matched row
     "approx_percentile_prices",  # banded contract — first hash-matched row
@@ -120,8 +124,7 @@ _ROUND6_WINDOW = [
     "q6_revenue_forecast",
     "quality_scores",
     "emb_neardup_pairs",   # feeds the new semantic flagship stage
-    # (e) r2-stale cohort (28 of 33; 5 defer to round 7, see above)
-    "json_events_typed",
+    # (e) r2-stale cohort (21 of 33; the rest defer to round 7, see above)
     "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q8_market_share",
@@ -136,7 +139,6 @@ _ROUND6_WINDOW = [
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_rich_customers",
-    "range_clicks_before_error",
     "window_range_7day_spend",
     "ntile_customer_quartiles",
     "simhash_neardup_pairs",

@@ -168,6 +168,12 @@ EXTRA = [
     "training_data_run_semantic",
     "topic_balanced_select",
     "source_budget_select_hist",
+    "dup_ngram_fraction",
+    "ngram_containment_pairs",
+    "semantic_drop_by_source",
+    "ivf_cluster_stats",
+    "perplexity_tail_split",
+    "neardup_weighted_sample",
 ]
 
 
@@ -435,11 +441,17 @@ def main() -> None:
             qdir = big.get("dir") if name.startswith("big:") else sf_dir
             if qdir is None:
                 continue  # big section errored/skipped; nothing to retry
-            t0 = time.perf_counter()
-            force(queries[qname](spark, qdir))
-            all_timings[name] = min(
-                all_timings[name], round(time.perf_counter() - t0, 3)
-            )
+            # best-of-2 warm retries: the sandbox's host stalls come in
+            # multi-second bursts (see SCALE.md's drift postmortem), so a
+            # single retry landing inside the same burst still reads 3x+;
+            # two retries bound the gate's false-flag rate without
+            # letting a real plan regression through (it survives both).
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(queries[qname](spark, qdir))
+                all_timings[name] = min(
+                    all_timings[name], round(time.perf_counter() - t0, 3)
+                )
             # report the warm number: the cold first run measures
             # startup noise, not the plan (the gate already proved the
             # warm run is the representative one)
