@@ -30,18 +30,31 @@ EDGE_DOCS = [
 ]
 
 DOC_QUERIES = sorted(
-    (
-        set(mr_parity.ORACLES)
-        | set(textstats.ORACLES)
-        | set(dedup.ORACLES)
-        | set(pipeline.ORACLES)  # exact-dup docs exercise the collapse stage
-        | set(sampling.ORACLES)
-    )
-    # semantic_dedup_keep blocks on the EMBEDDINGS table (text is never
-    # read); this corpus-only fixture can't drive it — its adversarial
-    # coverage is tests/test_emb_fuzz_parity.py's vector edge cases
-    - {"semantic_dedup_keep"}
+    set(mr_parity.ORACLES)
+    | set(textstats.ORACLES)
+    | set(dedup.ORACLES)
+    | set(pipeline.ORACLES)  # exact-dup docs exercise the collapse stage
+    | set(sampling.ORACLES)
 )
+
+#: Edge embeddings for the semantic/topic family: exact duplicates
+#: (7, 8), a negated copy (5 = -4), near-parallel pairs, and tiny
+#: magnitudes — but NO zero vectors: zero-norm drop semantics are
+#: Spark-side by design (_ivf_assign docstring) and deliberately NOT
+#: mirrored by the SQL oracles; the zero-vector path is pinned in
+#: tests/test_emb_fuzz_parity.py instead.
+EDGE_EMBS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.9, 0.1, 0.0, 0.0], 0),
+    (2, [1e-6, 2e-6, 0.0, 0.0], 1),
+    (3, [0.0, 1.0, 0.0, 0.0], 1),
+    (4, [0.5, 0.5, 0.5, 0.5], 2),
+    (5, [-0.5, -0.5, -0.5, -0.5], 2),
+    (6, [0.0, 0.0, 1.0, 0.0], 0),
+    (7, [0.25, 0.25, 0.8, 0.1], 1),
+    (8, [0.25, 0.25, 0.8, 0.1], 1),
+    (9, [0.1, 0.2, 0.3, 0.4], 2),
+]
 
 
 @pytest.fixture(scope="module")
@@ -57,6 +70,16 @@ def edge_dir():
         }
     )
     pq.write_table(table, f"{d}/documents.parquet")
+    emb = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in EDGE_EMBS], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in EDGE_EMBS], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in EDGE_EMBS], pa.int64()),
+        }
+    )
+    pq.write_table(emb, f"{d}/embeddings.parquet")
     return d
 
 
@@ -65,6 +88,9 @@ def edge_duck(edge_dir):
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{edge_dir}/documents.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{edge_dir}/embeddings.parquet'"
     )
     yield con
     con.close()
