@@ -60,6 +60,7 @@ BNLJ_OK = {
     "int8_quant_topk",          # 1-row per-dim stats + 8-row query set
     "ivf_int8_topk",            # centroid table + 1-row stats broadcasts
     "doc_perplexity",           # 1-row corpus token total
+    "perplexity_tail_split",    # composes doc_perplexity's 1-row total
     "doc_perplexity_bigram",    # 1-row corpus token total
     "bm25_search",              # 1-row corpus stats (N, total length)
     "vocab_topk",               # 1-row corpus token total
