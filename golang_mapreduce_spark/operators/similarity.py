@@ -448,12 +448,12 @@ WHERE rank <= {TOP_K}
 """
 
 
-def _cluster_pair_scores(assign: DataFrame) -> DataFrame:
+def _cluster_pair_scores(assign: DataFrame, min_cos: float = NEARDUP_COS) -> DataFrame:
     """Within-cluster pair cosine scores: one BLAS gram matrix per
     cluster group (applyInPandas), emitting only pairs at or above
-    NEARDUP_COS (minus one rounding quantum of guard — the JVM filter on
-    the ROUNDED value is the binding one).  Output: (cluster, vec_a,
-    vec_b, cos_raw) with vec_a < vec_b.
+    ``min_cos`` (default NEARDUP_COS; minus one rounding quantum of
+    guard — the JVM filter on the ROUNDED value is the binding one).
+    Output: (cluster, vec_a, vec_b, cos_raw) with vec_a < vec_b.
 
     vs the previous self-join + interpreted per-pair fold this removes
     O(pairs x dim) interpreted steps AND the shuffle of O(pairs) array
@@ -479,7 +479,7 @@ def _cluster_pair_scores(assign: DataFrame) -> DataFrame:
         Vn = V / np.where(nrm == 0.0, 1.0, nrm)
         sims = Vn @ Vn.T
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = (sims[iu, ju] >= NEARDUP_COS - 1e-6) & nz[iu] & nz[ju]
+        keep = (sims[iu, ju] >= min_cos - 1e-6) & nz[iu] & nz[ju]
         ia, jb = iu[keep], ju[keep]
         return pd.DataFrame(
             {
@@ -2002,6 +2002,72 @@ FROM ks LEFT JOIN hits USING (query_id)
 """
 
 
+#: 0.05-wide cosine bins for the threshold-tuning curve.
+CURVE_BINS = 20
+
+
+def emb_cos_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for the semantic-dedup family — the
+    calibration chart that justifies (or re-tunes) NEARDUP_COS, exactly
+    as minhash_calibration justifies the MinHash threshold: bin every
+    within-cluster pair cosine (>= 0) into 0.05-wide bins and report
+    per-bin pair counts plus the cumulative pairs at-or-above each bin
+    — i.e. how many "duplicates" each candidate threshold would
+    declare.  Run after every embedding-model or centroid refresh; a
+    threshold on the curve's steep shoulder is unstable, one past the
+    knee is safe.
+
+    Scale shape: pairs come from the same blocked BLAS gram pass as
+    emb_neardup_pairs (collisions of the IVF blocking, never
+    all-pairs; the Python worker only emits pairs >= the curve floor);
+    the bins aggregate is partial-agg'd to <= {CURVE_BINS}+1 rows and
+    the cumulative window runs over those rows only."""
+    emb = _emb(spark, sf_dir)
+    assign = _ivf_assign(emb, _centroids(emb))
+    p = (
+        _cluster_pair_scores(assign, min_cos=0.0)
+        .select(F.round("cos_raw", 6).alias("cs"))
+        .where(F.col("cs") >= 0.0)
+    )
+    bins = (
+        p.select((F.floor(F.col("cs") * CURVE_BINS)).cast("int").alias("cos_bin"))
+        .groupBy("cos_bin")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = (
+        Window.orderBy(F.desc("cos_bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bins.select(
+        "cos_bin",
+        F.round(F.col("cos_bin") / CURVE_BINS, 6).alias("bin_lo"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_at_or_above"),
+    )
+
+
+EMB_COS_CURVE_SQL = f"""
+WITH {EMB_ASSIGN_CTES},
+p AS (
+  SELECT ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cs
+  FROM assign a
+  JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6) >= 0.0
+),
+bins AS (
+  SELECT CAST(FLOOR(cs * {CURVE_BINS}) AS INT) AS cos_bin,
+         COUNT(*) AS n_pairs
+  FROM p GROUP BY 1
+)
+SELECT cos_bin,
+       ROUND(CAST(cos_bin AS DOUBLE) / {CURVE_BINS}, 6) AS bin_lo,
+       n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY cos_bin DESC ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS n_at_or_above
+FROM bins
+"""
+
+
 def ivf_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index health diagnostics: per coarse cluster, its member
     count and the mean/min cosine of members to their centroid — the
@@ -2069,6 +2135,7 @@ QUERIES = {
     "knn_label_vote": knn_label_vote,
     "matryoshka_recall": matryoshka_recall,
     "ivf_cluster_stats": ivf_cluster_stats,
+    "emb_cos_threshold_curve": emb_cos_threshold_curve,
 }
 
 ORACLES = {
@@ -2093,4 +2160,5 @@ ORACLES = {
     "knn_label_vote": KNN_LABEL_VOTE_SQL,
     "matryoshka_recall": MATRYOSHKA_SQL,
     "ivf_cluster_stats": IVF_CLUSTER_STATS_SQL,
+    "emb_cos_threshold_curve": EMB_COS_CURVE_SQL,
 }

@@ -685,6 +685,73 @@ JOIN th t ON t.lang = d.lang
 """
 
 
+#: Documents per pseudo-ingestion batch for the drift monitor.
+DRIFT_BATCH = 100
+
+
+def quality_drift_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift monitor: treat contiguous doc_id ranges of
+    {DRIFT_BATCH} as ingestion batches and report, per (source, batch),
+    the batch's document count, mean quality, and its delta vs the
+    source's overall mean — the observability table a continuous
+    pipeline alerts on (a crawler whose parser broke shows up as one
+    source's quality falling off a cliff at a specific batch, long
+    before corpus-level aggregates move).
+
+    Scale shape: one quality scan feeds two partial-agg'd rollups —
+    per (source, batch) and per source (tiny, broadcast back); means
+    sum exact DECIMAL(18,6) over the rounded scores, so they are
+    partition-order independent; output is O(sources × batches),
+    i.e. O(corpus / {DRIFT_BATCH})."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(f"doc_id div {DRIFT_BATCH}").alias("batch")
+    )
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    d = docs.join(q, "doc_id")
+    avg_dec = F.expr(
+        "round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)"
+        " / COUNT(*), 6)"
+    )
+    per_batch = d.groupBy("source", "batch").agg(
+        F.count("*").alias("n_docs"), avg_dec.alias("avg_quality")
+    )
+    per_src = d.groupBy("source").agg(avg_dec.alias("src_avg"))
+    return per_batch.join(F.broadcast(per_src), "source").select(
+        "source",
+        "batch",
+        "n_docs",
+        "avg_quality",
+        F.round(F.col("avg_quality") - F.col("src_avg"), 6).alias("delta_vs_source"),
+    )
+
+
+def _quality_drift_sql() -> str:
+    return f"""
+WITH q AS (
+  {QUALITY_SQL.strip()}
+),
+d AS (
+  SELECT doc.source, doc.doc_id // {DRIFT_BATCH} AS batch, q.quality_score
+  FROM documents doc JOIN q ON q.doc_id = doc.doc_id
+),
+per_batch AS (
+  SELECT source, batch, COUNT(*) AS n_docs,
+         round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_quality
+  FROM d GROUP BY source, batch
+),
+per_src AS (
+  SELECT source,
+         round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS src_avg
+  FROM d GROUP BY source
+)
+SELECT b.source, b.batch, b.n_docs, b.avg_quality,
+       ROUND(b.avg_quality - s.src_avg, 6) AS delta_vs_source
+FROM per_batch b JOIN per_src s USING (source)
+"""
+
+
 #: Per-language stopword inventory size (top-K most frequent tokens).
 STOP_TOP_K = 20
 
@@ -1570,6 +1637,7 @@ QUERIES = {
     "quality_calibrated": quality_calibrated,
     "doc_perplexity": doc_perplexity,
     "perplexity_tail_split": perplexity_tail_split,
+    "quality_drift_by_batch": quality_drift_by_batch,
     "lang_doc_stats": lang_doc_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "quality_scores": quality_scores,
@@ -1596,6 +1664,7 @@ ORACLES = {
     "quality_calibrated": QUALITY_CALIBRATED_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,
     "perplexity_tail_split": PERPLEXITY_TAIL_SQL,
+    "quality_drift_by_batch": _quality_drift_sql(),
     "bigram_counts": BIGRAM_SQL,
     "winnow_fingerprints": WINNOW_SQL,
     "lang_doc_stats": LANG_STATS_SQL,

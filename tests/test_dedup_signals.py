@@ -123,3 +123,46 @@ def test_perplexity_tail_split_terciles(spark, sf_dir):
             assert max(buckets["head"]) <= min(buckets["middle"])
         if buckets.get("middle") and buckets.get("tail"):
             assert max(buckets["middle"]) <= min(buckets["tail"])
+
+
+def test_cos_threshold_curve_monotone(spark, sf_dir):
+    """The cumulative at-or-above count is non-increasing in the bin
+    floor, and the NEARDUP_COS bin's cumulative count is at least the
+    number of pairs emb_neardup_pairs reports at that threshold."""
+    from golang_mapreduce_spark.operators.similarity import (
+        CURVE_BINS,
+        NEARDUP_COS,
+        emb_cos_threshold_curve,
+        emb_neardup_pairs,
+    )
+
+    rows = sorted(
+        (r["cos_bin"], r["n_pairs"], r["n_at_or_above"])
+        for r in emb_cos_threshold_curve(spark, sf_dir).collect()
+    )
+    assert rows
+    # cumulative counts decrease as the bin floor rises
+    for (b1, _, c1), (b2, _, c2) in zip(rows, rows[1:]):
+        assert b1 < b2 and c1 >= c2
+    n_neardup = emb_neardup_pairs(spark, sf_dir).count()
+    thr_bin = int(NEARDUP_COS * CURVE_BINS)
+    at_thr = max((c for b, _, c in rows if b >= thr_bin), default=0)
+    assert at_thr >= n_neardup
+
+
+def test_quality_drift_deltas_sum_consistent(spark, sf_dir):
+    """Per-source, the doc-weighted mean of batch averages equals the
+    source average (so deltas are centered), within rounding."""
+    from collections import defaultdict
+
+    from golang_mapreduce_spark.operators.textstats import quality_drift_by_batch
+
+    rows = quality_drift_by_batch(spark, sf_dir).collect()
+    assert rows
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        n = sum(r["n_docs"] for r in rs)
+        weighted_delta = sum(r["delta_vs_source"] * r["n_docs"] for r in rs) / n
+        assert abs(weighted_delta) < 1e-4, (src, weighted_delta)
