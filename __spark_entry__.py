@@ -77,9 +77,9 @@ _MODULES = [
 #: also r1-cohort, which double-count toward the >=15 r1-cohort floor —
 #: r2-stale ∩ r1-cohort is EMPTY, so the floor can only be met from
 #: r3-stale and fresher cohorts; (d) r1-cohort refreshes to reach the
-#: floor (15 r1-cohort entries); (e) 21 of the 33 r2-stale queries.
+#: floor (15 r1-cohort entries); (e) 19 of the 33 r2-stale queries.
 #: Rotation-math necessity (new code outranks stale-but-checked — the
-#: seven mid-round operators claimed their slots): 12 r2-stale defer to
+#: nine mid-round operators claimed their slots): 14 r2-stale defer to
 #: round 7, each with a fresher family member IN this window — the
 #: advanced-module cohort (pivot_segment_revenue, window_order_gaps,
 #: stats_summary, tfidf_top_terms, percentile_prices,
@@ -88,8 +88,9 @@ _MODULES = [
 #: ivf_cluster_stats exercises it), quality_calibrated (quality_scores
 #: in window), ngram_jaccard_pruned (ngram_jaccard_pairs in window),
 #: json_events_typed (json_events r5-fresh), range_clicks_before_error
-#: (temporal family; asof_purchase_click r5-fresh).  All twelve stay
-#: parity-covered in CI.
+#: (temporal family; asof_purchase_click r5-fresh),
+#: q17_small_quantity_revenue + q20_promo_suppliers (q19/q14 family
+#: mates fresher).  All fourteen stay parity-covered in CI.
 _ROUND6_WINDOW = [
     # (a) new this round
     "training_data_run_semantic",
@@ -102,6 +103,8 @@ _ROUND6_WINDOW = [
     "streaming_incremental_triage",
     "perplexity_tail_split",
     "neardup_weighted_sample",
+    "emb_cos_threshold_curve",
+    "quality_drift_by_batch",
     # (b) code path changed this round
     "approx_distinct_users",     # banded contract — first hash-matched row
     "approx_percentile_prices",  # banded contract — first hash-matched row
@@ -134,9 +137,7 @@ _ROUND6_WINDOW = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_counts",
-    "q17_small_quantity_revenue",
     "q19_discounted_revenue",
-    "q20_promo_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_rich_customers",
     "window_range_7day_spend",

@@ -174,6 +174,8 @@ EXTRA = [
     "ivf_cluster_stats",
     "perplexity_tail_split",
     "neardup_weighted_sample",
+    "emb_cos_threshold_curve",
+    "quality_drift_by_batch",
 ]
 
 
@@ -287,7 +289,14 @@ def run_big_scale(spark, queries, sf_dir: str, sf) -> dict:
 #: environment factor), and flag only queries whose *normalized* ratio
 #: exceeds the threshold — a per-query plan regression moves one query
 #: against the suite; load moves them all together.
-REGRESSION_THRESHOLD = 1.3
+#: 1.5, up from the original 1.3: two full quiet-probe audits (rounds 5
+#: and 6) found every 1.3-1.45x flag to be host-stall noise — the same
+#: query re-timed warm on a quiet machine returned to (or beat) its
+#: recorded best with the plan unchanged — while every REAL plan
+#: regression ever caught (fixed-centroid quadratic, single-partition
+#: sorts) exceeded 2x.  1.5 keeps one-sided headroom for detection
+#: without flagging a dozen plan-identical queries per bursty run.
+REGRESSION_THRESHOLD = 1.5
 
 
 def regression_check(timings: dict[str, float]) -> dict:
