@@ -77,9 +77,9 @@ _MODULES = [
 #: also r1-cohort, which double-count toward the >=15 r1-cohort floor —
 #: r2-stale ∩ r1-cohort is EMPTY, so the floor can only be met from
 #: r3-stale and fresher cohorts; (d) r1-cohort refreshes to reach the
-#: floor (15 r1-cohort entries); (e) 19 of the 33 r2-stale queries.
+#: floor (15 r1-cohort entries); (e) 18 of the 33 r2-stale queries.
 #: Rotation-math necessity (new code outranks stale-but-checked — the
-#: nine mid-round operators claimed their slots): 14 r2-stale defer to
+#: ten mid-round operators claimed their slots): 15 r2-stale defer to
 #: round 7, each with a fresher family member IN this window — the
 #: advanced-module cohort (pivot_segment_revenue, window_order_gaps,
 #: stats_summary, tfidf_top_terms, percentile_prices,
@@ -90,7 +90,9 @@ _MODULES = [
 #: json_events_typed (json_events r5-fresh), range_clicks_before_error
 #: (temporal family; asof_purchase_click r5-fresh),
 #: q17_small_quantity_revenue + q20_promo_suppliers (q19/q14 family
-#: mates fresher).  All fourteen stay parity-covered in CI.
+#: mates fresher), ntile_customer_quartiles (window family;
+#: window_range_7day_spend in window).  All fifteen stay
+#: parity-covered in CI.
 _ROUND6_WINDOW = [
     # (a) new this round
     "training_data_run_semantic",
@@ -105,6 +107,7 @@ _ROUND6_WINDOW = [
     "neardup_weighted_sample",
     "emb_cos_threshold_curve",
     "quality_drift_by_batch",
+    "streaming_quality_monitor",
     # (b) code path changed this round
     "approx_distinct_users",     # banded contract — first hash-matched row
     "approx_percentile_prices",  # banded contract — first hash-matched row
@@ -141,7 +144,6 @@ _ROUND6_WINDOW = [
     "q21_waiting_suppliers",
     "q22_dormant_rich_customers",
     "window_range_7day_spend",
-    "ntile_customer_quartiles",
     "simhash_neardup_pairs",
     "lsh_rp_topk",
     "salted_word_count",

@@ -176,6 +176,8 @@ EXTRA = [
     "neardup_weighted_sample",
     "emb_cos_threshold_curve",
     "quality_drift_by_batch",
+    "streaming_incremental_triage",
+    "streaming_quality_monitor",
 ]
 
 

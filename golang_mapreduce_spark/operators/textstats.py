@@ -95,7 +95,14 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean word length, punctuation ratio, stopword ratio.  The score
     formula is arbitrary but fixed; all arithmetic is deterministic
     double math rounded at the end."""
-    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+def quality_features(docs: DataFrame, keep: tuple = ("doc_id",)) -> DataFrame:
+    """The quality projection over any (text, n_chars, …) relation —
+    shared by the batch query and the streaming monitor (every
+    expression is per-row/stateless, so it applies unchanged to a
+    streaming DataFrame).  ``keep`` lists the pass-through columns."""
     sw_list = ", ".join(f"'{w}'" for w in STOPWORDS)
     toks = ws_words("text")
     n_stop = F.size(F.expr(f"filter(toks, t -> t IN ({sw_list}))"))
@@ -107,12 +114,12 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / NULLIF(size(toks), 0), 0.0)"
     )
     base = docs.select(
-        "doc_id",
+        *keep,
         "n_chars",
         toks.alias("toks"),
         n_punct.alias("n_punct"),
     ).select(
-        "doc_id",
+        *keep,
         F.coalesce(F.size("toks"), F.lit(0)).alias("n_tokens"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(
@@ -129,7 +136,7 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return base.select(
-        "doc_id", "n_tokens", "mean_word_len", "punct_ratio", "stopword_ratio",
+        *keep, "n_tokens", "mean_word_len", "punct_ratio", "stopword_ratio",
         score.alias("quality_score"),
     )
 

@@ -665,6 +665,57 @@ def streaming_incremental_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(agg, spark)
 
 
+def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus-quality rates computed through Structured
+    Streaming — the live dashboard a continuous-ingest pipeline watches
+    next to the PII audit: documents arrive as a file/Kafka stream, the
+    quality features are the SAME stateless per-row expressions the
+    batch operator uses (textstats.quality_features — nothing is
+    duplicated, so the two surfaces can't drift), and the per-source
+    rollup accumulates in |sources|-row streaming state.  Drained
+    output must equal the batch aggregate oracle exactly.
+
+    Scale: stateless map + one keyed running aggregate of bounded
+    cardinality; swap the file source for Kafka and nothing downstream
+    changes."""
+    from golang_mapreduce_spark.operators.textstats import quality_features
+
+    docs = (
+        spark.readStream.schema(docs_stream_schema())
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = quality_features(docs, keep=("source",))
+    agg = q.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            "round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("avg_quality"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+    )
+    return run_stream_to_batch(agg, spark)
+
+
+def _streaming_quality_oracle() -> str:
+    from golang_mapreduce_spark.operators.textstats import QUALITY_SQL
+
+    return f"""
+WITH q AS (
+  {QUALITY_SQL.strip()}
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       round(CAST(SUM(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_quality,
+       MIN(q.quality_score) AS min_quality,
+       MAX(q.quality_score) AS max_quality
+FROM documents d JOIN q USING (doc_id)
+GROUP BY d.source
+"""
+
+
 def _streaming_triage_oracle() -> str:
     from golang_mapreduce_spark.operators.dedup import (
         INCREMENTAL_TRIAGE_SQL,
@@ -682,6 +733,7 @@ QUERIES = {
     "streaming_packed_sequences": streaming_packed_sequences,
     "streaming_pii_rates": streaming_pii_rates,
     "streaming_incremental_triage": streaming_incremental_triage,
+    "streaming_quality_monitor": streaming_quality_monitor,
 }
 ORACLES = {
     "streaming_tumbling_hourly": TUMBLING_SQL,
@@ -691,4 +743,5 @@ ORACLES = {
     "streaming_packed_sequences": PACKED_SEQUENCES_SQL,
     "streaming_pii_rates": _pii_rates_oracle(),
     "streaming_incremental_triage": _streaming_triage_oracle(),
+    "streaming_quality_monitor": _streaming_quality_oracle(),
 }
