@@ -2006,6 +2006,53 @@ FROM ks LEFT JOIN hits USING (query_id)
 CURVE_BINS = 20
 
 
+def _cluster_pair_hist(assign: DataFrame) -> DataFrame:
+    """Per-cluster cosine-bin histogram computed INSIDE the gram-matrix
+    worker: each applyInPandas group emits at most {CURVE_BINS}+1
+    (cos_bin, n_pairs) rows instead of one row per qualifying pair.
+    This is the difference between the curve scaling like the blocked
+    pair product's OUTPUT (O(pairs above floor) rows across the Arrow
+    boundary — at the 100x replicated probe that was ~2e8 rows and the
+    job did not finish in 18 minutes) and scaling like its COMPUTE
+    (the gram matmul, with O(clusters × bins) rows leaving Python —
+    the same run completes in seconds).
+
+    Parity with the pair-level form: the bin is floor(round_half_up(
+    cos, 6) × {CURVE_BINS}) for rounded cos >= 0, where half-up
+    rounding of the non-negative float64 cosine is floor(x·1e6 + 0.5)
+    — the same value the JVM's ROUND(HALF_UP) and DuckDB's ROUND
+    produce; BLAS and the engines' cosine folds differ by <= 1e-14,
+    far inside the 1e-6 quantum (the standing BLAS-path argument;
+    tests pin the curve against the raw-pair oracle at two SFs)."""
+    import numpy as np
+
+    def hist(key, pdf):
+        import pandas as pd
+
+        V = np.array(list(pdf["emb"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        nrm = np.linalg.norm(V, axis=1, keepdims=True)
+        nz = nrm[:, 0] > 0.0
+        Vn = V / np.where(nrm == 0.0, 1.0, nrm)
+        sims = Vn @ Vn.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cs = sims[iu, ju]
+        ok = nz[iu] & nz[ju]
+        # half-up 6-dp rounding (valid for cs >= -0.5e-6; more-negative
+        # pairs are dropped by the >= 0 filter either way)
+        rounded = np.floor(cs * 1e6 + 0.5) / 1e6
+        keep = ok & (rounded >= 0.0)
+        bins = np.minimum(
+            np.floor(rounded[keep] * CURVE_BINS).astype(np.int64), CURVE_BINS
+        )
+        b, n = np.unique(bins, return_counts=True)
+        return pd.DataFrame({"cos_bin": b.astype(np.int32), "n_pairs": n})
+
+    return assign.groupBy("cluster").applyInPandas(
+        hist, schema="cos_bin int, n_pairs long"
+    )
+
+
 def emb_cos_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Threshold-tuning curve for the semantic-dedup family — the
     calibration chart that justifies (or re-tunes) NEARDUP_COS, exactly
@@ -2017,22 +2064,19 @@ def emb_cos_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold on the curve's steep shoulder is unstable, one past the
     knee is safe.
 
-    Scale shape: pairs come from the same blocked BLAS gram pass as
-    emb_neardup_pairs (collisions of the IVF blocking, never
-    all-pairs; the Python worker only emits pairs >= the curve floor);
-    the bins aggregate is partial-agg'd to <= {CURVE_BINS}+1 rows and
-    the cumulative window runs over those rows only."""
+    Scale shape: the same blocked BLAS gram pass as emb_neardup_pairs,
+    but the histogram is folded INSIDE the worker
+    (:func:`_cluster_pair_hist`) — O(clusters × bins) rows ever leave
+    Python, so the curve costs the gram compute, not the pair output
+    (the pair-level form did not finish the 100x probe; this one runs
+    in seconds).  The final aggregate and cumulative window run over
+    <= {CURVE_BINS}+1 rows."""
     emb = _emb(spark, sf_dir)
     assign = _ivf_assign(emb, _centroids(emb))
-    p = (
-        _cluster_pair_scores(assign, min_cos=0.0)
-        .select(F.round("cos_raw", 6).alias("cs"))
-        .where(F.col("cs") >= 0.0)
-    )
     bins = (
-        p.select((F.floor(F.col("cs") * CURVE_BINS)).cast("int").alias("cos_bin"))
+        _cluster_pair_hist(assign)
         .groupBy("cos_bin")
-        .agg(F.count("*").alias("n_pairs"))
+        .agg(F.sum("n_pairs").cast("bigint").alias("n_pairs"))
     )
     w = (
         Window.orderBy(F.desc("cos_bin"))
