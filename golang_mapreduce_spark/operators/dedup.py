@@ -1715,10 +1715,12 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a pair is reported when EITHER side's containment clears
     {CONTAINMENT_MIN}.  Caveat, documented for scale honesty: LSH on
     MinHash recalls high-JACCARD pairs, so extreme size-ratio
-    containments can be missed at the candidate stage; the production
-    fix is the same banding over a containment-preserving sketch
-    (e.g. a bottom-k sketch of the shorter side), which slots into this
-    exact dataflow."""
+    containments can be missed at the candidate stage;
+    :func:`containment_bottomk_pairs` is the containment-preserving
+    candidate source (bottom-k sketch inverted-index join) that closes
+    exactly that recall hole over the same exact phase
+    (tests/test_containment_bottomk.py pins an adversarial pair this
+    form misses and that one catches)."""
     docs = load_table(spark, sf_dir, "documents")
     sig = (
         _signatures_from(docs)
@@ -1734,13 +1736,29 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    doc_sh = (
+    return _containment_exact(cand, _distinct_shingle_hashes(docs))
+
+
+def _distinct_shingle_hashes(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, h) rows over 3-gram shingle hashes — the exact
+    shingle-set relation both containment candidate generators anchor
+    their exact intersections on."""
+    return (
         docs.select("doc_id", ws_words("text").alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(_shingles(3)).alias("s"))
         .select("doc_id", hash32("s").alias("h"))
         .distinct()
     )
+
+
+def _containment_exact(cand: DataFrame, doc_sh: DataFrame) -> DataFrame:
+    """EXACT two-sided containment on a (doc_a, doc_b) candidate
+    relation: intersect the shingle sets anchored on candidates only
+    (O(candidates × shingles/doc), never all-pairs), then report pairs
+    where either side's containment clears CONTAINMENT_MIN.  Shared by
+    the LSH-candidate and bottom-k-candidate forms, so the two differ
+    ONLY in recall of the candidate stage."""
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = doc_sh.select(F.col("doc_id").alias("doc_a"), "h")
     sb = doc_sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -1789,6 +1807,12 @@ cand AS (
 sh3 AS (
   SELECT DISTINCT doc_id, h FROM hashes
 ),
+{{TAIL}}
+"""
+
+#: Shared oracle tail: exact containment anchored on a ``cand`` CTE over
+#: the ``sh3`` distinct-shingle relation (mirrors _containment_exact).
+_CONTAINMENT_SQL_TAIL = f"""
 sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM sh3 GROUP BY doc_id
 ),
@@ -1808,6 +1832,138 @@ JOIN sizes nb ON nb.doc_id = doc_b
 WHERE ROUND(CAST(n_common AS DOUBLE) / na.n_sh, 6) >= {CONTAINMENT_MIN}
    OR ROUND(CAST(n_common AS DOUBLE) / nb.n_sh, 6) >= {CONTAINMENT_MIN}
 """
+
+NGRAM_CONTAINMENT_SQL = NGRAM_CONTAINMENT_SQL.format(TAIL=_CONTAINMENT_SQL_TAIL.strip())
+
+
+#: bottom-k sketch size (k smallest distinct shingle hashes per doc).
+BOTTOMK_K = 8
+#: inverted-index doc-frequency cap: shingles present in more documents
+#: than this are too common to be a useful containment witness and are
+#: skipped on the index side (bounds the join fan-out at scale).
+BOTTOMK_DF_CAP = 64
+
+
+def containment_bottomk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-PRESERVING candidate generation: the recall fix for
+    the LSH caveat documented on :func:`ngram_containment_pairs`
+    (Broder 1997 §4 — a bottom-k sketch estimates CONTAINMENT, where
+    MinHash banding only recalls resemblance).  A short document fully
+    quoted inside a long one has Jaccard ~|A|/|B| (invisible to the
+    banded MinHash join) but containment_a = 1.0; its bottom-k sketch
+    hashes ALL occur in the long doc, so the sketch-vs-inverted-index
+    join cannot miss it (tests/test_containment_bottomk.py pins an
+    adversarial such pair end-to-end against both forms).
+
+    Dataflow: per doc keep the k={BOTTOMK_K} smallest distinct shingle
+    hashes (the sketch); join the sketch rows against the distinct
+    (doc_id, h) inverted index restricted to shingles with document
+    frequency <= {BOTTOMK_DF_CAP}; a pair becomes a candidate when at
+    least 1/4 of the source sketch matches (4*m >= k, integer-exact on
+    both engines); the shared exact phase (_containment_exact) then
+    computes true two-sided containment and filters at
+    {CONTAINMENT_MIN}.  Scale shape: the sketch side is k rows per doc,
+    the index join fans out at most df per hash (capped), so candidate
+    volume is O(N * k * df_cap) — linear in corpus size, never
+    all-pairs; the exact phase anchors on candidates exactly as the LSH
+    form does."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_sh = _distinct_shingle_hashes(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    w = Window.partitionBy("doc_id").orderBy("h")
+    bk = (
+        doc_sh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= BOTTOMK_K)
+        .select("doc_id", "h")
+    )
+    ksz = bk.groupBy("doc_id").agg(F.count("*").alias("kk"))
+    dfreq = doc_sh.groupBy("h").agg(F.count("*").alias("nd"))
+    inv = (
+        doc_sh.join(dfreq.where(F.col("nd") <= BOTTOMK_DF_CAP), "h")
+        .select("doc_id", "h")
+    )
+    cdir = (
+        bk.alias("a")
+        .join(inv.alias("b"), (F.col("b.h") == F.col("a.h")) & (F.col("b.doc_id") != F.col("a.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("m"))
+    )
+    cand = (
+        cdir.join(ksz.withColumnRenamed("doc_id", "src"), "src")
+        .where(F.lit(4) * F.col("m") >= F.col("kk"))
+        .select(
+            F.least("src", "dst").alias("doc_a"),
+            F.greatest("src", "dst").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # persist spans the candidate AND exact phases (5 reuses of doc_sh);
+    # released by the caller's clearCache like the sibling sig persists
+    return _containment_exact(cand, doc_sh)
+
+
+CONTAINMENT_BOTTOMK_SQL = f"""
+WITH {_sql_signature_cte()},
+sh3 AS (
+  SELECT DISTINCT doc_id, h FROM hashes
+),
+bk AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM sh3
+  ) WHERE rn <= {BOTTOMK_K}
+),
+ksz AS (
+  SELECT doc_id, COUNT(*) AS kk FROM bk GROUP BY doc_id
+),
+dfreq AS (
+  SELECT h, COUNT(*) AS nd FROM sh3 GROUP BY h
+),
+inv AS (
+  SELECT s.doc_id, s.h FROM sh3 s JOIN dfreq USING (h) WHERE nd <= {BOTTOMK_DF_CAP}
+),
+cdir AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS m
+  FROM bk a JOIN inv b ON b.h = a.h AND b.doc_id <> a.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT LEAST(src, dst) AS doc_a, GREATEST(src, dst) AS doc_b
+  FROM cdir JOIN ksz ON ksz.doc_id = cdir.src
+  WHERE 4 * m >= kk
+),
+{_CONTAINMENT_SQL_TAIL.strip()}
+"""
+
+
+def incremental_triage_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-base incremental contract as a DRIVER-CHECKED
+    query: materialize the base corpus's dedup state once
+    (:func:`materialize_dedup_base` — idempotent marker keyed on the
+    corpus file's identity), then triage the incoming slice against the
+    STORED tables (:func:`dedup_incremental_triage_from_base`).  Shares
+    the single-scan form's oracle, so a green driver row certifies the
+    from-base path verdict-identical to the replayable SQL — the same
+    oracle-sharing move source_budget_select_hist uses.
+
+    Scale shape: exactly the from-base form's — O(batch) scan + two
+    probes against stored hash/signature tables; base text never
+    re-read (plan-asserted in tests/test_incremental_base.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    base_dir = os.path.join(tempfile.gettempdir(), f"gmrs_base_{tag}")
+    marker = os.path.join(base_dir, "_MATERIALIZED")
+    if not os.path.exists(marker):
+        materialize_dedup_base(spark, sf_dir, base_dir)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return dedup_incremental_triage_from_base(spark, sf_dir, base_dir)
 
 
 def semantic_drop_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1860,6 +2016,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_normalized": dedup_normalized,
     "dedup_incremental_triage": dedup_incremental_triage,
+    "incremental_triage_materialized": incremental_triage_materialized,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "minhash_calibration": minhash_calibration,
@@ -1870,6 +2027,7 @@ QUERIES = {
     "neardup_clusters": neardup_clusters,
     "dup_ngram_fraction": dup_ngram_fraction,
     "ngram_containment_pairs": ngram_containment_pairs,
+    "containment_bottomk_pairs": containment_bottomk_pairs,
     "semantic_drop_by_source": semantic_drop_by_source,
     "neardup_weighted_sample": neardup_weighted_sample,
 }
@@ -1884,6 +2042,9 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_normalized": DEDUP_NORMALIZED_SQL,
     "dedup_incremental_triage": INCREMENTAL_TRIAGE_SQL.format(PAIRS=minhash_pairs_sql("documents").strip()),
+    # shares the single-scan oracle: a green row certifies the
+    # materialized-base path verdict-identical to the replayable SQL
+    "incremental_triage_materialized": INCREMENTAL_TRIAGE_SQL.format(PAIRS=minhash_pairs_sql("documents").strip()),
     "minhash_signatures": MINHASH_SIG_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
@@ -1893,6 +2054,7 @@ ORACLES = {
     "ngram_jaccard_pruned": NGRAM_JACCARD_PRUNED_SQL,
     "dup_ngram_fraction": DUP_NGRAM_FRACTION_SQL,
     "ngram_containment_pairs": NGRAM_CONTAINMENT_SQL,
+    "containment_bottomk_pairs": CONTAINMENT_BOTTOMK_SQL,
     "semantic_drop_by_source": _semantic_drop_by_source_sql(),
     "neardup_weighted_sample": NEARDUP_WEIGHTED_SAMPLE_SQL,
 }

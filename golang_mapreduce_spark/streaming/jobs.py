@@ -557,7 +557,9 @@ def _pii_rates_oracle() -> str:
 
     return PII_RATES_SQL
 
-def streaming_incremental_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_incremental_triage(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> DataFrame:
     """Continuous-crawl ingest triage as a STREAMING job — the
     production shape of dedup_incremental_triage: incoming documents
     arrive on a stream, and every probe against the base corpus is a
@@ -572,10 +574,24 @@ def streaming_incremental_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming-batch document — bounded by the ingest batch, the unit
     production admission actually works in.
 
-    Drained output must equal the batch triage oracle exactly.  At
-    scale: the static side IS the materialized base
-    (dedup.materialize_dedup_base); swap the file source for Kafka and
-    nothing downstream changes."""
+    Drained output must equal the batch triage oracle exactly.  With
+    ``base_dir`` set (VERDICT r6 #4), the static side IS the
+    materialized base written by dedup.materialize_dedup_base — the
+    base corpus's text is never read at all (plan-asserted in
+    tests/test_streaming_triage.py), which is the production shape:
+    per ingest batch, only the batch is scanned/shingled.  Swap the
+    file source for Kafka and nothing downstream changes."""
+    return run_stream_to_batch(
+        _streaming_triage_frame(spark, sf_dir, base_dir), spark
+    )
+
+
+def _streaming_triage_frame(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> DataFrame:
+    """The un-drained streaming frame behind
+    :func:`streaming_incremental_triage` — exposed so tests can audit
+    the pre-execution plan (base text never scanned)."""
     from golang_mapreduce_spark.operators.dedup import (
         BAND_STRUCT_EXPR,
         INGEST_MOD,
@@ -591,18 +607,22 @@ def streaming_incremental_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from golang_mapreduce_spark.functions.text import ws_words
     from golang_mapreduce_spark.sources.fixtures import load_table
 
-    # static base side (in production: the materialized base tables)
-    docs_b = load_table(spark, sf_dir, "documents")
+    # static base side: the stored tables when materialized, else
+    # derived from the corpus scan so the oracle can replay it
     is_inc = F.col("doc_id") % INGEST_MOD == INGEST_RES
-    base = docs_b.where(~is_inc)
-    base_hash = (
-        base.select(F.md5(F.lower(F.trim("text"))).alias("h"), "doc_id")
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("exact_match"))
-    )
-    base_sig = _signatures_from(base).select(
-        "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
-    )
+    if base_dir is not None:
+        base_hash = spark.read.parquet(f"{base_dir}/base_hash")
+        base_sig = spark.read.parquet(f"{base_dir}/base_sig")
+    else:
+        base = load_table(spark, sf_dir, "documents").where(~is_inc)
+        base_hash = (
+            base.select(F.md5(F.lower(F.trim("text"))).alias("h"), "doc_id")
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("exact_match"))
+        )
+        base_sig = _signatures_from(base).select(
+            "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+        )
     base_bands = _bands_from(base_sig).select(
         F.col("doc_id").alias("partner"), "band", "bkey"
     )
@@ -662,7 +682,7 @@ def streaming_incremental_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_match", "near_match").alias("match_doc_id"),
         )
     )
-    return run_stream_to_batch(agg, spark)
+    return agg
 
 
 def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
