@@ -58,104 +58,102 @@ _MODULES = [
 ]
 
 #: The external driver records correctness for the FIRST 50 registered
-#: queries only, so _ROUND6_WINDOW IS the round's driver window: exactly the
+#: queries only, so _ROUND7_WINDOW IS the round's driver window: exactly the
 #: first 50 names below get a CORRECTNESS row; EVERYTHING after entry 50
 #: is unchecked by the driver this round and is covered instead by the
 #: mandatory local type-sensitive parity suite
 #: (tests/test_oracle_parity.py, parameterized over all oracle-backed
 #: queries — keep it green in CI; it is the compensating gate).
 #:
-#: Round-6 window (VERDICT r5 #1/#2 set the rotation): (a) the
-#: operators NEW this round — the semantic-tier flagship, topic-balanced
-#: selection, the mega-domain histogram budget form (VERDICT r5 #3/#4/
-#: #6); (b) queries whose CODE PATH changed this round: the two approx
-#: sketches rewritten to the banded-oracle contract (VERDICT r5 #2 —
-#: their first-ever hash-matchable rows), semantic_dedup_keep (ranking
-#: refactored into the shared _semantic_ranked the flagship drop-set
-#: also uses), training_data_run (tail factored into _mixture_temp_pack
-#: shared with the semantic variant); (c) the r3-stale queries that are
-#: also r1-cohort, which double-count toward the >=15 r1-cohort floor —
-#: r2-stale ∩ r1-cohort is EMPTY, so the floor can only be met from
-#: r3-stale and fresher cohorts; (d) r1-cohort refreshes to reach the
-#: floor (15 r1-cohort entries); (e) 18 of the 33 r2-stale queries.
-#: Rotation-math necessity (new code outranks stale-but-checked — the
-#: ten mid-round operators claimed their slots): 15 r2-stale defer to
-#: round 7, each with a fresher family member IN this window — the
-#: advanced-module cohort (pivot_segment_revenue, window_order_gaps,
-#: stats_summary, tfidf_top_terms, percentile_prices,
-#: nested_customer_profile; module mates approx_* re-checked now),
-#: label_centroids + nearest_centroid_confusion (centroid family —
-#: ivf_cluster_stats exercises it), quality_calibrated (quality_scores
-#: in window), ngram_jaccard_pruned (ngram_jaccard_pairs in window),
-#: json_events_typed (json_events r5-fresh), range_clicks_before_error
-#: (temporal family; asof_purchase_click r5-fresh),
-#: q17_small_quantity_revenue + q20_promo_suppliers (q19/q14 family
-#: mates fresher), ntile_customer_quartiles (window family;
-#: window_range_7day_spend in window).  All fifteen stay
-#: parity-covered in CI.
-_ROUND6_WINDOW = [
+#: Round-7 window (VERDICT r6 #1 sets the rotation): (a) the three
+#: operators NEW this round — the bottom-k containment candidates
+#: (VERDICT r6 #2), the materialized-base triage entry (r6 #4) and the
+#: watermarked append-mode triage (r6 #6); (b) queries whose CODE PATH
+#: changed this round: ngram_containment_pairs (exact phase factored
+#: into the shared _containment_exact both containment forms use) and
+#: streaming_incremental_triage (probe/base construction factored into
+#: _triage_base_relations/_triage_probe_rows shared with the append
+#: form, plus the base_dir parameter); (c) the 15 r2-stale queries the
+#: r6 rotation deferred — the whole r2-stale cohort drains this round;
+#: (d) the r1-cohort floor: 15 r4-stale ∩ r1-cohort entries
+#: (r2-stale ∩ r1 and r3-stale ∩ r1 are both EMPTY, so the floor can
+#: only be met from r4-stale and fresher — these double as stale
+#: refreshes); (e) 15 of the 22 r3-stale queries.  Rotation-math
+#: necessity (new + changed + the r2 drain + the floor leave 15 slots):
+#: 7 r3-stale defer to round 8, each with a family mate IN this window
+#: (doc_perplexity_bigram → doc_perplexity; image_resize →
+#: image_features; int8_quant_topk → ann_ivf_topk;
+#: hard_negative_mining → bm25_search; shuffle_shard_manifest →
+#: packed_sequences; source_reputation → semantic_drop_by_source
+#: r6-fresh; resample_gapfill_hourly → tumbling/sliding/session
+#: windows), as do the 4 r4-stale ∩ r1 refreshes left out
+#: (doc_fingerprints / bigram_counts / winnow_fingerprints →
+#: token_stats; multimodal_join → the three media feature queries).
+#: Round-8 note: wc and indexer (r5-checked) must re-enter then per
+#: VERDICT r6 #8.  All deferred queries stay parity-covered in CI.
+_ROUND7_WINDOW = [
     # (a) new this round
-    "training_data_run_semantic",
-    "topic_balanced_select",
-    "source_budget_select_hist",
-    "dup_ngram_fraction",
-    "ngram_containment_pairs",
-    "semantic_drop_by_source",
-    "ivf_cluster_stats",
-    "streaming_incremental_triage",
-    "perplexity_tail_split",
-    "neardup_weighted_sample",
-    "emb_cos_threshold_curve",
-    "quality_drift_by_batch",
-    "streaming_quality_monitor",
+    "containment_bottomk_pairs",
+    "incremental_triage_materialized",
+    "streaming_triage_append",
     # (b) code path changed this round
-    "approx_distinct_users",     # banded contract — first hash-matched row
-    "approx_percentile_prices",  # banded contract — first hash-matched row
-    "semantic_dedup_keep",
-    "training_data_run",
-    # (c) r3-stale ∩ r1-cohort (floor contributors)
-    "file_counts",
-    "file_profile",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_count",
-    "mr_wc",
-    "dedup_exact",
-    "minhash_signatures",
-    "dedup_minhash_pairs",
-    "ngram_jaccard_pairs",
-    "knn_bruteforce",
-    # (d) r1-cohort refreshes to the >=15 floor (+1 spare)
-    "q5_local_supplier",
-    "q6_revenue_forecast",
-    "quality_scores",
-    "emb_neardup_pairs",   # feeds the new semantic flagship stage
-    # (e) r2-stale cohort (21 of 33; the rest defer to round 7, see above)
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q19_discounted_revenue",
-    "q21_waiting_suppliers",
-    "q22_dormant_rich_customers",
-    "window_range_7day_spend",
-    "simhash_neardup_pairs",
-    "lsh_rp_topk",
-    "salted_word_count",
-    "salted_join_revenue",
-    "hotkey_salted_join_revenue",
+    "ngram_containment_pairs",
+    "streaming_incremental_triage",
+    # (c) the deferred r2-stale cohort — drains the ledger's oldest rows
+    "pivot_segment_revenue",
+    "window_order_gaps",
+    "stats_summary",
+    "tfidf_top_terms",
+    "percentile_prices",
+    "nested_customer_profile",
+    "label_centroids",
+    "nearest_centroid_confusion",
+    "quality_calibrated",
+    "ngram_jaccard_pruned",
+    "json_events_typed",
+    "range_clicks_before_error",
+    "q17_small_quantity_revenue",
+    "q20_promo_suppliers",
+    "ntile_customer_quartiles",
+    # (d) r1-cohort floor from r4-stale ∩ r1 (15 — doubles as refresh)
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "topk_orders_per_customer",
+    "window_running_spend",
+    "tumbling_hourly",
+    "sliding_10m_5m",
+    "session_windows_30m",
+    "streaming_tumbling_hourly",
+    "stateful_sessionize",
+    "neardup_clusters",
+    "ann_ivf_topk",
+    "lang_doc_stats",
+    "lang_id_heuristic",
+    "token_stats",
+    # (e) r3-stale cohort (15 of 22; 7 defer to round 8, see above)
+    "retention_cohorts",
+    "embedding_dim_stats",
+    "bm25_search",
+    "doc_repetition_scores",
+    "lang_stopword_quality",
+    "doc_perplexity",
+    "image_features",
+    "audio_chunk_features",
+    "video_frame_sample",
+    "decontaminate_docs",
+    "boilerplate_ngrams",
+    "source_mixture_sample",
+    "packed_sequences",
+    "merge_upsert_orders",
+    "runtime_filtered_join",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:
     merged: dict = {}
     for d in dicts:
         merged.update(d)
-    out = {name: merged[name] for name in _ROUND6_WINDOW if name in merged}
+    out = {name: merged[name] for name in _ROUND7_WINDOW if name in merged}
     out.update({k: v for k, v in merged.items() if k not in out})
     return out
 

@@ -178,6 +178,10 @@ EXTRA = [
     "quality_drift_by_batch",
     "streaming_incremental_triage",
     "streaming_quality_monitor",
+    # round-7 additions
+    "containment_bottomk_pairs",
+    "incremental_triage_materialized",
+    "streaming_triage_append",
 ]
 
 

@@ -86,18 +86,23 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
-def run_stream_to_batch(result: DataFrame, spark: SparkSession) -> DataFrame:
+def run_stream_to_batch(
+    result: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Drain a streaming aggregation with trigger(availableNow) into an
     in-memory table and return it as a batch DataFrame.  ``complete``
     output mode emits every window regardless of watermark position, so a
-    fully-drained stream equals the batch query over the same files."""
+    fully-drained stream equals the batch query over the same files;
+    ``append`` emits only watermark-finalized rows (the caller must
+    advance the watermark past every real window, e.g. via sentinel
+    files, for the drain to be total)."""
     name = "s_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="gmrs_ckpt_")
     try:
         q = (
             result.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -586,34 +591,27 @@ def streaming_incremental_triage(
     )
 
 
-def _streaming_triage_frame(
-    spark: SparkSession, sf_dir: str, base_dir: str | None = None
-) -> DataFrame:
-    """The un-drained streaming frame behind
-    :func:`streaming_incremental_triage` — exposed so tests can audit
-    the pre-execution plan (base text never scanned)."""
+def _triage_base_relations(
+    spark: SparkSession, sf_dir: str, base_dir: str | None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Static base side of the ingest triage: (base_hash, base_bands,
+    base_sig_p) — read from the stored materialize_dedup_base tables
+    when ``base_dir`` is given, else derived from the corpus scan so
+    the oracle can replay it."""
     from golang_mapreduce_spark.operators.dedup import (
-        BAND_STRUCT_EXPR,
         INGEST_MOD,
         INGEST_RES,
-        MINHASH_EST_THRESHOLD,
         NUM_HASHES,
         _bands_from,
-        _shingles,
         _signatures_from,
-        rowwise_hashes,
-        rowwise_signature,
     )
-    from golang_mapreduce_spark.functions.text import ws_words
     from golang_mapreduce_spark.sources.fixtures import load_table
 
-    # static base side: the stored tables when materialized, else
-    # derived from the corpus scan so the oracle can replay it
-    is_inc = F.col("doc_id") % INGEST_MOD == INGEST_RES
     if base_dir is not None:
         base_hash = spark.read.parquet(f"{base_dir}/base_hash")
         base_sig = spark.read.parquet(f"{base_dir}/base_sig")
     else:
+        is_inc = F.col("doc_id") % INGEST_MOD == INGEST_RES
         base = load_table(spark, sf_dir, "documents").where(~is_inc)
         base_hash = (
             base.select(F.md5(F.lower(F.trim("text"))).alias("h"), "doc_id")
@@ -629,33 +627,60 @@ def _streaming_triage_frame(
     base_sig_p = base_sig.select(
         F.col("doc_id").alias("partner"), F.col("sig").alias("sig_b")
     )
+    return base_hash, base_bands, base_sig_p
 
-    stream = (
-        spark.readStream.schema(docs_stream_schema())
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .where(is_inc)
+
+def _triage_probe_rows(
+    incoming: DataFrame,
+    base_hash: DataFrame,
+    base_bands: DataFrame,
+    base_sig_p: DataFrame,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """STATELESS exact+near probes of an incoming (doc_id, text, ...)
+    relation against the base tables; returns (doc_id, *carry,
+    exact_match, near_partner) rows ready for the per-doc verdict fold.
+    Works identically on a batch or streaming ``incoming`` — both
+    drained forms and the watermarked append form share it, so the
+    probe semantics cannot drift."""
+    from golang_mapreduce_spark.operators.dedup import (
+        BAND_STRUCT_EXPR,
+        MINHASH_EST_THRESHOLD,
+        NUM_HASHES,
+        _shingles,
+        rowwise_hashes,
+        rowwise_signature,
     )
-    inc = stream.select(
+    from golang_mapreduce_spark.functions.text import ws_words
+
+    carry_cols = list(carry)
+    inc = incoming.select(
         "doc_id",
+        *carry_cols,
         F.md5(F.lower(F.trim("text"))).alias("h"),
         ws_words("text").alias("toks"),
     )
     # branch E: every incoming doc probes the exact-hash table
     null_id = F.lit(None).cast("long")
     exact_rows = inc.join(base_hash, "h", "left").select(
-        "doc_id", "exact_match", null_id.alias("near_partner")
+        "doc_id", *carry_cols, "exact_match", null_id.alias("near_partner")
     )
     # branch N: stateless signature → bands → collision join → est filter
     inc_sig = (
         inc.where(F.size("toks") >= 3)
-        .select("doc_id", _shingles(3).alias("sh"))
-        .select("doc_id", rowwise_hashes("sh").alias("hs"))
-        .select("doc_id", rowwise_signature("hs").alias("sig"))
+        .select("doc_id", *carry_cols, _shingles(3).alias("sh"))
+        .select("doc_id", *carry_cols, rowwise_hashes("sh").alias("hs"))
+        .select("doc_id", *carry_cols, rowwise_signature("hs").alias("sig"))
     )
     inc_bands = inc_sig.select(
-        "doc_id", "sig", F.explode(F.expr(BAND_STRUCT_EXPR)).alias("bk")
-    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        "doc_id", *carry_cols, "sig", F.explode(F.expr(BAND_STRUCT_EXPR)).alias("bk")
+    ).select(
+        "doc_id",
+        *carry_cols,
+        "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bkey").alias("bkey"),
+    )
     est = (
         F.expr("size(filter(zip_with(sig, sig_b, (x, y) -> x = y), v -> v))")
         / F.lit(float(NUM_HASHES))
@@ -664,25 +689,164 @@ def _streaming_triage_frame(
         inc_bands.join(base_bands, ["band", "bkey"])
         .join(base_sig_p, "partner")
         .where(est >= MINHASH_EST_THRESHOLD)
-        .select("doc_id", null_id.alias("exact_match"), F.col("partner").alias("near_partner"))
+        .select(
+            "doc_id",
+            *carry_cols,
+            null_id.alias("exact_match"),
+            F.col("partner").alias("near_partner"),
+        )
     )
-    agg = (
-        exact_rows.unionByName(near_rows)
-        .groupBy("doc_id")
+    return exact_rows.unionByName(near_rows)
+
+
+def _triage_verdict(folded: DataFrame) -> DataFrame:
+    """(doc_id, exact_match, near_match) → the verdict table both
+    triage output modes emit (precedence exact > near > novel)."""
+    return folded.select(
+        "doc_id",
+        F.when(F.col("exact_match").isNotNull(), "exact_dup")
+        .when(F.col("near_match").isNotNull(), "near_dup")
+        .otherwise("novel")
+        .alias("verdict"),
+        F.coalesce("exact_match", "near_match").alias("match_doc_id"),
+    )
+
+
+def _streaming_triage_frame(
+    spark: SparkSession, sf_dir: str, base_dir: str | None = None
+) -> DataFrame:
+    """The un-drained streaming frame behind
+    :func:`streaming_incremental_triage` — exposed so tests can audit
+    the pre-execution plan (base text never scanned)."""
+    from golang_mapreduce_spark.operators.dedup import INGEST_MOD, INGEST_RES
+
+    base_hash, base_bands, base_sig_p = _triage_base_relations(
+        spark, sf_dir, base_dir
+    )
+    stream = (
+        spark.readStream.schema(docs_stream_schema())
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") % INGEST_MOD == INGEST_RES)
+    )
+    rows = _triage_probe_rows(stream, base_hash, base_bands, base_sig_p)
+    return _triage_verdict(
+        rows.groupBy("doc_id").agg(
+            F.min("exact_match").alias("exact_match"),
+            F.min("near_partner").alias("near_match"),
+        )
+    )
+
+
+#: synthetic event-time epoch for the append-mode triage (fixture docs
+#: have no crawl timestamp; production uses the real one).
+TRIAGE_TS_BASE = 1_700_000_000
+#: sentinel doc ids (must be ≡ INGEST_RES mod INGEST_MOD to pass the
+#: ingest filter; far above every real doc id so their event-time is
+#: far-future — ~year 2100, matching the sessionize sentinel convention)
+_TRIAGE_SENTINELS = (2_400_000_007, 2_431_536_007)
+
+
+def _write_doc_sentinel(path: str, doc_id: int) -> None:
+    """One watermark-advancing document in the fixture schema (its huge
+    doc_id maps to a far-future synthetic event-time)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([doc_id], pa.int64()),
+                "text": pa.array(["__watermark_sentinel__"], pa.string()),
+                "lang": pa.array(["xx"], pa.string()),
+                "source": pa.array(["sentinel"], pa.string()),
+                "n_chars": pa.array([0], pa.int64()),
+            }
+        ),
+        path,
+    )
+
+
+def _append_triage_frame(
+    spark: SparkSession, sf_dir: str, src: str, max_files: int
+) -> DataFrame:
+    """Un-drained watermarked append-mode triage over a prepared source
+    directory: the shared stateless probes carrying a synthetic
+    event-time, folded per (1-hour window, doc_id) under a 10-minute
+    watermark.  Exposed so the late-data test can drive its own file
+    sequence batch-by-batch (max_files=1)."""
+    from golang_mapreduce_spark.operators.dedup import INGEST_MOD, INGEST_RES
+
+    base_hash, base_bands, base_sig_p = _triage_base_relations(spark, sf_dir, None)
+    stream = (
+        spark.readStream.schema(docs_stream_schema())
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(src)
+        .where(F.col("doc_id") % INGEST_MOD == INGEST_RES)
+        .withColumn(
+            "ts", F.timestamp_seconds(F.lit(TRIAGE_TS_BASE) + F.col("doc_id"))
+        )
+    )
+    rows = _triage_probe_rows(
+        stream, base_hash, base_bands, base_sig_p, carry=("ts",)
+    )
+    folded = (
+        rows.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("doc_id"))
         .agg(
             F.min("exact_match").alias("exact_match"),
             F.min("near_partner").alias("near_match"),
         )
-        .select(
-            "doc_id",
-            F.when(F.col("exact_match").isNotNull(), "exact_dup")
-            .when(F.col("near_match").isNotNull(), "near_dup")
-            .otherwise("novel")
-            .alias("verdict"),
-            F.coalesce("exact_match", "near_match").alias("match_doc_id"),
-        )
     )
-    return agg
+    return _triage_verdict(folded)
+
+
+def streaming_triage_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest triage in watermarked APPEND mode (VERDICT r6 #6):
+    per-batch verdict emission — each document's verdict row is emitted
+    exactly once, when the watermark passes its event-time window,
+    instead of restating the whole table per batch as the
+    ``complete``-mode form does.  This is the production emission shape
+    (downstream admission consumes a verdict LOG, not a snapshot) and
+    the only form with a late-data contract: a document arriving after
+    the watermark passed its window is dropped, observable via
+    numRowsDroppedByWatermark (tests/test_streaming_triage.py).
+
+    Probes are the SAME stateless stream-static joins as the drained
+    form (_triage_probe_rows is shared code), carrying a synthetic
+    event-time (TRIAGE_TS_BASE + doc_id seconds — production: crawl
+    time); the fold runs per (1-hour window, doc_id) under a 10-minute
+    watermark, so state is bounded by in-flight windows, not corpus
+    size.  The drain appends two far-future sentinel docs (the
+    stateful_sessionize pattern) so every real window finalizes and the
+    emitted log equals the batch triage oracle exactly.
+
+    Scale: swap the file source for Kafka and the synthetic ts for the
+    ingest timestamp; state per trigger is one row per in-flight-window
+    doc, evicted on watermark passage."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="gmrs_triage_src_")
+    try:
+        real = os.path.join(src, "00_documents.parquet")
+        shutil.copy(os.path.join(sf_dir, "documents.parquet"), real)
+        for i, sid in enumerate(_TRIAGE_SENTINELS):
+            _write_doc_sentinel(os.path.join(src, f"{i + 1:02d}_sentinel.parquet"), sid)
+        now = os.path.getmtime(real)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
+
+        # [docs, sentinel A] in micro-batch 1: the watermark computed at
+        # its end is already far-future, so batch 2 (sentinel B) emits
+        # every real window — 2 batches, the stateful_sessionize floor.
+        out = run_stream_to_batch(
+            _append_triage_frame(spark, sf_dir, src, max_files=2),
+            spark,
+            output_mode="append",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out.where(F.col("doc_id") < min(_TRIAGE_SENTINELS))
 
 
 def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,6 +917,7 @@ QUERIES = {
     "streaming_packed_sequences": streaming_packed_sequences,
     "streaming_pii_rates": streaming_pii_rates,
     "streaming_incremental_triage": streaming_incremental_triage,
+    "streaming_triage_append": streaming_triage_append,
     "streaming_quality_monitor": streaming_quality_monitor,
 }
 ORACLES = {
@@ -763,5 +928,8 @@ ORACLES = {
     "streaming_packed_sequences": PACKED_SEQUENCES_SQL,
     "streaming_pii_rates": _pii_rates_oracle(),
     "streaming_incremental_triage": _streaming_triage_oracle(),
+    # the append-mode emission log, fully finalized, equals the same
+    # batch triage table — one oracle certifies both output modes
+    "streaming_triage_append": _streaming_triage_oracle(),
     "streaming_quality_monitor": _streaming_quality_oracle(),
 }

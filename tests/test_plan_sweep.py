@@ -29,6 +29,7 @@ EXECUTING = {
     "training_data_run",
     "training_data_run_semantic",  # same CC loop + the temp_rates 1-row BNLJ
     "streaming_incremental_triage",
+    "streaming_triage_append",
     "streaming_quality_monitor",
     "neardup_weighted_sample",  # composes the CC loop's labels
 }
