@@ -18,7 +18,9 @@ selects — no shuffle, no python), ~a minute at k=10 on local[32].
 
 from __future__ import annotations
 
+import hashlib
 import os
+import string
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -41,12 +43,55 @@ _DIMS = ["region", "nation", "customer", "supplier", "part"]
 KEY_STRIDE = 100_000_000
 
 
+def _cipher_pair(i: int) -> tuple[str, str]:
+    """Per-replica deterministic substitution alphabet for F.translate:
+    a Caesar rotation of letters and digits keyed on the replica index.
+    Within a replica the mapping is a bijection, so every duplicate /
+    near-duplicate relation among documents is PRESERVED inside the
+    replica; across replicas no shingle hash collides, so the k
+    replicas behave as k independent corpora — pair mass grows k×
+    (linear), not k²× (the replicated-corpus degeneracy)."""
+    lower, upper, digits = string.ascii_lowercase, string.ascii_uppercase, string.digits
+    rl = i % 25 + 1 if i else 0  # replica 0 stays the identity
+    rd = i % 9 + 1 if i else 0
+    src = lower + upper + digits
+    dst = (
+        lower[rl:] + lower[:rl]
+        + upper[rl:] + upper[:rl]
+        + digits[rd:] + digits[:rd]
+    )
+    return src, dst
+
+
+def _sign_flips(i: int, dim: int) -> list[int]:
+    """Deterministic ±1 pattern per (replica, dimension): norms and all
+    within-replica cosine geometry are preserved (a signed permutation
+    is an isometry applied corpus-wide), while cross-replica cosines
+    decorrelate — the embedding analog of the text cipher."""
+    if i == 0:
+        return [1] * dim
+    return [
+        1 if hashlib.md5(f"sg:{i}:{j}".encode()).digest()[0] % 2 == 0 else -1
+        for j in range(dim)
+    ]
+
+
 def generate(
-    spark: SparkSession, src_dir: str, out_dir: str, k: int = 10
+    spark: SparkSession, src_dir: str, out_dir: str, k: int = 10,
+    perturb: bool = False,
 ) -> None:
     """Write a k-times scaled copy of src_dir's tables into out_dir.
-    Idempotent via a completion marker; safe to call from bench.py."""
-    marker = os.path.join(out_dir, f"_SCALED_x{k}")
+    Idempotent via a completion marker; safe to call from bench.py.
+
+    ``perturb=True`` (VERDICT r6 #5) additionally re-keys each
+    documents/embeddings replica's PAYLOAD with a per-replica bijection
+    (letter/digit rotation on text; sign-flip isometry on embeddings):
+    replicas become mutually disjoint corpora instead of exact copies,
+    so pair-mass operators (containment, weighted soft-dedup) scale the
+    way a real crawl does — k× the pairs, not k²× — and their 100×
+    probes measure the operator, not the replication degeneracy."""
+    tag = f"_SCALED_x{k}" + ("_perturbed" if perturb else "")
+    marker = os.path.join(out_dir, tag)
     if os.path.exists(marker):
         return
     ensure_session_invariants(spark, events=True)  # legacy-nanos events read
@@ -55,6 +100,12 @@ def generate(
         load_table(spark, src_dir, name).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
+    emb_dim, emb_elem = None, None
+    if perturb:
+        emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
+        emb_dim = len(emb.select("embedding").head()["embedding"])
+        # keep the physical element type (float vs double) unchanged
+        emb_elem = emb.schema["embedding"].dataType.elementType.simpleString()
     for name, keys in _FACT_OFFSET_KEYS.items():
         # read the raw file (no ts normalization) so the scaled dir keeps
         # the source's physical layout and reads back through the same
@@ -66,6 +117,20 @@ def generate(
             for key in keys:
                 rep = rep.withColumn(
                     key, F.col(key) + F.lit(i * KEY_STRIDE)
+                )
+            if perturb and name == "documents":
+                src, dst = _cipher_pair(i)
+                rep = rep.withColumn("text", F.translate("text", src, dst))
+            if perturb and name == "embeddings":
+                flips = F.array(
+                    *[
+                        F.lit(float(s)).cast(emb_elem)
+                        for s in _sign_flips(i, emb_dim)
+                    ]
+                )
+                rep = rep.withColumn(
+                    "embedding",
+                    F.zip_with("embedding", flips, lambda x, s: (x * s).cast(emb_elem)),
                 )
             replicas.append(rep)
         out = replicas[0]
