@@ -91,11 +91,54 @@ _MODULES = [
 #: token_stats; multimodal_join → the three media feature queries).
 #: Round-8 note: wc and indexer (r5-checked) must re-enter then per
 #: VERDICT r6 #8.  All deferred queries stay parity-covered in CI.
+#:
+#: Mid-round additions (never-driver-checked outranks stale, per the
+#: standing rotation priority): gopher_quality_rules,
+#: split_leakage_audit, minhash_band_stats and sliding_chunk_stats
+#: joined section (a); four r3-stale entries moved out to round 8 to
+#: make room, each with an in-window family mate —
+#: decontaminate_docs → split_leakage_audit (same contamination
+#: semantics over the same pair machinery), packed_sequences →
+#: sliding_chunk_stats (the two halves of sequence construction),
+#: merge_upsert_orders and runtime_filtered_join → the in-window
+#: orders-join cohort (q10/q14/q18/q20).  streaming_tumbling_append
+#: (new, the metrics-log emission mode) also joined (a), displacing
+#: boilerplate_ngrams → mates ngram_jaccard_pruned +
+#: ngram_containment_pairs (same shingle machinery) stay in-window.
+#: cross_source_dup_matrix + source_minhash_similarity (new, the
+#: cross-crawl duplication observability pair) also joined (a),
+#: displacing embedding_dim_stats → mates label_centroids +
+#: nearest_centroid_confusion (embedding-aggregate family) and
+#: doc_repetition_scores → mate gopher_quality_rules (the same
+#: Gopher-rule family, new in-window).  Final additions:
+#: oov_rate_by_lang + ngram_entropy_by_source (tokenizer-fit and
+#: corpus-diversity audits), quality_by_dup_class (the soft-dedup
+#: calibration readout) and streaming_session_append (native
+#: session_window log emission) joined (a), displacing
+#: lang_stopword_quality → mates oov_rate_by_lang +
+#: quality_calibrated (lang-keyed quality family), doc_perplexity →
+#: mate ngram_entropy_by_source (the same unigram-LM micro-unit
+#: machinery; doc_perplexity_bigram's mate transfers with it),
+#: retention_cohorts → mates the in-window events-window cohort
+#: (tumbling/sliding/session), bm25_search → mate tfidf_top_terms
+#: (same tf-idf machinery; hard_negative_mining's mate becomes
+#: knn/ann cohort).
 _ROUND7_WINDOW = [
     # (a) new this round
     "containment_bottomk_pairs",
     "incremental_triage_materialized",
     "streaming_triage_append",
+    "gopher_quality_rules",
+    "split_leakage_audit",
+    "minhash_band_stats",
+    "sliding_chunk_stats",
+    "streaming_tumbling_append",
+    "cross_source_dup_matrix",
+    "source_minhash_similarity",
+    "oov_rate_by_lang",
+    "ngram_entropy_by_source",
+    "quality_by_dup_class",
+    "streaming_session_append",
     # (b) code path changed this round
     "ngram_containment_pairs",
     "streaming_incremental_triage",
@@ -132,21 +175,10 @@ _ROUND7_WINDOW = [
     "lang_id_heuristic",
     "token_stats",
     # (e) r3-stale cohort (15 of 22; 7 defer to round 8, see above)
-    "retention_cohorts",
-    "embedding_dim_stats",
-    "bm25_search",
-    "doc_repetition_scores",
-    "lang_stopword_quality",
-    "doc_perplexity",
     "image_features",
     "audio_chunk_features",
     "video_frame_sample",
-    "decontaminate_docs",
-    "boilerplate_ngrams",
     "source_mixture_sample",
-    "packed_sequences",
-    "merge_upsert_orders",
-    "runtime_filtered_join",
 ]
 
 def _ordered(dicts: list[dict]) -> dict:

@@ -182,6 +182,17 @@ EXTRA = [
     "containment_bottomk_pairs",
     "incremental_triage_materialized",
     "streaming_triage_append",
+    "gopher_quality_rules",
+    "split_leakage_audit",
+    "minhash_band_stats",
+    "sliding_chunk_stats",
+    "streaming_tumbling_append",
+    "cross_source_dup_matrix",
+    "source_minhash_similarity",
+    "oov_rate_by_lang",
+    "ngram_entropy_by_source",
+    "quality_by_dup_class",
+    "streaming_session_append",
 ]
 
 

@@ -650,6 +650,99 @@ WHERE rank <= {DSIR_TOP}
 """
 
 
+#: Sliding-window chunking: context windows of CHUNK_TOKENS tokens with
+#: CHUNK_STRIDE-token hops (50% overlap) — the long-doc counterpart of
+#: packed_sequences (which bins docs WITHOUT splitting them).
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 16
+
+
+def sliding_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source manifest stats for sliding-window chunking (window
+    {W} tokens, stride {S}): chunk count, average chunks per doc, and
+    the OVERLAP FACTOR — total chunked tokens over corpus tokens, i.e.
+    the token-duplication cost the stride choice imposes on training.
+    packed_sequences bins whole docs; this is the other half of
+    sequence construction — splitting docs longer than the context
+    window — and the overlap factor is the number that prices a stride
+    change in GPU-hours before anyone re-tokenizes anything.
+
+    Scale shape: chunk counts have a CLOSED FORM (every chunk except
+    the last is exactly {W} tokens, because the chunk count k is
+    minimal with (k-1)*{S} + {W} >= n), so the manifest aggregates
+    without materializing a single chunk: one scan, per-row integer
+    arithmetic, one partial-agg'd exchange on the tiny source key.
+    The integer math is DIV/// on non-negative operands — identical
+    truncation on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.coalesce(F.size(ws_words("text")), F.lit(0))
+        .cast("bigint")
+        .alias("n"),
+    ).select(
+        "source",
+        "n",
+        F.expr(
+            f"CASE WHEN n = 0 THEN 0L"
+            f" WHEN n <= {CHUNK_TOKENS} THEN 1L"
+            f" ELSE 1L + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) DIV {CHUNK_STRIDE} END"
+        ).alias("k"),
+    ).select(
+        "source",
+        "n",
+        "k",
+        F.expr(
+            f"CASE WHEN n = 0 THEN 0L"
+            f" ELSE (k - 1) * {CHUNK_TOKENS}L + (n - (k - 1) * {CHUNK_STRIDE}L) END"
+        ).alias("chunk_toks"),
+    )
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("k").cast("bigint").alias("n_chunks"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum("chunk_toks").cast("bigint").alias("n_chunk_tokens"),
+        F.round(F.sum("k") / F.count("*"), 6).alias("avg_chunks_per_doc"),
+        F.round(
+            F.coalesce(
+                F.sum("chunk_toks") / F.nullif(F.sum("n"), F.lit(0)), F.lit(0.0)
+            ),
+            6,
+        ).alias("overlap_factor"),
+    )
+
+
+SLIDING_CHUNK_SQL = f"""
+WITH base AS (
+  SELECT source,
+         CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 0) AS BIGINT) AS n
+  FROM documents
+),
+k AS (
+  SELECT source, n,
+         CASE WHEN n = 0 THEN 0
+              WHEN n <= {CHUNK_TOKENS} THEN 1
+              ELSE 1 + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE} END AS k
+  FROM base
+),
+ct AS (
+  SELECT source, n, k,
+         CASE WHEN n = 0 THEN 0
+              ELSE (k - 1) * {CHUNK_TOKENS} + (n - (k - 1) * {CHUNK_STRIDE}) END AS chunk_toks
+  FROM k
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(k) AS BIGINT) AS n_chunks,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(chunk_toks) AS BIGINT) AS n_chunk_tokens,
+       ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(*), 6) AS avg_chunks_per_doc,
+       ROUND(COALESCE(CAST(SUM(chunk_toks) AS DOUBLE) / NULLIF(SUM(n), 0), 0.0), 6) AS overlap_factor
+FROM ct
+GROUP BY source
+"""
+
+
 QUERIES = {
     "packing_efficiency": packing_efficiency,
     "decontaminate_docs": decontaminate_docs,
@@ -660,6 +753,7 @@ QUERIES = {
     "contamination_rate_by_source": contamination_rate_by_source,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_topk_selection": dsir_topk_selection,
+    "sliding_chunk_stats": sliding_chunk_stats,
 }
 
 ORACLES = {
@@ -672,4 +766,5 @@ ORACLES = {
     "contamination_rate_by_source": CONTAMINATION_BY_SOURCE_SQL,
     "dsir_importance_weights": DSIR_SQL,
     "dsir_topk_selection": DSIR_TOPK_SQL.format(DSIR=DSIR_SQL.strip()),
+    "sliding_chunk_stats": SLIDING_CHUNK_SQL,
 }

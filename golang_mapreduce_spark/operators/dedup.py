@@ -2007,6 +2007,298 @@ GROUP BY d.source
 """
 
 
+def quality_by_dup_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality profile per duplication class — are duplicates worse
+    text?  Every document is classified exact_dup (its normalized-text
+    hash group has >1 member), else near_dup (it appears in the
+    MinHash-LSH pair relation), else unique, and each class reports doc
+    count and quality stats.  This is the calibration readout behind
+    duplicate-aware SOFT dedup decisions (keep-best, weighted
+    sampling): if near-dups score systematically lower, aggressive
+    dropping is safe; if they score the same, the pipeline is deleting
+    good data and should downweight instead.
+
+    Scale shape: the exact tier is the dedup_exact groupBy (hash+id
+    shuffle only); the near tier is the banded pair relation flattened
+    to distinct member ids; both join the quality projection as ids;
+    the aggregate is three rows.  Precedence exact > near mirrors the
+    triage verdict ladder."""
+    from golang_mapreduce_spark.operators.textstats import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_features(docs).select("doc_id", "quality_score")
+    h = docs.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("text_hash")
+    )
+    gsize = h.groupBy("text_hash").agg(F.count("*").alias("gs"))
+    exact = (
+        h.join(gsize, "text_hash")
+        .where(F.col("gs") > 1)
+        .select("doc_id")
+        .withColumn("is_exact", F.lit(1))
+    )
+    pairs = minhash_pairs_from(docs)
+    near = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    cls = (
+        q.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            F.when(F.col("is_exact").isNotNull(), "exact_dup")
+            .when(F.col("is_near").isNotNull(), "near_dup")
+            .otherwise("unique")
+            .alias("dup_class"),
+            "quality_score",
+        )
+    )
+    return cls.groupBy("dup_class").agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            "round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("avg_quality"),
+        F.min("quality_score").alias("min_quality"),
+        F.max("quality_score").alias("max_quality"),
+    )
+
+
+def _quality_by_dup_class_sql() -> str:
+    from golang_mapreduce_spark.operators.textstats import QUALITY_SQL
+
+    return f"""
+WITH q AS (
+  {QUALITY_SQL.strip()}
+),
+h AS (
+  SELECT doc_id, md5(lower(trim(text))) AS text_hash FROM documents
+),
+exact AS (
+  SELECT doc_id FROM h
+  WHERE text_hash IN (
+    SELECT text_hash FROM h GROUP BY text_hash HAVING COUNT(*) > 1
+  )
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM ({minhash_pairs_sql()})
+),
+near AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b AS doc_id FROM pairs
+  )
+),
+cls AS (
+  SELECT CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+              WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+              ELSE 'unique' END AS dup_class,
+         q.quality_score
+  FROM q
+  LEFT JOIN exact e ON e.doc_id = q.doc_id
+  LEFT JOIN near n ON n.doc_id = q.doc_id
+)
+SELECT dup_class,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_quality,
+       MIN(quality_score) AS min_quality,
+       MAX(quality_score) AS max_quality
+FROM cls
+GROUP BY dup_class
+"""
+
+
+def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-health stats per band: bucket count, max bucket load,
+    and the candidate-pair mass each band contributes (sum of
+    s*(s-1)/2 over its buckets) — the observability table that predicts
+    the banded join's shuffle cost BEFORE running it.  A band whose
+    max_load explodes (a degenerate band key — e.g. a boilerplate
+    shingle dominating one signature slot) is the LSH analog of join
+    skew, and this readout is how a pipeline catches it and re-salts or
+    re-bands; the IVF sibling is ivf_cluster_stats.
+
+    Scale shape: signature aggregation (partial-agg'd, 16 longs/doc),
+    band explode ({bands}x rows of ids+keys only), one exchange on
+    (band, bkey) that partial-aggregates to bucket counts, and a final
+    {bands}-row aggregate — strictly cheaper than the pair join it
+    instruments, so it's safe to run as a pre-flight check at 100 TB."""
+    sig = _signatures_df(spark, sf_dir).select(
+        "doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    )
+    buckets = (
+        _bands_from(sig)
+        .groupBy("band", "bkey")
+        .agg(F.count("*").alias("s"))
+    )
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("s").cast("bigint").alias("n_docs"),
+            F.max("s").cast("bigint").alias("max_load"),
+            F.sum(F.expr("s * (s - 1) DIV 2")).cast("bigint").alias("cand_pairs"),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_buckets", "n_docs", "max_load", "cand_pairs",
+        )
+    )
+
+
+MINHASH_BAND_STATS_SQL = f"""
+WITH {_sql_signature_cte()},
+sig AS (
+  SELECT doc_id, list(mv ORDER BY i) AS sig FROM mh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b AS band,
+         array_to_string(list_slice(sig, b * {ROWS_PER_BAND} + 1, (b + 1) * {ROWS_PER_BAND}), ',') AS bkey
+  FROM sig, (SELECT unnest(generate_series(0, {BANDS - 1})) AS b)
+),
+buckets AS (
+  SELECT band, bkey, COUNT(*) AS s FROM bands GROUP BY band, bkey
+)
+SELECT band,
+       COUNT(*) AS n_buckets,
+       CAST(SUM(s) AS BIGINT) AS n_docs,
+       CAST(MAX(s) AS BIGINT) AS max_load,
+       CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS cand_pairs
+FROM buckets
+GROUP BY band
+"""
+
+
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which crawls duplicate each other: the engine's near-dup pair
+    relation rolled up to an (source_a, source_b) matrix of pair counts
+    — the mirror-detection readout that tells a pipeline two sources
+    are re-crawls of the same site (drop one) versus incidental overlap
+    (dedup normally).  Pairs are folded direction-free (lexicographic
+    source order), so each unordered source pair appears once;
+    same-source pairs stay in the matrix — the diagonal is the
+    within-crawl duplication a re-crawl interval mis-tune produces.
+
+    Scale shape: the pair list is the banded LSH join (collision
+    buckets); the two source lookups are ids-only hash joins against
+    the (doc_id, source) projection, and the matrix aggregate is at
+    most |sources|^2 rows — tiny, because a source registry is a
+    curated dimension, not data-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs_from(docs).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+CROSS_SOURCE_DUP_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({minhash_pairs_sql()})
+)
+SELECT LEAST(a.source, b.source) AS source_a,
+       GREATEST(a.source, b.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN documents a ON a.doc_id = p.doc_a
+JOIN documents b ON b.doc_id = p.doc_b
+GROUP BY 1, 2
+"""
+
+
+def source_minhash_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation from MERGED sketches: a source-level
+    MinHash signature (per-seed min over every shingle hash the source
+    contains — MinHash's merge property: the sketch of a union is the
+    elementwise min of sketches) and the estimated shingle-set Jaccard
+    for every source pair.  This answers "how much does crawl A overlap
+    crawl B" WITHOUT any doc-pair work — the set-level sibling of
+    cross_source_dup_matrix's pair counts, and the cheap first look
+    that decides whether the pair-level job is worth running.
+
+    Scale shape: the signature is an algebraic min-aggregate, so it
+    partial-aggregates map-side and the exchange carries 16 longs per
+    source per map partition; the pairwise comparison runs on the
+    |sources|-row sketch table (explicitly broadcast — a curated
+    source registry is dimension-sized, and the join is guarded by the
+    same bounded-by-construction argument as the broadcast singleton
+    aggregates).  At 100 TB this is THE way to compare corpora: merge
+    sketches, never documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("source", F.explode(_shingles(3)).alias("s"))
+        .select("source", hash32("s").alias("h"))
+    )
+    aggs = [
+        F.min(F.expr(f"({a} * h + {b}) % {MINHASH_PRIME}")).alias(f"m{i}")
+        for i, (a, b) in enumerate(SEEDS)
+    ]
+    sig = sh.groupBy("source").agg(*aggs).select(
+        "source", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    )
+    a = sig.alias("a")
+    b = F.broadcast(sig.alias("b"))
+    return (
+        a.join(b, F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            (
+                F.expr("size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), v -> v))")
+                / F.lit(float(NUM_HASHES))
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def _source_minhash_sql() -> str:
+    a_list, b_list = _sql_seed_lists()
+    return f"""
+WITH toks AS (
+  SELECT source, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+),
+hashes AS (
+  SELECT source, {sql_hash32('s')} AS h FROM sh
+),
+seeds AS (
+  SELECT unnest({a_list}) AS a, unnest({b_list}) AS b,
+         unnest(generate_series(1, {NUM_HASHES})) AS i
+),
+mh AS (
+  SELECT source, i, MIN((a * h + b) % {MINHASH_PRIME}) AS mv
+  FROM hashes, seeds
+  GROUP BY source, i
+),
+sig AS (
+  SELECT source, list(mv ORDER BY i) AS sig FROM mh GROUP BY source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       len(list_filter(generate_series(1, {NUM_HASHES}),
+                       i -> a.sig[i] = b.sig[i])) / {NUM_HASHES}.0 AS est_jaccard
+FROM sig a JOIN sig b ON a.source < b.source
+"""
+
+
 QUERIES = {
     "dup_cluster_histogram": dup_cluster_histogram,
     "neardup_method_agreement": neardup_method_agreement,
@@ -2019,6 +2311,7 @@ QUERIES = {
     "incremental_triage_materialized": incremental_triage_materialized,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "minhash_band_stats": minhash_band_stats,
     "minhash_calibration": minhash_calibration,
     "simhash_signatures": simhash_signatures,
     "simhash_neardup_pairs": simhash_neardup_pairs,
@@ -2030,6 +2323,9 @@ QUERIES = {
     "containment_bottomk_pairs": containment_bottomk_pairs,
     "semantic_drop_by_source": semantic_drop_by_source,
     "neardup_weighted_sample": neardup_weighted_sample,
+    "cross_source_dup_matrix": cross_source_dup_matrix,
+    "source_minhash_similarity": source_minhash_similarity,
+    "quality_by_dup_class": quality_by_dup_class,
 }
 
 ORACLES = {
@@ -2047,6 +2343,7 @@ ORACLES = {
     "incremental_triage_materialized": INCREMENTAL_TRIAGE_SQL.format(PAIRS=minhash_pairs_sql("documents").strip()),
     "minhash_signatures": MINHASH_SIG_SQL,
     "dedup_minhash_pairs": DEDUP_MINHASH_PAIRS_SQL,
+    "minhash_band_stats": MINHASH_BAND_STATS_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
     "simhash_signatures": SIMHASH_SQL,
     "simhash_neardup_pairs": SIMHASH_NEARDUP_SQL,
@@ -2057,4 +2354,7 @@ ORACLES = {
     "containment_bottomk_pairs": CONTAINMENT_BOTTOMK_SQL,
     "semantic_drop_by_source": _semantic_drop_by_source_sql(),
     "neardup_weighted_sample": NEARDUP_WEIGHTED_SAMPLE_SQL,
+    "cross_source_dup_matrix": CROSS_SOURCE_DUP_SQL,
+    "source_minhash_similarity": _source_minhash_sql(),
+    "quality_by_dup_class": _quality_by_dup_class_sql(),
 }

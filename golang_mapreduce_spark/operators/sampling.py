@@ -494,6 +494,111 @@ FROM ranked WHERE cum_toks <= {TOPIC_TOKEN_BUDGET}
 """
 
 
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: for the val and test splits of
+    the standard hash assignment (dataset_split_counts' buckets), count
+    documents with a NEAR-DUP partner in train — eval examples the
+    model has effectively seen in training.  "Near-dup" is the engine's
+    own MinHash-LSH pair relation (est_jaccard >= threshold), so the
+    audit subsumes exact copies (est = 1.0) and catches the lightly
+    edited ones exact hashing misses; this is the per-release eval gate
+    the GPT-3 train-test overlap postmortem argues for (Brown et al.
+    2020 §4) — dedup-before-split doesn't retire it, because post-split
+    appends re-open the hole.
+
+    Scale shape: the pair relation is the banded LSH join (collision
+    buckets, never all-pairs); split assignment is a per-row hash
+    expression joined to the pair list as ids only — no text moves.
+    The leaked-id distinct and the two-row aggregate are bounded by the
+    pair count, which the banding keeps linear in corpus size."""
+    from golang_mapreduce_spark.operators.dedup import minhash_pairs_from
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.col("bucket") < TRAIN_PCT, "train")
+        .when(F.col("bucket") < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    splits = docs.select("doc_id", _bucket_col()).select(
+        "doc_id", split.alias("split")
+    )
+    pairs = minhash_pairs_from(docs).select("doc_a", "doc_b")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    tagged = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    leaked = (
+        tagged.where(
+            (F.col("split_a") == "train") & (F.col("split_b") != "train")
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .union(
+            tagged.where(
+                (F.col("split_b") == "train") & (F.col("split_a") != "train")
+            ).select(F.col("doc_a").alias("doc_id"))
+        )
+        .distinct()
+        .withColumn("leaked", F.lit(1))
+    )
+    return (
+        splits.where(F.col("split") != "train")
+        .join(leaked, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum("leaked"), F.lit(0)).cast("bigint").alias(
+                "n_leaked_docs"
+            ),
+            F.round(
+                F.coalesce(F.sum("leaked"), F.lit(0)) / F.count("*"), 6
+            ).alias("leak_rate"),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    from golang_mapreduce_spark.operators.dedup import minhash_pairs_sql
+
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({minhash_pairs_sql()})
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {TRAIN_PCT} THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+leaked AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT p.doc_b AS doc_id
+    FROM pairs p
+    JOIN splits a ON a.doc_id = p.doc_a
+    JOIN splits b ON b.doc_id = p.doc_b
+    WHERE a.split = 'train' AND b.split <> 'train'
+    UNION ALL
+    SELECT p.doc_a AS doc_id
+    FROM pairs p
+    JOIN splits a ON a.doc_id = p.doc_a
+    JOIN splits b ON b.doc_id = p.doc_b
+    WHERE b.split = 'train' AND a.split <> 'train'
+  )
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN leaked.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_docs,
+       ROUND(CAST(SUM(CASE WHEN leaked.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS leak_rate
+FROM splits LEFT JOIN leaked USING (doc_id)
+WHERE split <> 'train'
+GROUP BY split
+"""
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "temperature_rebalance_sample": temperature_rebalance_sample,
@@ -503,6 +608,7 @@ QUERIES = {
     "source_budget_select": source_budget_select,
     "source_budget_select_hist": source_budget_select_hist,
     "topic_balanced_select": topic_balanced_select,
+    "split_leakage_audit": split_leakage_audit,
 }
 
 ORACLES = {
@@ -517,4 +623,5 @@ ORACLES = {
     "source_budget_select_hist": _source_budget_sql(),
     "topic_balanced_select": _topic_balanced_sql(),
     "temperature_rebalance_sample": TEMPERATURE_REBALANCE_SQL,
+    "split_leakage_audit": _split_leakage_sql(),
 }

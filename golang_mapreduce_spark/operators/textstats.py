@@ -1632,6 +1632,299 @@ GROUP BY lang
 """
 
 
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1), adapted to the
+#: fixture corpus scale (the paper's 50-token floor would drop everything
+#: at sf0.001; the RULE SET and accounting shape are what production
+#: keeps, the constants are per-corpus tuning).
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_WLEN_LO, GOPHER_WLEN_HI = 2.0, 12.0
+GOPHER_MIN_STOPWORDS = 2     # distinct stopwords that must appear
+GOPHER_MIN_ALPHA = 0.8       # share of tokens containing a letter
+GOPHER_MAX_SYMBOL = 0.1      # share of tokens carrying '#' or '...'
+
+
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-RULE drop accounting for the Gopher quality heuristics (Rae
+    et al. 2021 §A1.1): one row per rule with the count of documents it
+    fails, plus an ``any_rule`` row (docs failing >= 1 rule) and a
+    ``kept`` row — the filter-observability table a pipeline inspects
+    BEFORE committing a rule set, so a mis-tuned threshold that would
+    silently delete a language or source shows up as a count, not as a
+    missing corpus.  Complements quality_scores (a blended score) and
+    doc_repetition_scores (the repetition tier of the same paper's
+    rules).
+
+    Rules: token-count bounds, mean-word-length band, >= {n} distinct
+    stopwords, alphabetic-token share, symbol-token share.
+
+    Scale shape: one scan, all flags are per-row JVM expressions, the
+    aggregate is a single 8-value row (partial-agg'd map-side), and the
+    unpivot runs on that one row — no shuffle wider than one row, so
+    the plan is identical at sf0.001 and 100 TB.  Empty docs hit the
+    ratio guards (NULLIF -> 0.0) rather than ANSI division errors."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw_list = ", ".join(f"'{w}'" for w in STOPWORDS)
+    toks = ws_words("text")
+    base = docs.select(toks.alias("toks")).select(
+        F.coalesce(F.size("toks"), F.lit(0)).alias("n_tokens"),
+        F.round(
+            F.expr(
+                "COALESCE(CAST(aggregate(toks, 0L, (acc, t) -> acc + length(t)) AS DOUBLE)"
+                " / NULLIF(size(toks), 0), 0.0)"
+            ),
+            6,
+        ).alias("mean_wlen"),
+        F.size(
+            F.expr(f"array_distinct(filter(toks, t -> t IN ({sw_list})))")
+        ).alias("n_stop_distinct"),
+        F.round(
+            F.expr(
+                "COALESCE(CAST(size(filter(toks, t -> t RLIKE '[A-Za-z]')) AS DOUBLE)"
+                " / NULLIF(size(toks), 0), 0.0)"
+            ),
+            6,
+        ).alias("alpha_frac"),
+        F.round(
+            F.expr(
+                "COALESCE(CAST(size(filter(toks, t -> t LIKE '%#%' OR t LIKE '%...%'))"
+                " AS DOUBLE) / NULLIF(size(toks), 0), 0.0)"
+            ),
+            6,
+        ).alias("symbol_frac"),
+    )
+    flags = base.select(
+        (F.col("n_tokens") < GOPHER_MIN_TOKENS).cast("long").alias("too_short"),
+        (F.col("n_tokens") > GOPHER_MAX_TOKENS).cast("long").alias("too_long"),
+        (
+            (F.col("mean_wlen") < GOPHER_WLEN_LO)
+            | (F.col("mean_wlen") > GOPHER_WLEN_HI)
+        ).cast("long").alias("bad_mean_word_len"),
+        (F.col("n_stop_distinct") < GOPHER_MIN_STOPWORDS).cast("long").alias(
+            "low_stopword"
+        ),
+        (F.col("alpha_frac") < GOPHER_MIN_ALPHA).cast("long").alias("low_alpha"),
+        (F.col("symbol_frac") > GOPHER_MAX_SYMBOL).cast("long").alias("symbol_heavy"),
+    ).withColumn(
+        "any_rule",
+        F.greatest(
+            "too_short", "too_long", "bad_mean_word_len",
+            "low_stopword", "low_alpha", "symbol_heavy",
+        ),
+    )
+    agg = flags.agg(
+        F.sum("too_short").alias("too_short"),
+        F.sum("too_long").alias("too_long"),
+        F.sum("bad_mean_word_len").alias("bad_mean_word_len"),
+        F.sum("low_stopword").alias("low_stopword"),
+        F.sum("low_alpha").alias("low_alpha"),
+        F.sum("symbol_heavy").alias("symbol_heavy"),
+        F.sum("any_rule").alias("any_rule"),
+        (F.count("*") - F.sum("any_rule")).alias("kept"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(8,"
+            " 'too_short', too_short,"
+            " 'too_long', too_long,"
+            " 'bad_mean_word_len', bad_mean_word_len,"
+            " 'low_stopword', low_stopword,"
+            " 'low_alpha', low_alpha,"
+            " 'symbol_heavy', symbol_heavy,"
+            " 'any_rule', any_rule,"
+            " 'kept', kept) AS (rule, n_docs)"
+        )
+    )
+
+
+GOPHER_RULES_SQL = f"""
+WITH base AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+feat AS (
+  SELECT COALESCE(len(toks), 0) AS n_tokens,
+         ROUND(COALESCE(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+               / NULLIF(len(toks), 0), 0.0), 6) AS mean_wlen,
+         len(list_distinct(list_filter(toks, t -> t IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))) AS n_stop_distinct,
+         ROUND(COALESCE(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+               / NULLIF(len(toks), 0), 0.0), 6) AS alpha_frac,
+         ROUND(COALESCE(CAST(len(list_filter(toks, t -> t LIKE '%#%' OR t LIKE '%...%')) AS DOUBLE)
+               / NULLIF(len(toks), 0), 0.0), 6) AS symbol_frac
+  FROM base
+),
+flags AS (
+  SELECT CASE WHEN n_tokens < {GOPHER_MIN_TOKENS} THEN 1 ELSE 0 END AS too_short,
+         CASE WHEN n_tokens > {GOPHER_MAX_TOKENS} THEN 1 ELSE 0 END AS too_long,
+         CASE WHEN mean_wlen < {GOPHER_WLEN_LO} OR mean_wlen > {GOPHER_WLEN_HI} THEN 1 ELSE 0 END AS bad_mean_word_len,
+         CASE WHEN n_stop_distinct < {GOPHER_MIN_STOPWORDS} THEN 1 ELSE 0 END AS low_stopword,
+         CASE WHEN alpha_frac < {GOPHER_MIN_ALPHA} THEN 1 ELSE 0 END AS low_alpha,
+         CASE WHEN symbol_frac > {GOPHER_MAX_SYMBOL} THEN 1 ELSE 0 END AS symbol_heavy
+  FROM feat
+),
+agg AS (
+  SELECT CAST(SUM(too_short) AS BIGINT) AS too_short,
+         CAST(SUM(too_long) AS BIGINT) AS too_long,
+         CAST(SUM(bad_mean_word_len) AS BIGINT) AS bad_mean_word_len,
+         CAST(SUM(low_stopword) AS BIGINT) AS low_stopword,
+         CAST(SUM(low_alpha) AS BIGINT) AS low_alpha,
+         CAST(SUM(symbol_heavy) AS BIGINT) AS symbol_heavy,
+         CAST(SUM(GREATEST(too_short, too_long, bad_mean_word_len,
+                           low_stopword, low_alpha, symbol_heavy)) AS BIGINT) AS any_rule,
+         CAST(COUNT(*) - SUM(GREATEST(too_short, too_long, bad_mean_word_len,
+                                      low_stopword, low_alpha, symbol_heavy)) AS BIGINT) AS kept
+  FROM flags
+)
+SELECT rule, n_docs FROM (
+  SELECT 'too_short' AS rule, too_short AS n_docs FROM agg
+  UNION ALL SELECT 'too_long', too_long FROM agg
+  UNION ALL SELECT 'bad_mean_word_len', bad_mean_word_len FROM agg
+  UNION ALL SELECT 'low_stopword', low_stopword FROM agg
+  UNION ALL SELECT 'low_alpha', low_alpha FROM agg
+  UNION ALL SELECT 'symbol_heavy', symbol_heavy FROM agg
+  UNION ALL SELECT 'any_rule', any_rule FROM agg
+  UNION ALL SELECT 'kept', kept FROM agg
+)
+"""
+
+
+#: OOV audit: the "tokenizer vocabulary" is the corpus's own top-K
+#: unigrams (deterministic rank: count DESC, token ASC) — a stand-in
+#: for a frozen tokenizer vocab, which production swaps in verbatim.
+OOV_VOCAB_K = 100
+
+
+def oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against a frozen top-{K}
+    vocabulary — the tokenizer-fit audit: a language whose OOV rate is
+    high is fragmented into rare pieces by the vocab (inflated sequence
+    lengths, degraded loss), the per-language signal behind vocab
+    budgeting next to bpe_fertility_by_lang's piece counts.
+
+    Scale shape: the vocab pass is the canonical map-side-combined word
+    count; the top-K rank runs on the aggregate-small vocab relation
+    (same bounded-window argument as source_token_concentration) and
+    the K-row membership table broadcasts into the token stream — the
+    big side is one scan + one partial-agg'd exchange on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tok = docs.select("lang", F.explode(ws_words("text")).alias("t"))
+    counts = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("t"))
+    vocab = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= OOV_VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+OOV_RATE_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+counts AS (
+  SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t
+),
+vocab AS (
+  SELECT t FROM (
+    SELECT t, ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rk FROM counts
+  ) WHERE rk <= {OOV_VOCAB_K}
+)
+SELECT lang,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS oov_rate
+FROM tok LEFT JOIN vocab v USING (t)
+GROUP BY lang
+"""
+
+
+def ngram_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per source — the corpus-diversity
+    readout: a templated/boilerplate-heavy source concentrates its
+    token mass on few types and scores low, natural text scores near
+    the corpus ceiling; pipelines alert on entropy DROPS per ingest
+    batch (a crawler stuck on one page family).  Sits next to
+    doc_repetition_scores (within-doc) as the across-docs diversity
+    axis.
+
+    Determinism: each distinct (source, token) contributes
+    round(-p*ln(p), 6) summed as exact integer micro-units — the
+    doc_perplexity convention, making the sum independent of addition
+    order and engine ulp differences.
+
+    Scale shape: one explode, one map-side-combined (source, token)
+    count, the per-source total by a second tiny aggregate, and the
+    entropy fold is one exchange on source carrying micro-unit longs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(ws_words("text")).alias("t"))
+    counts = tok.groupBy("source", "t").agg(F.count("*").alias("cnt"))
+    totals = counts.groupBy("source").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_distinct")
+    )
+    return (
+        counts.join(totals, "source")
+        .select(
+            "source",
+            "total",
+            "n_distinct",
+            F.expr(
+                "CAST(round(round(-(CAST(cnt AS DOUBLE) / total)"
+                " * ln(CAST(cnt AS DOUBLE) / total), 6) * 1000000) AS BIGINT)"
+            ).alias("term_u"),
+        )
+        .groupBy("source")
+        .agg(
+            F.first("total").cast("bigint").alias("n_tokens"),
+            F.first("n_distinct").cast("bigint").alias("n_distinct"),
+            F.expr("round(CAST(SUM(term_u) AS DOUBLE) / 1000000, 6)").alias(
+                "entropy"
+            ),
+        )
+    )
+
+
+NGRAM_ENTROPY_SQL = """
+WITH tok AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+counts AS (
+  SELECT source, t, COUNT(*) AS cnt FROM tok GROUP BY source, t
+),
+totals AS (
+  SELECT source, SUM(cnt) AS total, COUNT(*) AS n_distinct
+  FROM counts GROUP BY source
+)
+SELECT c.source,
+       CAST(MIN(total) AS BIGINT) AS n_tokens,
+       CAST(MIN(n_distinct) AS BIGINT) AS n_distinct,
+       ROUND(CAST(SUM(CAST(ROUND(ROUND(-(CAST(cnt AS DOUBLE) / total)
+                 * ln(CAST(cnt AS DOUBLE) / total), 6) * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000, 6) AS entropy
+FROM counts c JOIN totals USING (source)
+GROUP BY c.source
+"""
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
@@ -1640,6 +1933,9 @@ QUERIES = {
     "doc_perplexity_bigram": doc_perplexity_bigram,
     "bm25_search": bm25_search,
     "doc_repetition_scores": doc_repetition_scores,
+    "gopher_quality_rules": gopher_quality_rules,
+    "oov_rate_by_lang": oov_rate_by_lang,
+    "ngram_entropy_by_source": ngram_entropy_by_source,
     "lang_stopword_quality": lang_stopword_quality,
     "quality_calibrated": quality_calibrated,
     "doc_perplexity": doc_perplexity,
@@ -1667,6 +1963,9 @@ ORACLES = {
     "doc_perplexity_bigram": DOC_PPL_BIGRAM_SQL,
     "bm25_search": BM25_SQL,
     "doc_repetition_scores": DOC_REPETITION_SQL,
+    "gopher_quality_rules": GOPHER_RULES_SQL,
+    "oov_rate_by_lang": OOV_RATE_SQL,
+    "ngram_entropy_by_source": NGRAM_ENTROPY_SQL,
     "lang_stopword_quality": LANG_STOPWORD_SQL,
     "quality_calibrated": QUALITY_CALIBRATED_SQL,
     "doc_perplexity": DOC_PERPLEXITY_SQL,

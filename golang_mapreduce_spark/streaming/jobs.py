@@ -554,7 +554,10 @@ def kafka_stream_options(
 # oracles identical to the batch queries: a drained stream over the same
 # data must produce the same table.
 from golang_mapreduce_spark.operators.corpus import PACKED_SEQUENCES_SQL  # noqa: E402
-from golang_mapreduce_spark.operators.windows import TUMBLING_SQL  # noqa: E402
+from golang_mapreduce_spark.operators.windows import (  # noqa: E402
+    SESSION_SQL,
+    TUMBLING_SQL,
+)
 
 
 def _pii_rates_oracle() -> str:
@@ -849,6 +852,117 @@ def streaming_triage_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("doc_id") < min(_TRIAGE_SENTINELS))
 
 
+def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-hourly aggregation in watermarked APPEND mode — the
+    metrics-LOG emission shape (each finalized window row written
+    exactly once when the watermark passes it) next to
+    streaming_tumbling_hourly's complete-mode snapshot; downstream
+    time-series stores consume exactly this log.  Drain follows the
+    stateful_sessionize sentinel pattern: [events, sentinel A] in
+    micro-batch 1 computes a far-future watermark at batch end, batch 2
+    (sentinel B) emits every real window — so the finalized log equals
+    the batch tumbling oracle exactly, sentinel windows filtered out.
+
+    Scale: state is one row per open (window, event_type), evicted on
+    watermark passage — O(open windows x types), not O(history); swap
+    the file source for Kafka and nothing downstream changes.  The
+    late-data contract matches streaming_triage_append's measured
+    semantics (drop past the two-batch-lagged watermark, counted in
+    numRowsDroppedByWatermark)."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="gmrs_tumb_src_")
+    try:
+        real = os.path.join(src, "00_events.parquet")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
+        ts_type = events_ts_layout(spark, real)
+        nanos = isinstance(ts_type, T.LongType)
+        _write_sentinel(os.path.join(src, "01_sentinel.parquet"), 4_102_444_800, nanos)
+        _write_sentinel(os.path.join(src, "02_sentinel.parquet"), 4_133_980_800, nanos)
+        now = os.path.getmtime(real)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
+
+        stream = normalize_events_ts(
+            spark.readStream.schema(events_stream_schema(ts_type))
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        # append mode must group by the FULL window struct: projecting
+        # .start inside the groupBy detaches the grouping column from
+        # the watermarked event-time column and Spark rejects the plan
+        # (complete-mode hourly_counts_stream can afford the projection)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.expr(f"CAST(SUM({_dec('value')}) AS DOUBLE)").alias("sum_value"),
+            )
+        )
+        out = run_stream_to_batch(agg, spark, output_mode="append")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out.where(F.col("event_type") != "sentinel").select(
+        F.col("w.start").alias("wstart"), "event_type", "n", "sum_value"
+    )
+
+
+def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window) through Structured
+    Streaming in watermarked APPEND mode — the engine-managed sibling
+    of stateful_sessionize's hand-rolled applyInPandasWithState state
+    machine: Spark merges/extends open sessions in the state store and
+    emits each one exactly once when the watermark passes its close.
+    Together the two forms cover both ways production builds session
+    logs: custom state when the fold needs arbitrary logic, native
+    session_window when gap semantics suffice (no Python in the loop —
+    the whole pipeline stays JVM-side codegen).
+
+    Drain: the sessionize sentinel pattern (two far-future events,
+    maxFilesPerTrigger=2) finalizes every real session, so the emitted
+    log equals the batch session_windows_30m oracle exactly; sentinel
+    rows (user_id < 0) are filtered after the drain.  State is one row
+    per OPEN session, evicted on emission — O(active users), never
+    O(history)."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="gmrs_sess_src_")
+    try:
+        real = os.path.join(src, "00_events.parquet")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
+        ts_type = events_ts_layout(spark, real)
+        nanos = isinstance(ts_type, T.LongType)
+        _write_sentinel(os.path.join(src, "01_sentinel.parquet"), 4_102_444_800, nanos)
+        _write_sentinel(os.path.join(src, "02_sentinel.parquet"), 4_133_980_800, nanos)
+        now = os.path.getmtime(real)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
+
+        stream = normalize_events_ts(
+            spark.readStream.schema(events_stream_schema(ts_type))
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.expr(f"CAST(SUM({_dec('value')}) AS DOUBLE)").alias("sum_value"),
+            )
+        )
+        out = run_stream_to_batch(agg, spark, output_mode="append")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return out.where(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus-quality rates computed through Structured
     Streaming — the live dashboard a continuous-ingest pipeline watches
@@ -911,6 +1025,8 @@ def _streaming_triage_oracle() -> str:
 
 QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
+    "streaming_tumbling_append": streaming_tumbling_append,
+    "streaming_session_append": streaming_session_append,
     "stateful_sessionize": stateful_sessionize,
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_dedup": streaming_dedup,
@@ -922,6 +1038,11 @@ QUERIES = {
 }
 ORACLES = {
     "streaming_tumbling_hourly": TUMBLING_SQL,
+    # the finalized append-mode log equals the same batch tumbling
+    # table — one oracle certifies both output modes
+    "streaming_tumbling_append": TUMBLING_SQL,
+    # the finalized native-session log equals the batch session table
+    "streaming_session_append": SESSION_SQL,
     "stateful_sessionize": STATEFUL_SESSION_SQL,
     "streaming_click_attribution": CLICK_ATTRIBUTION_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,

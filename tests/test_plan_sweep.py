@@ -30,6 +30,8 @@ EXECUTING = {
     "training_data_run_semantic",  # same CC loop + the temp_rates 1-row BNLJ
     "streaming_incremental_triage",
     "streaming_triage_append",
+    "streaming_tumbling_append",
+    "streaming_session_append",
     "streaming_quality_monitor",
     "neardup_weighted_sample",  # composes the CC loop's labels
 }
@@ -73,6 +75,9 @@ BNLJ_OK = {
     "salted_join_revenue",      # deliberate S-row salt-range replication
     "join_skew_diagnostics",    # 1-row global key stats
     "hotkey_salted_join_revenue",  # same S-row salt range, hot keys only
+    "source_minhash_similarity",   # |sources|-row merged-sketch table on
+                                   # BOTH sides (curated dimension), the
+                                   # inequality pairing needs the NLJ
 }
 
 QUERIES = {
