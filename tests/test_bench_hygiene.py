@@ -1,0 +1,44 @@
+"""No operator-created persist outlives its query in a bench run
+(VERDICT r7 #3).
+
+``bench.timed`` owns the cache release: several operators persist()
+DataFrames their lazy result re-reads (minhash signature trees, the
+bottom-k containment shingle relation, `dedup.py:1890`), so the clear
+must come from the harness after each force.  This pins both halves:
+
+1. the known persist-creating operators DO leave caches behind when
+   forced bare (the precondition that makes the release load-bearing),
+2. ``bench.timed`` leaves the session cache-empty afterwards.
+"""
+
+from __future__ import annotations
+
+import bench
+from golang_mapreduce_spark.operators import dedup
+
+
+def _n_persisted(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_timed_releases_operator_persists(spark, sf_dir):
+    assert _n_persisted(spark) == 0 or spark.catalog.clearCache() is None
+    spark.catalog.clearCache()
+    # bare force: the operator's internal persists survive the action
+    bench.force(dedup.containment_bottomk_pairs(spark, sf_dir))
+    assert _n_persisted(spark) > 0, (
+        "precondition lost: containment_bottomk_pairs no longer persists; "
+        "update this test and the dedup.py lifecycle comment together"
+    )
+    spark.catalog.clearCache()
+
+    # harness-owned release: timed() leaves the cache empty
+    sec = bench.timed(spark, dedup.containment_bottomk_pairs, sf_dir)
+    assert sec > 0
+    assert _n_persisted(spark) == 0
+
+
+def test_timed_releases_minhash_persists(spark, sf_dir):
+    spark.catalog.clearCache()
+    bench.timed(spark, dedup.dedup_minhash_pairs, sf_dir)
+    assert _n_persisted(spark) == 0
