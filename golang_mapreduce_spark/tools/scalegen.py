@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import hashlib
 import os
+import random
 import string
+from glob import glob
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -45,21 +47,27 @@ KEY_STRIDE = 100_000_000
 
 def _cipher_pair(i: int) -> tuple[str, str]:
     """Per-replica deterministic substitution alphabet for F.translate:
-    a Caesar rotation of letters and digits keyed on the replica index.
-    Within a replica the mapping is a bijection, so every duplicate /
-    near-duplicate relation among documents is PRESERVED inside the
-    replica; across replicas no shingle hash collides, so the k
-    replicas behave as k independent corpora — pair mass grows k×
-    (linear), not k²× (the replicated-corpus degeneracy)."""
+    a seeded full permutation of letters and digits keyed on the replica
+    index (replica 0 stays the identity).  Within a replica the mapping
+    is a bijection, so every duplicate / near-duplicate relation among
+    documents is PRESERVED inside the replica.  Across replicas the
+    letter permutations are seeded independently, so two replicas
+    sharing a letter mapping has probability ~k²/26! ≈ 0 (the round-7
+    Caesar rotation repeated every 25 replicas, so at k=100 letter-only
+    shingles collided across 4-replica classes — ADVICE r7); digit
+    permutations draw from 10!, so digit-only shingles can still collide
+    with probability ~k²/10! ≈ 10⁻³ at k=100 — negligible pair mass, and
+    the only cross-replica collision channel left."""
     lower, upper, digits = string.ascii_lowercase, string.ascii_uppercase, string.digits
-    rl = i % 25 + 1 if i else 0  # replica 0 stays the identity
-    rd = i % 9 + 1 if i else 0
     src = lower + upper + digits
-    dst = (
-        lower[rl:] + lower[:rl]
-        + upper[rl:] + upper[:rl]
-        + digits[rd:] + digits[:rd]
-    )
+    if i == 0:
+        return src, src
+    rng = random.Random(int.from_bytes(hashlib.md5(f"cp:{i}".encode()).digest()[:8], "big"))
+    pl = list(lower)
+    rng.shuffle(pl)
+    pd = list(digits)
+    rng.shuffle(pd)
+    dst = "".join(pl) + "".join(pl).upper() + "".join(pd)
     return src, dst
 
 
@@ -90,12 +98,22 @@ def generate(
     so pair-mass operators (containment, weighted soft-dedup) scale the
     way a real crawl does — k× the pairs, not k²× — and their 100×
     probes measure the operator, not the replication degeneracy."""
-    tag = f"_SCALED_x{k}" + ("_perturbed" if perturb else "")
+    # _v2 versions the perturbed cipher (seeded full permutation, ADVICE
+    # r7): dirs built with the round-7 rotation cipher regenerate.
+    tag = f"_SCALED_x{k}" + ("_perturbed_v2" if perturb else "")
     marker = os.path.join(out_dir, tag)
     if os.path.exists(marker):
         return
     ensure_session_invariants(spark, events=True)  # legacy-nanos events read
     os.makedirs(out_dir, exist_ok=True)
+    # A dir holds exactly ONE (k, mode) fixture: drop every other mode's
+    # or scale's completion marker BEFORE writing, so a crash mid-write
+    # or a mode switch can never leave a marker that vouches for data it
+    # did not produce (ADVICE r7: generate(perturb=True) over a
+    # perturb=False dir left both markers, and the next perturb=False
+    # call returned early serving perturbed data).
+    for stale in glob(os.path.join(out_dir, "_SCALED_x*")):
+        os.remove(stale)
     for name in _DIMS:
         load_table(spark, src_dir, name).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
