@@ -193,6 +193,12 @@ EXTRA = [
     "ngram_entropy_by_source",
     "quality_by_dup_class",
     "streaming_session_append",
+    # round-8 additions
+    "pipeline_drop_attribution",
+    "decontaminate_bloom",
+    "binary_quant_topk",
+    "pair_review_sample",
+    "seq_len_bucket_histogram",
 ]
 
 

@@ -13,6 +13,7 @@ whose per-partition state is O(1).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -23,7 +24,11 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from golang_mapreduce_spark.functions.hashing import hash32, sql_hash32
+from golang_mapreduce_spark.functions.hashing import (
+    hash32,
+    minhash_seeds,
+    sql_hash32,
+)
 from golang_mapreduce_spark.functions.text import ws_words
 from golang_mapreduce_spark.operators.dedup import _shingles
 from golang_mapreduce_spark.sources.fixtures import load_table
@@ -743,6 +748,142 @@ GROUP BY source
 """
 
 
+#: Bloom decontamination: bits per bench key and probe count.  16 bits
+#: per key with 8 probes gives a ~5e-4 false-positive rate; FPs cost
+#: only a wasted exact recheck, never a wrong answer.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_PROBES = 8
+#: Position family modulus — the minhash universal-hash prime, reused so
+#: the probe family is integer-exact and seedable on both engines.
+_BLOOM_PRIME = 4294967311
+
+
+def decontaminate_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
+    n_probes: int = BLOOM_PROBES,
+) -> DataFrame:
+    """:func:`decontaminate_docs` behind a BLOOM pre-filter — the memory
+    shape that survives a real eval suite at 100 TB.  The broadcast side
+    of the exact check is a hash RELATION (~50 JVM bytes per bench
+    n-gram: a 100M-ngram eval suite is a multi-GB broadcast that evicts
+    the executors' working set); a Bloom filter at {BLOOM_BITS_PER_KEY}
+    bits/key is ~25× smaller (200 MB for the same suite), so the corpus
+    scan probes the bitset map-side and only Bloom SURVIVORS — true
+    matches plus a ~5e-4 false-positive trickle — reach the exact
+    semi-join.  The exact recheck makes the output bit-identical to the
+    plain form (Bloom has no false negatives), so this shares
+    DECONTAMINATE_SQL as its oracle — the same oracle-sharing move
+    source_budget_select_hist uses, and tests/test_decon_bloom.py forces
+    FPs with a degenerate bits_per_key to pin that the recheck absorbs
+    them.
+
+    Dataflow: bench distinct shingle hashes collect to the driver (eval
+    sets are tiny relative to any corpus; at true scale this is a
+    one-time artifact build), a numpy bitset is built with
+    {BLOOM_PROBES} positions per key from the minhash universal-hash
+    family, and the corpus side probes it inside an Arrow-batched
+    mapInPandas-style predicate (vectorized numpy gather, no per-row
+    Python).  The only exchange is the final per-doc count-distinct,
+    identical to the plain form's."""
+    import numpy as np
+    from pyspark.sql.types import BooleanType
+
+    docs = load_table(spark, sf_dir, "documents")
+    ng = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= DECON_NGRAM)
+        .select("doc_id", F.explode(_shingles(DECON_NGRAM)).alias("s"))
+        .select("doc_id", hash32("s").alias("h"))
+    )
+    bench = ng.where(F.col("doc_id") % DECON_MOD == 0).select("h").distinct()
+    bench_h = np.array([r["h"] for r in bench.collect()], dtype=np.int64)
+    m = max(64, int(bits_per_key) * max(1, len(bench_h)))
+    seeds = minhash_seeds(n_probes)
+    bits = np.zeros(m, dtype=bool)
+    for a, b in seeds:
+        bits[(bench_h * a + b) % _BLOOM_PRIME % m] = True
+
+    @F.pandas_udf(BooleanType())
+    def might_contain(h: pd.Series) -> pd.Series:
+        hv = h.to_numpy(dtype=np.int64)
+        ok = np.ones(len(hv), dtype=bool)
+        for a, b in seeds:
+            ok &= bits[(hv * a + b) % _BLOOM_PRIME % m]
+        return pd.Series(ok)
+
+    survivors = ng.where(F.col("doc_id") % DECON_MOD != 0).where(
+        might_contain(F.col("h"))
+    )
+    return (
+        survivors.join(F.broadcast(bench), "h")  # exact recheck: kills FPs
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("shared_ngrams"))
+    )
+
+
+#: Sequence-length bucket histogram: power-of-2 context buckets.
+def seq_len_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram over power-of-2 buckets with the PADDING
+    BILL per bucket: each doc lands in the smallest 2^k >= its token
+    count (its padded slot in a bucketed-batching trainer), and the
+    bucket reports doc count, real tokens, padding tokens, and padding
+    fraction.  This is the table that decides bucket boundaries and
+    predicts wasted FLOPs before anyone tokenizes — the batch-shape
+    planner next to packed_sequences (which avoids padding by packing)
+    and sliding_chunk_stats (which prices splitting).
+
+    Scale shape: one scan, per-row integer arithmetic (the bucket is
+    2^ceil(log2 n) — exact in IEEE for the relevant range since log2 of
+    a power of two is exact and log2 of anything else sits >=1e-7 from
+    an integer), one partial-agg'd exchange on a <=16-row key."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.coalesce(F.size(ws_words("text")), F.lit(0)).cast("bigint").alias("n")
+    ).select(
+        "n",
+        F.expr(
+            "CASE WHEN n <= 1 THEN n"
+            " ELSE CAST(pow(2, ceil(log2(CAST(n AS DOUBLE)))) AS BIGINT) END"
+        ).alias("bucket_toks"),
+    )
+    return base.groupBy("bucket_toks").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("bucket_toks") - F.col("n")).cast("bigint").alias("n_padding"),
+        F.round(
+            F.coalesce(
+                F.sum(F.col("bucket_toks") - F.col("n"))
+                / F.nullif(F.sum("bucket_toks"), F.lit(0)),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("pad_frac"),
+    )
+
+
+SEQ_LEN_BUCKET_SQL = """
+WITH base AS (
+  SELECT CAST(COALESCE(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), 0) AS BIGINT) AS n
+  FROM documents
+),
+b AS (
+  SELECT n,
+         CASE WHEN n <= 1 THEN n
+              ELSE CAST(pow(2, ceil(log2(CAST(n AS DOUBLE)))) AS BIGINT) END AS bucket_toks
+  FROM base
+)
+SELECT bucket_toks,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(bucket_toks - n) AS BIGINT) AS n_padding,
+       ROUND(COALESCE(CAST(SUM(bucket_toks - n) AS DOUBLE) / NULLIF(SUM(bucket_toks), 0), 0.0), 6) AS pad_frac
+FROM b
+GROUP BY bucket_toks
+"""
+
+
 QUERIES = {
     "packing_efficiency": packing_efficiency,
     "decontaminate_docs": decontaminate_docs,
@@ -754,6 +895,8 @@ QUERIES = {
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_topk_selection": dsir_topk_selection,
     "sliding_chunk_stats": sliding_chunk_stats,
+    "decontaminate_bloom": decontaminate_bloom,
+    "seq_len_bucket_histogram": seq_len_bucket_histogram,
 }
 
 ORACLES = {
@@ -767,4 +910,8 @@ ORACLES = {
     "dsir_importance_weights": DSIR_SQL,
     "dsir_topk_selection": DSIR_TOPK_SQL.format(DSIR=DSIR_SQL.strip()),
     "sliding_chunk_stats": SLIDING_CHUNK_SQL,
+    # bit-identical to the plain form by construction (exact recheck) —
+    # the same oracle-sharing move source_budget_select_hist uses
+    "decontaminate_bloom": DECONTAMINATE_SQL,
+    "seq_len_bucket_histogram": SEQ_LEN_BUCKET_SQL,
 }

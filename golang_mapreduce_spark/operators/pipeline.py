@@ -243,21 +243,13 @@ def training_data_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mixture_temp_pack(spark, sf_dir, surv)
 
 
-def _mixture_temp_pack(spark: SparkSession, sf_dir: str, surv: DataFrame) -> DataFrame:
-    """Shared tail of the flagship pipelines: source mixture sampling →
-    temperature language rebalancing → greedy per-language sequence
-    packing, over any survivor id set.  Both sampling stages are
-    stateless map-side hash filters against broadcast rate tables; text
-    is re-read only for the final token count of the surviving slice."""
-    from golang_mapreduce_spark.operators.corpus import (
-        MIX_PCTS,
-        pack_docs,
-    )
-    from golang_mapreduce_spark.operators.sampling import PPM, temp_rates
+def _mix_keep_col() -> F.Column:
+    """Source-mixture keep predicate (expects ``source``/``doc_id``
+    columns in scope) — shared by the flagship tail and the funnel
+    attribution so the two can never disagree on a sampling decision."""
+    from golang_mapreduce_spark.operators.corpus import MIX_PCTS
     from golang_mapreduce_spark.functions.hashing import hash32
-    from golang_mapreduce_spark.functions.text import ws_words
 
-    docs = load_table(spark, sf_dir, "documents")
     src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
     pct = (
         F.when(src_num % 4 == 0, MIX_PCTS[0])
@@ -269,12 +261,50 @@ def _mixture_temp_pack(spark: SparkSession, sf_dir: str, surv: DataFrame) -> Dat
         hash32(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string")))
         % 100
     )
+    return bucket < pct
+
+
+def _temp_keep_col() -> F.Column:
+    """Temperature keep predicate (expects ``doc_id`` and a joined
+    ``rate_ppm`` in scope)."""
+    from golang_mapreduce_spark.operators.sampling import PPM
+    from golang_mapreduce_spark.functions.hashing import hash32
+
     h_temp = hash32(F.concat(F.lit("temp:"), F.col("doc_id").cast("string")))
+    return h_temp % PPM < F.col("rate_ppm")
+
+
+def _mix_pred_sql(alias: str) -> str:
+    """DuckDB twin of :func:`_mix_keep_col`."""
+    from golang_mapreduce_spark.functions.hashing import sql_hash32
+    from golang_mapreduce_spark.operators.corpus import MIX_PCTS
+
+    hash_expr = sql_hash32(f"{alias}.source || ':' || CAST({alias}.doc_id AS VARCHAR)")
+    digit_re = "'(" + "\\d" + "+)'"
+    return (
+        f"{hash_expr} % 100 < "
+        f"CASE CAST(regexp_extract({alias}.source, {digit_re}, 1) AS INT) % 4 "
+        f"WHEN 0 THEN {MIX_PCTS[0]} WHEN 1 THEN {MIX_PCTS[1]} "
+        f"WHEN 2 THEN {MIX_PCTS[2]} ELSE {MIX_PCTS[3]} END"
+    )
+
+
+def _mixture_temp_pack(spark: SparkSession, sf_dir: str, surv: DataFrame) -> DataFrame:
+    """Shared tail of the flagship pipelines: source mixture sampling →
+    temperature language rebalancing → greedy per-language sequence
+    packing, over any survivor id set.  Both sampling stages are
+    stateless map-side hash filters against broadcast rate tables; text
+    is re-read only for the final token count of the surviving slice."""
+    from golang_mapreduce_spark.operators.corpus import pack_docs
+    from golang_mapreduce_spark.operators.sampling import temp_rates
+    from golang_mapreduce_spark.functions.text import ws_words
+
+    docs = load_table(spark, sf_dir, "documents")
     kept = (
         docs.join(surv, "doc_id")
-        .where(bucket < pct)
+        .where(_mix_keep_col())
         .join(temp_rates(docs), "lang")
-        .where(h_temp % PPM < F.col("rate_ppm"))
+        .where(_temp_keep_col())
     )
     toks = kept.select(
         "doc_id", "lang", F.size(ws_words("text")).cast("bigint").alias("n_toks")
@@ -287,11 +317,7 @@ def _training_tail_sql(extra_ctes: str = "", extra_pred: str = "") -> str:
     chain, optional extra CTEs spliced before ``surv`` (and an optional
     extra predicate on ``surv``), then the shared mixture → temperature
     → pack tail."""
-    from golang_mapreduce_spark.functions.hashing import sql_hash32
-    from golang_mapreduce_spark.operators.corpus import (
-        MIX_PCTS,
-        packed_walk_sql,
-    )
+    from golang_mapreduce_spark.operators.corpus import packed_walk_sql
     from golang_mapreduce_spark.operators.sampling import (
         TEMP_KEEP_PRED,
         TEMP_RATES_CTES,
@@ -299,14 +325,7 @@ def _training_tail_sql(extra_ctes: str = "", extra_pred: str = "") -> str:
 
     full = _clean_corpus_decon_sql().strip()
     head, final = full.split("SELECT doc_id, lang, n_chars", 1)
-    hash_expr = sql_hash32("d.source || ':' || CAST(d.doc_id AS VARCHAR)")
-    digit_re = "'(" + "\\d" + "+)'"
-    mix_pred = (
-        f"{hash_expr} % 100 < "
-        f"CASE CAST(regexp_extract(d.source, {digit_re}, 1) AS INT) % 4 "
-        f"WHEN 0 THEN {MIX_PCTS[0]} WHEN 1 THEN {MIX_PCTS[1]} "
-        f"WHEN 2 THEN {MIX_PCTS[2]} ELSE {MIX_PCTS[3]} END"
-    )
+    mix_pred = _mix_pred_sql("d")
     extra_ctes_clause = f"{extra_ctes},\n" if extra_ctes else ""
     return f"""{head.rstrip().rstrip(',')},
 {extra_ctes_clause}surv AS (
@@ -372,12 +391,145 @@ def _training_data_run_semantic_sql() -> str:
     )
 
 
+def pipeline_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE DID MY DATA GO — the funnel table for the flagship
+    pipeline: every document is attributed to the FIRST stage that
+    drops it, in the pipeline's own order (quality → exact dedup →
+    near-dup keep-one → eval-slice exclusion → decontamination →
+    source mixture → temperature rebalance → kept), and the result is
+    one row per (stage, source) with the doc count.  This is the
+    retention/funnel readout every published pipeline reports (the
+    RefinedWeb/Dolma-style "removal rate by stage" table) and the
+    first thing anyone asks when a source's token count comes up short
+    — gopher_quality_rules gives it for the quality rules, this gives
+    it for the whole pipeline.
+
+    Every stage predicate is the certified operator's own machinery
+    (quality_scores, the keep-min md5 groups over quality survivors,
+    clusters_from over the banded pairs, decontaminate_docs,
+    _mix_keep_col/_temp_keep_col shared with the flagship tail), so
+    attribution can never disagree with what training_data_run actually
+    drops; the CASE precedence mirrors the stage order exactly.
+
+    Scale shape: each stage contributes an ids-only marker relation
+    joined on doc_id (the text is scanned by the quality/signature/
+    decon passes exactly as in the flagship run — no new text scan);
+    the final aggregate is one partial-agg'd exchange on a
+    (8 × |sources|)-row key."""
+    from golang_mapreduce_spark.operators.corpus import (
+        DECON_MOD,
+        decontaminate_docs,
+    )
+    from golang_mapreduce_spark.operators.sampling import temp_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    good = q.where(F.col("quality_score") >= QUALITY_MIN).select("doc_id")
+    docs_f = docs.join(good, "doc_id")
+    keepers = (
+        docs_f.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("is_keeper"))
+    )
+    docs_d = docs_f.join(keepers.select("doc_id"), "doc_id")
+    pairs = minhash_pairs_from(docs_d.select("doc_id", "text")).select(
+        "doc_a", "doc_b"
+    )
+    neardrop = (
+        clusters_from(pairs)
+        .where(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id", F.lit(1).alias("is_neardrop"))
+    )
+    cont = decontaminate_docs(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("is_cont")
+    )
+    d = (
+        docs.select("doc_id", "source", "lang")
+        .join(q, "doc_id")
+        .join(keepers.select("doc_id", "is_keeper"), "doc_id", "left")
+        .join(neardrop, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+        .join(temp_rates(docs), "lang")
+    )
+    stage = (
+        F.when(F.col("quality_score") < QUALITY_MIN, "quality")
+        .when(F.col("is_keeper").isNull(), "exact_dup")
+        .when(F.col("is_neardrop").isNotNull(), "near_dup")
+        .when(F.col("doc_id") % DECON_MOD == 0, "eval_slice")
+        .when(F.col("is_cont").isNotNull(), "contaminated")
+        .when(~_mix_keep_col(), "mixture")
+        .when(~_temp_keep_col(), "temperature")
+        .otherwise("kept")
+    )
+    return (
+        d.select(stage.alias("stage"), "source")
+        .groupBy("stage", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _pipeline_drop_attribution_sql() -> str:
+    from golang_mapreduce_spark.operators.corpus import (
+        DECON_MOD,
+        DECONTAMINATE_SQL,
+    )
+    from golang_mapreduce_spark.operators.sampling import (
+        TEMP_KEEP_PRED,
+        TEMP_RATES_CTES,
+    )
+
+    return f"""
+WITH RECURSIVE q AS (
+  {QUALITY_SQL.strip()}
+),
+docs_f AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM q WHERE quality_score >= {QUALITY_MIN})
+),
+keep1 AS (
+  SELECT MIN(doc_id) AS doc_id FROM docs_f GROUP BY md5(lower(trim(text)))
+),
+docs_d AS (
+  SELECT * FROM docs_f WHERE doc_id IN (SELECT doc_id FROM keep1)
+),
+pairs AS (
+  {minhash_pairs_sql("docs_d").strip()}
+),
+{cc_walk_sql('pairs')},
+neardrop AS (
+  SELECT doc_id FROM clusters WHERE cluster_id <> doc_id
+),
+decon AS (
+{DECONTAMINATE_SQL.strip()}
+),
+{TEMP_RATES_CTES},
+staged AS (
+  SELECT d.source,
+         CASE WHEN qq.quality_score < {QUALITY_MIN} THEN 'quality'
+              WHEN d.doc_id NOT IN (SELECT doc_id FROM keep1) THEN 'exact_dup'
+              WHEN d.doc_id IN (SELECT doc_id FROM neardrop) THEN 'near_dup'
+              WHEN d.doc_id % {DECON_MOD} = 0 THEN 'eval_slice'
+              WHEN d.doc_id IN (SELECT doc_id FROM decon) THEN 'contaminated'
+              WHEN NOT ({_mix_pred_sql('d')}) THEN 'mixture'
+              WHEN NOT ({TEMP_KEEP_PRED.format(alias='d')}) THEN 'temperature'
+              ELSE 'kept' END AS stage
+  FROM documents d
+  JOIN q qq USING (doc_id)
+  JOIN trates r USING (lang)
+)
+SELECT stage, source, COUNT(*) AS n_docs
+FROM staged
+GROUP BY stage, source
+"""
+
+
 QUERIES = {
     "clean_corpus": clean_corpus,
     "clean_corpus_decontaminated": clean_corpus_decontaminated,
     "source_reputation": source_reputation,
     "training_data_run": training_data_run,
     "training_data_run_semantic": training_data_run_semantic,
+    "pipeline_drop_attribution": pipeline_drop_attribution,
 }
 ORACLES = {
     "clean_corpus": CLEAN_CORPUS_SQL,
@@ -385,4 +537,5 @@ ORACLES = {
     "source_reputation": _source_reputation_sql(),
     "training_data_run": _training_data_run_sql(),
     "training_data_run_semantic": _training_data_run_semantic_sql(),
+    "pipeline_drop_attribution": _pipeline_drop_attribution_sql(),
 }

@@ -2157,6 +2157,124 @@ GROUP BY a.cluster
 """
 
 
+#: Hamming candidates kept per query before the exact re-rank.
+BINARY_CAND = 4 * TOP_K
+
+
+def binary_quant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval over 1-BIT sign quantization — the most
+    compressed tier of the quantization ladder (float64 512 B → int8
+    64 B → sign bits 8 B per vector): pack each embedding's signs into
+    two 32-bit words, take the {BINARY_CAND} Hamming-nearest candidates
+    per query (two XOR+popcounts per comparison — the SIMD-friendliest
+    distance there is), then re-rank ONLY the candidates by exact cosine
+    over the raw vectors.  This is the classic bit-index + rerank shape
+    (Charikar 2002 sign-random-projection simhash, here with identity
+    projections since dims are already decorrelated): at 100 TB the bit
+    index is the only thing that stays memory-resident (1.25 GB per
+    billion vectors), and raw floats are fetched for ~{BINARY_CAND}
+    rows per query by id.
+
+    Determinism / oracle: the bit packing is integer-exact (sum of
+    distinct powers of two over sign tests), Hamming is an integer, and
+    both stages tie-break on neighbor_id — so candidates and final
+    ranking reproduce bit-for-bit in DuckDB.  Recall vs exact kNN is
+    approximate BY DESIGN (that is the compression trade); the output
+    itself is deterministic."""
+    emb = _emb(spark, sf_dir)
+
+    def pack(lo_bit: int, hi_bit: int, shift_base: int) -> F.Column:
+        return F.expr(
+            f"aggregate(sequence({lo_bit}, {hi_bit}), CAST(0 AS BIGINT), "
+            f"(s, j) -> s + CASE WHEN element_at(emb, j) >= 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), j - {shift_base}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+
+    bits = emb.select(
+        "vec_id", "emb",
+        pack(1, 32, 1).alias("blo"),
+        pack(33, EMB_DIM, 33).alias("bhi"),
+    )
+    qb = F.broadcast(
+        bits.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("blo").alias("q_lo"),
+            F.col("bhi").alias("q_hi"),
+        )
+    )
+    # stage 1: the big scan touches ONLY the 8-byte bit codes
+    ham = F.expr("bit_count(q_lo ^ blo) + bit_count(q_hi ^ bhi)").cast("int")
+    scored = (
+        bits.select("vec_id", "blo", "bhi")
+        .join(qb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), ham.alias("hamming")
+        )
+    )
+    cw = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = scored.withColumn("crn", F.row_number().over(cw)).where(
+        F.col("crn") <= BINARY_CAND
+    )
+    # stage 2: raw floats are fetched by id for candidates only
+    qe = F.broadcast(
+        emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    rer = (
+        F.broadcast(cand)
+        .join(emb.select(F.col("vec_id").alias("neighbor_id"), "emb"), "neighbor_id")
+        .join(qe, "query_id")
+        .select("query_id", "neighbor_id", "hamming", _cos("q_emb", "emb").alias("sim"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        rer.select(
+            "query_id", "neighbor_id", "hamming", "sim",
+            F.row_number().over(rw).alias("rank"),
+        )
+        .where(F.col("rank") <= TOP_K)
+    )
+
+
+BINARY_QUANT_SQL = f"""
+WITH bits AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         CAST(list_sum(list_transform(range(1, 33),
+              j -> CASE WHEN embedding[j] >= 0
+                   THEN CAST(1 AS BIGINT) << (j - 1) ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) AS blo,
+         CAST(list_sum(list_transform(range(33, {EMB_DIM} + 1),
+              j -> CASE WHEN embedding[j] >= 0
+                   THEN CAST(1 AS BIGINT) << (j - 33) ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) AS bhi
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.blo, b.blo)) + bit_count(xor(q.bhi, b.bhi)) AS INT)
+           AS hamming,
+         ROUND(list_cosine_similarity(q.emb, b.emb), 6) AS sim
+  FROM bits q JOIN bits b ON b.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT query_id, neighbor_id, hamming, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS crn
+  FROM scored
+)
+SELECT query_id, neighbor_id, hamming, sim, rank FROM (
+  SELECT query_id, neighbor_id, hamming, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM cand WHERE crn <= {BINARY_CAND}
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -2180,6 +2298,7 @@ QUERIES = {
     "matryoshka_recall": matryoshka_recall,
     "ivf_cluster_stats": ivf_cluster_stats,
     "emb_cos_threshold_curve": emb_cos_threshold_curve,
+    "binary_quant_topk": binary_quant_topk,
 }
 
 ORACLES = {
@@ -2205,4 +2324,5 @@ ORACLES = {
     "matryoshka_recall": MATRYOSHKA_SQL,
     "ivf_cluster_stats": IVF_CLUSTER_STATS_SQL,
     "emb_cos_threshold_curve": EMB_COS_CURVE_SQL,
+    "binary_quant_topk": BINARY_QUANT_SQL,
 }

@@ -154,8 +154,21 @@ def validate_window(
 #: Round-8 parameters.  Mid-round additions go into NEW (never-checked
 #: outranks stale); code-path changes go into CHANGED; regenerate and
 #: re-paste ``_ROUND8_WINDOW`` after editing these.
-ROUND8_NEW: tuple[str, ...] = ()
-ROUND8_CHANGED: tuple[str, ...] = ()
+ROUND8_NEW: tuple[str, ...] = (
+    "pipeline_drop_attribution",
+    "decontaminate_bloom",
+    "binary_quant_topk",
+    "pair_review_sample",
+    "seq_len_bucket_histogram",
+)
+#: training_data_run's mixture/temperature predicates were factored into
+#: _mix_keep_col/_temp_keep_col (shared with the funnel attribution), so
+#: its code path changed this round; containment_bottomk_pairs gained
+#: the df_cap parameter on its candidate index.
+ROUND8_CHANGED: tuple[str, ...] = (
+    "training_data_run",
+    "containment_bottomk_pairs",
+)
 ROUND8_PINS: tuple[str, ...] = ("wc", "indexer")  # VERDICT r7 #1 / r6 #8
 
 

@@ -78,6 +78,14 @@ BNLJ_OK = {
     "source_minhash_similarity",   # |sources|-row merged-sketch table on
                                    # BOTH sides (curated dimension), the
                                    # inequality pairing needs the NLJ
+    "binary_quant_topk",        # 8-row bit-code query set (non-equi join,
+                                # same shape as knn_bruteforce)
+    "pipeline_drop_attribution",  # temp_rates' 1-row min-count broadcast
+                                  # (building its plan also runs the CC
+                                  # label loop, like clean_corpus — kept
+                                  # in the sweep because the cartesian
+                                  # check on the composed plan is worth
+                                  # the loop's sf0.01 cost)
 }
 
 QUERIES = {
