@@ -199,6 +199,8 @@ EXTRA = [
     "binary_quant_topk",
     "pair_review_sample",
     "seq_len_bucket_histogram",
+    "quant_tier_recall",
+    "dup_graph_degree_stats",
 ]
 
 

@@ -544,6 +544,55 @@ WHERE sample_rank <= {REVIEW_PER_DECILE}
 """
 
 
+def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup graph (degree → doc count,
+    degree 0 included): the connectivity pre-flight next to
+    minhash_band_stats.  Band stats predict the JOIN's cost; the degree
+    histogram predicts the CLUSTERING's — a heavy-tailed degree
+    distribution (boilerplate hubs, mirrored templates) is what makes
+    connected components percolate into giant clusters and keep-one
+    dedup delete entire sources, so pipelines gate the CC stage on
+    max-degree/hub-mass readouts exactly like this one.
+
+    Scale shape: the pair relation is the banded LSH join (ids only);
+    degrees are one partial-agg'd exchange on doc_id over the exploded
+    endpoints; the zero-degree mass comes from a left join against the
+    ids-only corpus projection; the final aggregate keys on the tiny
+    distinct-degree domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs_from(docs.select("doc_id", "text")).select(
+        "doc_a", "doc_b"
+    )
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count("*").alias("d"))
+    alldeg = (
+        docs.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce("d", F.lit(0)).cast("bigint").alias("degree"))
+    )
+    return alldeg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+
+
+DUP_GRAPH_DEGREE_SQL = f"""
+WITH pairs AS (
+  {minhash_pairs_sql("documents").strip()}
+),
+ends AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id FROM pairs
+),
+deg AS (
+  SELECT doc_id, COUNT(*) AS d FROM ends GROUP BY doc_id
+)
+SELECT CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree, COUNT(*) AS n_docs
+FROM documents doc LEFT JOIN deg ON deg.doc_id = doc.doc_id
+GROUP BY 1
+"""
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document: for each bit b, the sign of
     sum(+1/-1 over word hashes' bit b) sets the output bit.  One explode
@@ -2416,6 +2465,7 @@ QUERIES = {
     "minhash_band_stats": minhash_band_stats,
     "minhash_calibration": minhash_calibration,
     "pair_review_sample": pair_review_sample,
+    "dup_graph_degree_stats": dup_graph_degree_stats,
     "simhash_signatures": simhash_signatures,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -2449,6 +2499,7 @@ ORACLES = {
     "minhash_band_stats": MINHASH_BAND_STATS_SQL,
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
     "pair_review_sample": PAIR_REVIEW_SQL,
+    "dup_graph_degree_stats": DUP_GRAPH_DEGREE_SQL,
     "simhash_signatures": SIMHASH_SQL,
     "simhash_neardup_pairs": SIMHASH_NEARDUP_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

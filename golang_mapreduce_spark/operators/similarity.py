@@ -2275,6 +2275,82 @@ WHERE rank <= {TOP_K}
 """
 
 
+def quant_tier_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE compression-tier decision table: recall@{TOP_K} against
+    exact brute-force kNN for every quantized retrieval tier the engine
+    ships — IVF (prune WHICH vectors are scored), int8 (4× smaller
+    codes), PQ-ADC (64× smaller), and 1-bit sign codes (512× smaller) —
+    in one relation.  ann_recall_at_k audits one index per query; this
+    is the cross-tier summary a platform team reads to pick the
+    memory/recall point before building the production index.
+
+    Scale shape: each tier is its already-certified top-k operator
+    (queries × k rows), so the recall joins and the final aggregate are
+    trivially small regardless of collection size — the expensive parts
+    are the tier scans themselves, each with its own documented scale
+    story.  The exact side is the one brute-force pass, shared across
+    all four comparisons."""
+    from functools import reduce
+
+    truth = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    tiers = [
+        ("ivf", ann_ivf_topk),
+        ("int8", int8_quant_topk),
+        ("pq_adc", pq_adc_topk),
+        ("binary", binary_quant_topk),
+    ]
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(name).alias("tier"), "query_id", "neighbor_id"
+        )
+        for name, fn in tiers
+    ]
+    allt = reduce(lambda a, b: a.unionByName(b), parts)
+    hit = truth.withColumn("is_hit", F.lit(1))
+    j = allt.join(hit, ["query_id", "neighbor_id"], "left")
+    nh = F.sum(F.coalesce("is_hit", F.lit(0)))
+    return j.groupBy("tier").agg(
+        F.count("*").alias("n_returned"),
+        nh.cast("bigint").alias("n_hits"),
+        F.round(nh.cast("double") / F.count("*"), 6).alias("recall_at_k"),
+    )
+
+
+QUANT_TIER_RECALL_SQL = f"""
+WITH truth AS (
+  {KNN_SQL.strip()}
+),
+ivf_k AS (
+  {ANN_IVF_SQL.strip()}
+),
+int8_k AS (
+  {INT8_QUANT_SQL.strip()}
+),
+pq_k AS (
+  {PQ_ADC_SQL.strip()}
+),
+bin_k AS (
+  {BINARY_QUANT_SQL.strip()}
+),
+allt AS (
+  SELECT 'ivf' AS tier, query_id, neighbor_id FROM ivf_k
+  UNION ALL SELECT 'int8', query_id, neighbor_id FROM int8_k
+  UNION ALL SELECT 'pq_adc', query_id, neighbor_id FROM pq_k
+  UNION ALL SELECT 'binary', query_id, neighbor_id FROM bin_k
+)
+SELECT a.tier,
+       COUNT(*) AS n_returned,
+       CAST(SUM(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END)
+                  AS DOUBLE) / COUNT(*), 6) AS recall_at_k
+FROM allt a
+LEFT JOIN truth t
+  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+GROUP BY a.tier
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -2299,6 +2375,7 @@ QUERIES = {
     "ivf_cluster_stats": ivf_cluster_stats,
     "emb_cos_threshold_curve": emb_cos_threshold_curve,
     "binary_quant_topk": binary_quant_topk,
+    "quant_tier_recall": quant_tier_recall,
 }
 
 ORACLES = {
@@ -2325,4 +2402,5 @@ ORACLES = {
     "ivf_cluster_stats": IVF_CLUSTER_STATS_SQL,
     "emb_cos_threshold_curve": EMB_COS_CURVE_SQL,
     "binary_quant_topk": BINARY_QUANT_SQL,
+    "quant_tier_recall": QUANT_TIER_RECALL_SQL,
 }

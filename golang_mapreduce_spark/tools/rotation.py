@@ -160,6 +160,8 @@ ROUND8_NEW: tuple[str, ...] = (
     "binary_quant_topk",
     "pair_review_sample",
     "seq_len_bucket_histogram",
+    "quant_tier_recall",
+    "dup_graph_degree_stats",
 )
 #: training_data_run's mixture/temperature predicates were factored into
 #: _mix_keep_col/_temp_keep_col (shared with the funnel attribution), so

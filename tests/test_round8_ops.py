@@ -84,6 +84,33 @@ def test_binary_quant_shape_and_two_stage_consistency(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_quant_tier_recall_bounds(spark, sf_dir):
+    from golang_mapreduce_spark.operators.similarity import quant_tier_recall
+
+    rows = {r["tier"]: r for r in quant_tier_recall(spark, sf_dir).collect()}
+    assert set(rows) == {"ivf", "int8", "pq_adc", "binary"}
+    for r in rows.values():
+        assert r["n_returned"] == N_QUERIES * TOP_K
+        assert 0 <= r["n_hits"] <= r["n_returned"]
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+    spark.catalog.clearCache()
+
+
+def test_dup_graph_degrees_account_for_every_doc_and_edge(spark, sf_dir):
+    from golang_mapreduce_spark.operators.dedup import (
+        dedup_minhash_pairs,
+        dup_graph_degree_stats,
+    )
+
+    hist = dup_graph_degree_stats(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in hist) == n_docs
+    # handshake lemma: sum(degree * count) == 2 * |pairs|
+    n_pairs = dedup_minhash_pairs(spark, sf_dir).count()
+    assert sum(r["degree"] * r["n_docs"] for r in hist) == 2 * n_pairs
+    spark.catalog.clearCache()
+
+
 def test_binary_quant_exact_copy_ranks_first(spark, sf_dir):
     """A vector bit-identical to the query has Hamming 0 and cosine 1.0:
     it must survive the candidate stage and take rank 1."""
