@@ -201,6 +201,11 @@ EXTRA = [
     "seq_len_bucket_histogram",
     "quant_tier_recall",
     "dup_graph_degree_stats",
+    "dq_constraint_audit",
+    "snapshot_diff",
+    "bitext_margin_pairs",
+    "neardup_pagerank",
+    "pmi_bigrams",
 ]
 
 

@@ -593,6 +593,115 @@ GROUP BY 1
 """
 
 
+#: PageRank over the near-dup graph: damping factor and iteration count.
+#: 3 fixed iterations — hub scores for gating/review, not a convergence
+#: run; fixed depth keeps the plan static (no driver-side convergence
+#: action) and the oracle expressible as chained CTEs.
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+
+
+def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-hub ranking: PageRank (3 unrolled iterations, d=0.85,
+    no dangling redistribution — isolated docs settle at 1-d) over the
+    symmetrized near-dup LSH pair graph.  Degree says how many
+    neighbors a doc has; PageRank says how CENTRAL it is in the
+    template/boilerplate web — the review-queue ordering for "which doc
+    is the canonical source of this duplication mass", complementing
+    dup_graph_degree_stats (the histogram gate) with a per-doc score.
+
+    Iterative-algorithm shape on DataFrames: each iteration is one
+    join of the ids-only edge list to the current rank vector plus one
+    partial-agg'd exchange on the destination — the edges relation is
+    persisted once and reused by all iterations (what GraphX/Pregel do
+    under the hood).  Fixed iteration count => static unrolled plan,
+    linear in |E| per iteration at any scale.
+
+    Cross-engine determinism: per-edge contributions are double
+    divisions of engine-identical inputs rounded to 9 dp and cast to
+    DECIMAL(19,9), so the per-node SUM is exact (order-free); the
+    damping update is then arithmetic on engine-identical doubles."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pairs_from(docs.select("doc_id", "text")).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    nodes = docs.select("doc_id")
+    ranks = nodes.select("doc_id", F.lit(1.0).alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = edges_deg.join(
+            ranks, edges_deg.src == ranks.doc_id
+        ).select(
+            "dst",
+            F.round(F.col("r") / F.col("d"), 9).cast("decimal(19,9)").alias("c"),
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("c").cast("double").alias("s"))
+        ranks = nodes.join(sums, nodes.doc_id == sums.dst, "left").select(
+            "doc_id",
+            F.round(
+                F.lit(1.0 - PAGERANK_D)
+                + F.lit(PAGERANK_D) * F.coalesce("s", F.lit(0.0)),
+                9,
+            ).alias("r"),
+        )
+    return ranks.join(deg, ranks.doc_id == deg.src, "left").select(
+        "doc_id",
+        F.coalesce("d", F.lit(0)).cast("bigint").alias("degree"),
+        F.round("r", 6).alias("pagerank"),
+    )
+
+
+def _pagerank_iter_ctes() -> str:
+    ctes = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst, CAST(ROUND(r.r / e.d, 9) AS DECIMAL(19,9)) AS c
+  FROM edges_deg e JOIN {prev} r ON r.doc_id = e.src
+),
+r{i} AS (
+  SELECT n.doc_id,
+         ROUND({1.0 - PAGERANK_D} + {PAGERANK_D} * COALESCE(CAST(s.s AS DOUBLE), 0.0), 9) AS r
+  FROM documents n
+  LEFT JOIN (SELECT dst, SUM(c) AS s FROM c{i} GROUP BY dst) s ON s.dst = n.doc_id
+)""")
+        prev = f"r{i}"
+    return ",\n".join(ctes)
+
+
+NEARDUP_PAGERANK_SQL = f"""
+WITH pairs AS (
+  {minhash_pairs_sql("documents").strip()}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+),
+edges_deg AS (
+  SELECT e.src, e.dst, deg.d FROM edges e JOIN deg ON deg.src = e.src
+),
+r0 AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) AS r FROM documents
+),
+{_pagerank_iter_ctes()}
+SELECT n.doc_id,
+       CAST(COALESCE(deg.d, 0) AS BIGINT) AS degree,
+       ROUND(r{PAGERANK_ITERS}.r, 6) AS pagerank
+FROM documents n
+JOIN r{PAGERANK_ITERS} ON r{PAGERANK_ITERS}.doc_id = n.doc_id
+LEFT JOIN deg ON deg.src = n.doc_id
+"""
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document: for each bit b, the sign of
     sum(+1/-1 over word hashes' bit b) sets the output bit.  One explode
@@ -2466,6 +2575,7 @@ QUERIES = {
     "minhash_calibration": minhash_calibration,
     "pair_review_sample": pair_review_sample,
     "dup_graph_degree_stats": dup_graph_degree_stats,
+    "neardup_pagerank": neardup_pagerank,
     "simhash_signatures": simhash_signatures,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -2500,6 +2610,7 @@ ORACLES = {
     "minhash_calibration": MINHASH_CALIBRATION_SQL,
     "pair_review_sample": PAIR_REVIEW_SQL,
     "dup_graph_degree_stats": DUP_GRAPH_DEGREE_SQL,
+    "neardup_pagerank": NEARDUP_PAGERANK_SQL,
     "simhash_signatures": SIMHASH_SQL,
     "simhash_neardup_pairs": SIMHASH_NEARDUP_SQL,
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

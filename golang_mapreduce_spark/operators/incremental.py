@@ -222,14 +222,94 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every key that differs between
+    two table versions as insert / delete / update by full-outer-joining
+    the snapshots on the primary key — the table-format-free form of a
+    Delta/Iceberg CHANGE DATA FEED, and the audit a pipeline runs when
+    it has two physical copies of a table and no change log (did the
+    nightly maintenance produce exactly the CDC batch it claims?).
+
+    Here the "new" snapshot is merge_upsert_orders' maintained output,
+    so the diff provably re-derives the CDC batch: inserts are the
+    %INS_MOD spawns, deletes the %DEL_MOD wins, updates the surviving
+    %UPD_MOD price bumps (the oracle recomputes the same diff from the
+    plain-SQL merge).
+
+    Scale shape: ONE shuffle of each snapshot on the key, then a
+    per-row compare — unchanged rows (the overwhelming mass) are
+    filtered before the result materializes.  The compare here lists
+    the two audited columns explicitly; at 100 TB-wide rows you compare
+    a per-row xxhash64 of the packed payload instead so the exchange
+    carries key+hash only — same plan, constant row width."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("b_price"),
+    )
+    new = merge_upsert_orders(spark, sf_dir).select(
+        F.col("o_orderkey").alias("n_key"),
+        F.col("o_orderstatus").alias("n_status"),
+        F.col("o_totalprice").alias("n_price"),
+    )
+    j = base.join(new, base.b_key == new.n_key, "full_outer")
+    change = (
+        F.when(F.col("b_key").isNull(), F.lit("insert"))
+        .when(F.col("n_key").isNull(), F.lit("delete"))
+        .when(
+            (~F.col("b_status").eqNullSafe(F.col("n_status")))
+            | (~F.col("b_price").eqNullSafe(F.col("n_price"))),
+            F.lit("update"),
+        )
+    )
+    return (
+        j.select(
+            F.coalesce("b_key", "n_key").alias("o_orderkey"),
+            change.alias("change"),
+            F.col("b_price").alias("old_totalprice"),
+            F.col("n_price").alias("new_totalprice"),
+        )
+        .where(F.col("change").isNotNull())
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH maintained AS (
+  {MERGE_UPSERT_SQL.strip()}
+),
+j AS (
+  SELECT b.o_orderkey AS b_key, b.o_orderstatus AS b_status, b.o_totalprice AS b_price,
+         n.o_orderkey AS n_key, n.o_orderstatus AS n_status, n.o_totalprice AS n_price
+  FROM orders b FULL OUTER JOIN maintained n ON b.o_orderkey = n.o_orderkey
+)
+SELECT COALESCE(b_key, n_key) AS o_orderkey,
+       CASE WHEN b_key IS NULL THEN 'insert'
+            WHEN n_key IS NULL THEN 'delete'
+            WHEN b_status IS DISTINCT FROM n_status
+              OR b_price IS DISTINCT FROM n_price THEN 'update'
+       END AS change,
+       b_price AS old_totalprice,
+       n_price AS new_totalprice
+FROM j
+WHERE (CASE WHEN b_key IS NULL THEN 'insert'
+            WHEN n_key IS NULL THEN 'delete'
+            WHEN b_status IS DISTINCT FROM n_status
+              OR b_price IS DISTINCT FROM n_price THEN 'update'
+       END) IS NOT NULL
+"""
+
+
 QUERIES = {
     "merge_upsert_orders": merge_upsert_orders,
     "runtime_filtered_join": runtime_filtered_join,
     "scd2_customer_orders": scd2_customer_orders,
+    "snapshot_diff": snapshot_diff,
 }
 
 ORACLES = {
     "merge_upsert_orders": MERGE_UPSERT_SQL,
     "runtime_filtered_join": RUNTIME_FILTERED_SQL,
     "scd2_customer_orders": SCD2_SQL,
+    "snapshot_diff": SNAPSHOT_DIFF_SQL,
 }

@@ -757,6 +757,141 @@ WHERE p_retailprice = (SELECT MIN(p2.p_retailprice)
 """
 
 
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint gate over the warehouse tables — one row
+    per declared constraint with the rows checked and the violations
+    found (the Great-Expectations/Deequ-style audit a 100 TB pipeline
+    runs before every publish; the reference engine has no notion of a
+    schema to audit — its records are untyped "k v" lines,
+    `mr/worker.go` — so this is pure extension surface).
+
+    Constraint classes and their plan shapes:
+    * single-table checks (range / sign / null / uniqueness) are ONE
+      scan per table computing all of that table's conditional counts
+      as algebraic aggregates, then `stack`-unpivoted — adding a
+      constraint to a table adds a column to an existing pass, not a
+      pass;
+    * referential checks (FK orphans) are left-anti joins on the key —
+      one shuffle each at scale (or a runtime bloom: see
+      runtime_filtered_join for the manual form);
+    * cross-table row predicates (lineitem ships after its order is
+      placed) join fact-to-fact on the natural bucketing key.
+
+    The audit's output is constant-size (|constraints| rows) regardless
+    of input, so the gate itself is never the bottleneck."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def _viol(cond: F.Column) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    li = l.agg(
+        F.count("*").alias("n"),
+        _viol(~F.col("l_quantity").between(1.0, 50.0)).alias("v_qty"),
+        _viol(~F.col("l_discount").between(0.0, 0.10)).alias("v_disc"),
+    ).select(
+        F.expr(
+            "stack(2, 'lineitem_quantity_1_50', n, v_qty, "
+            "'lineitem_discount_0_010', n, v_disc) "
+            "AS (constraint, n_checked, n_violations)"
+        )
+    )
+    od = o.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("bigint").alias("v_dup"),
+        _viol(F.col("o_totalprice") <= 0.0).alias("v_price"),
+    ).select(
+        F.expr(
+            "stack(2, 'orders_pk_unique', n, v_dup, "
+            "'orders_totalprice_positive', n, v_price) "
+            "AS (constraint, n_checked, n_violations)"
+        )
+    )
+    cu = c.agg(
+        F.count("*").alias("n"),
+        _viol(F.col("c_acctbal") < 0.0).alias("v_bal"),
+    ).select(
+        F.expr(
+            "stack(1, 'customer_acctbal_nonneg', n, v_bal) "
+            "AS (constraint, n_checked, n_violations)"
+        )
+    )
+    fk_o = (
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count("*").cast("bigint").alias("orphans"))
+        .crossJoin(o.agg(F.count("*").alias("n")))
+        .select(
+            F.lit("orders_fk_customer").alias("constraint"),
+            F.col("n").alias("n_checked"),
+            F.col("orphans").alias("n_violations"),
+        )
+    )
+    fk_l = (
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count("*").cast("bigint").alias("orphans"))
+        .crossJoin(l.agg(F.count("*").alias("n")))
+        .select(
+            F.lit("lineitem_fk_orders").alias("constraint"),
+            F.col("n").alias("n_checked"),
+            F.col("orphans").alias("n_violations"),
+        )
+    )
+    ship = (
+        l.select("l_orderkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == o.o_orderkey)
+        .agg(
+            F.count("*").alias("n"),
+            _viol(F.col("l_shipdate") < F.col("o_orderdate")).alias("v"),
+        )
+        .select(
+            F.lit("lineitem_ships_after_order").alias("constraint"),
+            F.col("n").alias("n_checked"),
+            F.col("v").alias("n_violations"),
+        )
+    )
+    out = li.unionByName(od).unionByName(cu).unionByName(fk_o).unionByName(fk_l).unionByName(ship)
+    return out.select(
+        "constraint",
+        F.col("n_checked").cast("bigint").alias("n_checked"),
+        F.col("n_violations").cast("bigint").alias("n_violations"),
+    )
+
+
+DQ_AUDIT_SQL = """
+SELECT 'lineitem_quantity_1_50' AS constraint, COUNT(*) AS n_checked,
+       CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_discount_0_010', COUNT(*),
+       CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.10 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_pk_unique', COUNT(*), COUNT(*) - COUNT(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'orders_totalprice_positive', COUNT(*),
+       CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'customer_acctbal_nonneg', COUNT(*),
+       CAST(SUM(CASE WHEN c_acctbal < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM customer
+UNION ALL
+SELECT 'orders_fk_customer', (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_fk_orders', (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem_ships_after_order', COUNT(*),
+       CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -780,6 +915,7 @@ QUERIES = {
     "date_funcs": date_funcs,
     "json_events": json_events,
     "json_events_typed": json_events_typed,
+    "dq_constraint_audit": dq_constraint_audit,
 }
 
 ORACLES = {
@@ -805,4 +941,5 @@ ORACLES = {
     "date_funcs": DATE_SQL,
     "json_events": JSON_SQL,
     "json_events_typed": JSON_TYPED_SQL,
+    "dq_constraint_audit": DQ_AUDIT_SQL,
 }

@@ -2351,6 +2351,118 @@ GROUP BY a.tier
 """
 
 
+#: margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+#: Parallel Corpus Mining with Multilingual Sentence Embeddings"):
+#: neighborhood size for the ratio-margin denominator.
+BITEXT_K = 4
+#: source query set: even vec_ids below 2*N_QUERIES (8 vectors, the
+#: established broadcastable query-batch convention).
+BITEXT_SRC_LIM = 2 * N_QUERIES
+
+
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining: for each source vector (the
+    "language X" batch — even vec_ids below 2*N_QUERIES) find its best match among
+    target vectors (odd vec_ids, "language Y") scored by the RATIO
+    margin, cosine normalized by the mean of both directions' k-NN
+    neighborhoods — raw cosine alone over-selects hub vectors; the
+    margin is what made large-scale bitext mining (CCMatrix/WikiMatrix)
+    precise.  margin = sim(x,y) / ((avgK(x->Y) + avgK(y->X)) / 2).
+
+    Determinism: per-pair cosines are rounded to 6 dp (shared _cos),
+    then carried as DECIMAL(10,6) so both neighborhood sums are EXACT —
+    the only float ops after that are one division of engine-identical
+    doubles, then the final 6-dp round.
+
+    Scale shape: the source batch is broadcast (knn_bruteforce's shape),
+    so the target side streams in one scan; both rank windows partition
+    on small keys (8 sources / per-target over 8 sims).  Mining a FULL
+    corpus against another replaces the exhaustive scored relation with
+    ANN candidates per direction (IVF here, FAISS in the paper) — the
+    margin formula and this plan's window/aggregate tail are unchanged;
+    only the candidate source swaps, exactly like the IVF/LSH swap-ins
+    elsewhere in this module."""
+    emb = _emb(spark, sf_dir)
+    src = F.broadcast(
+        emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < BITEXT_SRC_LIM))
+        .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb"))
+    )
+    tgt = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("pair_id"), F.col("emb").alias("t_emb")
+    )
+    scored = tgt.join(src, F.lit(True)).select(
+        "query_id",
+        "pair_id",
+        _cos("q_emb", "t_emb").alias("sim"),
+    )
+    wx = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("pair_id"))
+    wy = Window.partitionBy("pair_id").orderBy(F.desc("sim"), F.asc("query_id"))
+    ranked = scored.select(
+        "query_id",
+        "pair_id",
+        "sim",
+        F.col("sim").cast("decimal(10,6)").alias("sim_dec"),
+        F.row_number().over(wx).alias("rank_x"),
+        F.row_number().over(wy).alias("rank_y"),
+    )
+    sum_x = F.sum(
+        F.when(F.col("rank_x") <= BITEXT_K, F.col("sim_dec"))
+    ).over(Window.partitionBy("query_id"))
+    sum_y = F.sum(
+        F.when(F.col("rank_y") <= BITEXT_K, F.col("sim_dec"))
+    ).over(Window.partitionBy("pair_id"))
+    denom = (sum_x + sum_y).cast("double")
+    return (
+        ranked.select(
+            "query_id",
+            "pair_id",
+            "sim",
+            "rank_x",
+            F.round(
+                F.col("sim") * F.lit(2.0 * BITEXT_K) / F.nullif(denom, F.lit(0.0)), 6
+            ).alias("margin"),
+        )
+        .where(F.col("rank_x") == 1)
+        .select("query_id", "pair_id", "sim", "margin")
+    )
+
+
+BITEXT_MARGIN_SQL = f"""
+WITH src AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb
+  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < {BITEXT_SRC_LIM}
+),
+tgt AS (
+  SELECT vec_id AS pair_id, embedding::DOUBLE[] AS t_emb
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+scored AS (
+  SELECT s.query_id, t.pair_id,
+         ROUND(list_cosine_similarity(s.q_emb, t.t_emb), 6) AS sim
+  FROM src s CROSS JOIN tgt t
+),
+ranked AS (
+  SELECT query_id, pair_id, sim,
+         CAST(sim AS DECIMAL(10,6)) AS sim_dec,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, pair_id) AS rank_x,
+         ROW_NUMBER() OVER (PARTITION BY pair_id ORDER BY sim DESC, query_id) AS rank_y
+  FROM scored
+),
+margins AS (
+  SELECT query_id, pair_id, sim, rank_x,
+         ROUND(sim * {2.0 * BITEXT_K}
+               / NULLIF(CAST(SUM(CASE WHEN rank_x <= {BITEXT_K} THEN sim_dec END)
+                               OVER (PARTITION BY query_id)
+                           + SUM(CASE WHEN rank_y <= {BITEXT_K} THEN sim_dec END)
+                               OVER (PARTITION BY pair_id) AS DOUBLE), 0.0),
+               6) AS margin
+  FROM ranked
+)
+SELECT query_id, pair_id, sim, margin
+FROM margins WHERE rank_x = 1
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -2376,6 +2488,7 @@ QUERIES = {
     "emb_cos_threshold_curve": emb_cos_threshold_curve,
     "binary_quant_topk": binary_quant_topk,
     "quant_tier_recall": quant_tier_recall,
+    "bitext_margin_pairs": bitext_margin_pairs,
 }
 
 ORACLES = {
@@ -2403,4 +2516,5 @@ ORACLES = {
     "emb_cos_threshold_curve": EMB_COS_CURVE_SQL,
     "binary_quant_topk": BINARY_QUANT_SQL,
     "quant_tier_recall": QUANT_TIER_RECALL_SQL,
+    "bitext_margin_pairs": BITEXT_MARGIN_SQL,
 }

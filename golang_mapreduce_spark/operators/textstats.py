@@ -278,6 +278,105 @@ GROUP BY 1
 """
 
 
+#: collocation mining: minimum pair support before a PMI score is
+#: trustworthy (standard PMI-smoothing practice — rare pairs dominate
+#: raw PMI by construction).
+PMI_MIN_SUPPORT = 5
+
+
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent
+    word pairs, PMI = ln(p(ab) / (p(a)·p(b))) with p over bigram and
+    unigram occurrence totals — the classic "which word pairs travel
+    together" statistic (Church & Hanks 1990) used to surface multiword
+    terms, template phrases, and tokenizer-merge candidates in corpus
+    audits.  Only pairs with support >= PMI_MIN_SUPPORT are scored.
+
+    Plan shape: unigram and bigram counts are one explode + partial-agg
+    groupBy each; the support filter prunes the bigram relation BEFORE
+    its two vocabulary joins (vocab-sized dims — broadcastable at any
+    corpus scale since vocabulary grows ~log of corpus); the two corpus
+    totals ride in as 1-row broadcasts.  The PMI expression is written
+    with one parse shape in both engines, so the doubles are identical
+    before the 6-dp round."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(ws_words("text").alias("toks"))
+    uni = (
+        words.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    n1 = uni.agg(F.sum("c_w").alias("n1"))
+    big = (
+        words.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 2), "
+                    "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+    )
+    n2 = big.agg(F.sum("n_pair").alias("n2"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c_w").alias("n_w2"))
+    return (
+        big.where(F.col("n_pair") >= PMI_MIN_SUPPORT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(
+                F.expr(
+                    "ln((CAST(n_pair AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))"
+                    " / (CAST(n_w1 AS DOUBLE) * CAST(n_w2 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+PMI_BIGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY w
+),
+n1 AS (SELECT SUM(c_w) AS n1 FROM uni),
+big AS (
+  SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS n_pair
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+  GROUP BY 1, 2
+),
+n2 AS (SELECT SUM(n_pair) AS n2 FROM big)
+SELECT b.w1, b.w2, b.n_pair, u1.c_w AS n_w1, u2.c_w AS n_w2,
+       ROUND(ln((CAST(b.n_pair AS DOUBLE) * CAST(n1.n1 AS DOUBLE) * CAST(n1.n1 AS DOUBLE))
+                / (CAST(u1.c_w AS DOUBLE) * CAST(u2.c_w AS DOUBLE) * CAST(n2.n2 AS DOUBLE))),
+             6) AS pmi
+FROM big b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN n1 CROSS JOIN n2
+WHERE b.n_pair >= {PMI_MIN_SUPPORT}
+"""
+
+
 WINNOW_WINDOW = 4
 
 
@@ -1947,6 +2046,7 @@ QUERIES = {
     "token_stats": token_stats,
     "doc_fingerprints": doc_fingerprints,
     "bigram_counts": bigram_counts,
+    "pmi_bigrams": pmi_bigrams,
     "winnow_fingerprints": winnow_fingerprints,
     "bpe_token_stats": bpe_token_stats,
     "doc_length_histogram": doc_length_histogram,
@@ -1972,6 +2072,7 @@ ORACLES = {
     "perplexity_tail_split": PERPLEXITY_TAIL_SQL,
     "quality_drift_by_batch": _quality_drift_sql(),
     "bigram_counts": BIGRAM_SQL,
+    "pmi_bigrams": PMI_BIGRAMS_SQL,
     "winnow_fingerprints": WINNOW_SQL,
     "lang_doc_stats": LANG_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,

@@ -162,6 +162,12 @@ ROUND8_NEW: tuple[str, ...] = (
     "seq_len_bucket_histogram",
     "quant_tier_recall",
     "dup_graph_degree_stats",
+    # second mid-round batch
+    "dq_constraint_audit",
+    "snapshot_diff",
+    "bitext_margin_pairs",
+    "neardup_pagerank",
+    "pmi_bigrams",
 )
 #: training_data_run's mixture/temperature predicates were factored into
 #: _mix_keep_col/_temp_keep_col (shared with the funnel attribution), so

@@ -80,6 +80,14 @@ BNLJ_OK = {
                                    # inequality pairing needs the NLJ
     "binary_quant_topk",        # 8-row bit-code query set (non-equi join,
                                 # same shape as knn_bruteforce)
+    "quant_tier_recall",        # composes ann_ivf_topk + int8_quant_topk
+                                # + pq_adc_topk + binary_quant_topk, each
+                                # individually allow-listed above
+    "dq_constraint_audit",      # 1-row orphan-count × 1-row total-count
+                                # cross joins inside the FK constraints
+    "bitext_margin_pairs",      # 8-row source query set (non-equi join,
+                                # same shape as knn_bruteforce)
+    "pmi_bigrams",              # two 1-row corpus-total broadcasts
     "pipeline_drop_attribution",  # temp_rates' 1-row min-count broadcast
                                   # (building its plan also runs the CC
                                   # label loop, like clean_corpus — kept
