@@ -206,6 +206,10 @@ EXTRA = [
     "bitext_margin_pairs",
     "neardup_pagerank",
     "pmi_bigrams",
+    "ann_rank_quality",
+    "kmeans_refine_centroids",
+    "weighted_reservoir_sample",
+    "streaming_unattributed_purchases",
 ]
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from golang_mapreduce_spark.functions.hashing import hash32
+from golang_mapreduce_spark.functions.hashing import hash32, sql_hash32
 from golang_mapreduce_spark.sources.fixtures import load_table
 
 SAMPLE_PCT = 10           # hash_sample keeps buckets [0, 10) of 100
@@ -599,8 +599,72 @@ GROUP BY split
 """
 
 
+#: weighted reservoir: sample size and the uniform-hash modulus (prime,
+#: so doc_id patterns can't alias the bucket).
+RESERVOIR_K = 50
+_RES_MOD = 1_000_003
+
+
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sample without replacement (Efraimidis &
+    Spirakis 2006 A-Res): each doc gets key = ln(u)/w with u a
+    deterministic hash-uniform in (0,1) and w its weight (chars here —
+    in production a quality score); the K LARGEST keys are a
+    probability-proportional-to-weight sample.  This is how you
+    subsample a corpus toward quality without a global shuffle: the
+    key is a per-row expression and the top-K is Spark's distributed
+    TakeOrdered (per-partition heaps merged on the driver — the "merge
+    pass" of classic reservoir sampling, but over K-row partials, not
+    data).  Deterministic end-to-end: u is a pure function of doc_id,
+    so the sample is stable across re-runs, engines, and partitioning,
+    like every sampler in this module.
+
+    Keys are rounded to 12 dp before ranking (ties then break on
+    doc_id), the established quantum argument: engine ln() ulp
+    differences sit ~1e-16, four orders below the rounding step."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hash32(F.col("doc_id").cast("string")) % _RES_MOD + 1) / F.lit(
+        float(_RES_MOD + 1)
+    )
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("weight_chars"),
+        F.round(F.ln(u) / w, 12).alias("res_key"),
+    )
+    top = keyed.orderBy(F.desc("res_key"), F.asc("doc_id")).limit(RESERVOIR_K)
+    w_rank = Window.orderBy(F.desc("res_key"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "source",
+        "weight_chars",
+        "res_key",
+        F.row_number().over(w_rank).alias("sample_rank"),
+    )
+
+
+WEIGHTED_RESERVOIR_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars AS weight_chars,
+         ROUND(ln((({sql_hash32("doc_id::VARCHAR")}) % {_RES_MOD} + 1)
+                  / {float(_RES_MOD + 1)})
+               / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 12) AS res_key
+  FROM documents
+)
+SELECT doc_id, source, weight_chars, res_key,
+       ROW_NUMBER() OVER (ORDER BY res_key DESC, doc_id) AS sample_rank
+FROM keyed
+ORDER BY res_key DESC, doc_id
+LIMIT {RESERVOIR_K}
+"""
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
+    "weighted_reservoir_sample": weighted_reservoir_sample,
     "temperature_rebalance_sample": temperature_rebalance_sample,
     "dataset_split_counts": dataset_split_counts,
     "shuffle_shard_manifest": shuffle_shard_manifest,
@@ -613,6 +677,7 @@ QUERIES = {
 
 ORACLES = {
     "hash_sample_docs": HASH_SAMPLE_SQL,
+    "weighted_reservoir_sample": WEIGHTED_RESERVOIR_SQL,
     "dataset_split_counts": DATASET_SPLIT_SQL,
     "shuffle_shard_manifest": SHUFFLE_SHARD_SQL,
     "balance_langs_sample": BALANCE_LANGS_SQL,

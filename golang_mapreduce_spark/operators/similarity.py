@@ -2157,6 +2157,73 @@ GROUP BY a.cluster
 """
 
 
+def kmeans_refine_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement step over the IVF coarse quantizer: assign
+    every vector to its nearest centroid (the shared BLAS pass), then
+    recompute each centroid as its members' mean and report the
+    per-cluster L2 drift — the "should we retrain the index"
+    convergence readout, and the building block a full k-means trainer
+    iterates (ivf_cluster_stats charts coherence; this measures how far
+    the quantizer is from its own data's optimum).
+
+    Scale shape: the mean is computed per (cluster, dim) via posexplode
+    + one partial-agg'd exchange — the distributed way to average
+    vectors when rows × dims no longer fit a single aggregate buffer;
+    output is ~sqrt(N) rows.  Cross-engine determinism: per-value sums
+    are exact DECIMAL(28,14); the drift's per-dim squared differences
+    are rounded to 12 dp and decimal-summed, so the only float ops
+    divide/sqrt engine-identical doubles."""
+    emb = _emb(spark, sf_dir)
+    cent = _centroids(emb)
+    assign = _ivf_assign(emb, cent)
+    dims = assign.select(
+        "cluster", F.posexplode("emb").alias("dim", "val")
+    )
+    means = dims.groupBy("cluster", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,14)")).cast("double")
+            / F.count("*")
+        ).alias("new_v"),
+        F.count("*").alias("n"),
+    )
+    old = cent.select(
+        F.col("cid").alias("cluster"), F.posexplode("c_emb").alias("dim", "old_v")
+    )
+    j = means.join(old, ["cluster", "dim"])
+    sq = F.round(
+        (F.col("new_v") - F.col("old_v")) * (F.col("new_v") - F.col("old_v")), 12
+    ).cast("decimal(24,12)")
+    return j.groupBy("cluster").agg(
+        F.max("n").cast("bigint").alias("n_vecs"),
+        F.round(F.sqrt(F.sum(sq).cast("double")), 6).alias("drift_l2"),
+    )
+
+
+KMEANS_REFINE_SQL = f"""
+WITH {EMB_ASSIGN_CTES},
+dims AS (
+  SELECT cluster, i - 1 AS dim, emb[i] AS val
+  FROM assign, UNNEST(generate_series(1, len(emb))) AS g(i)
+),
+means AS (
+  SELECT cluster, dim,
+         CAST(SUM(CAST(val AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS new_v,
+         COUNT(*) AS n
+  FROM dims GROUP BY cluster, dim
+),
+old AS (
+  SELECT cid AS cluster, i - 1 AS dim, c_emb[i] AS old_v
+  FROM cent, UNNEST(generate_series(1, len(c_emb))) AS g(i)
+)
+SELECT m.cluster,
+       CAST(MAX(m.n) AS BIGINT) AS n_vecs,
+       ROUND(sqrt(CAST(SUM(CAST(ROUND((m.new_v - o.old_v) * (m.new_v - o.old_v), 12)
+                                AS DECIMAL(24,12))) AS DOUBLE)), 6) AS drift_l2
+FROM means m JOIN old o ON o.cluster = m.cluster AND o.dim = m.dim
+GROUP BY m.cluster
+"""
+
+
 #: Hamming candidates kept per query before the exact re-rank.
 BINARY_CAND = 4 * TOP_K
 
@@ -2351,6 +2418,124 @@ GROUP BY a.tier
 """
 
 
+#: IDCG@5 with binary relevance: sum_{i=1..5} 1/log2(i+1), embedded as
+#: the same double literal in the Spark plan and the oracle so the
+#: normalization divisor is bit-identical in both engines.
+IDCG_AT_K = 2.9484591188793923
+
+
+def ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sensitive retrieval quality per quantization tier: MRR@k
+    and NDCG@k (binary relevance against the exact brute-force top-k)
+    for IVF / int8 / PQ-ADC / 1-bit codes — quant_tier_recall says how
+    MANY true neighbors each tier returns; this says WHERE it puts
+    them, which is what the serving layer actually pays for (a tier
+    that buries every true hit at rank 5 recalls as well as one that
+    leads with them, but ranks far worse).
+
+    Determinism: per-hit reciprocal-rank and DCG contributions are
+    doubles rounded to 9 dp and cast to DECIMAL(19,9), so both
+    aggregation levels (per-query min/sum, per-tier sum) are exact and
+    order-free; the only remaining float ops divide engine-identical
+    doubles (the embedded IDCG literal).
+
+    Scale shape: identical to quant_tier_recall — each tier is its
+    certified top-k operator (queries x k rows), so everything after
+    the tier scans is constant-size."""
+    from functools import reduce
+
+    truth = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    tiers = [
+        ("ivf", ann_ivf_topk),
+        ("int8", int8_quant_topk),
+        ("pq_adc", pq_adc_topk),
+        ("binary", binary_quant_topk),
+    ]
+    parts = [
+        fn(spark, sf_dir).select(
+            F.lit(name).alias("tier"), "query_id", "neighbor_id", "rank"
+        )
+        for name, fn in tiers
+    ]
+    allt = reduce(lambda a, b: a.unionByName(b), parts)
+    hit = truth.withColumn("is_hit", F.lit(1))
+    j = allt.join(hit, ["query_id", "neighbor_id"], "left")
+    per_q = j.groupBy("tier", "query_id").agg(
+        F.min(F.when(F.col("is_hit") == 1, F.col("rank"))).alias("first_hit"),
+        F.sum(
+            F.when(
+                F.col("is_hit") == 1,
+                F.round(F.lit(1.0) / F.log2(F.col("rank") + 1), 9).cast(
+                    "decimal(19,9)"
+                ),
+            )
+        ).alias("dcg_dec"),
+    )
+    rr_dec = F.when(
+        F.col("first_hit").isNotNull(),
+        F.round(F.lit(1.0) / F.col("first_hit"), 9).cast("decimal(19,9)"),
+    )
+    return per_q.groupBy("tier").agg(
+        F.round(
+            F.sum(rr_dec).cast("double") / F.lit(float(N_QUERIES)), 6
+        ).alias("mrr_at_k"),
+        F.round(
+            F.sum("dcg_dec").cast("double")
+            / F.lit(float(N_QUERIES) * IDCG_AT_K),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+
+
+ANN_RANK_QUALITY_SQL = f"""
+WITH truth AS (
+  {KNN_SQL.strip()}
+),
+ivf_k AS (
+  {ANN_IVF_SQL.strip()}
+),
+int8_k AS (
+  {INT8_QUANT_SQL.strip()}
+),
+pq_k AS (
+  {PQ_ADC_SQL.strip()}
+),
+bin_k AS (
+  {BINARY_QUANT_SQL.strip()}
+),
+allt AS (
+  SELECT 'ivf' AS tier, query_id, neighbor_id, rank FROM ivf_k
+  UNION ALL SELECT 'int8', query_id, neighbor_id, rank FROM int8_k
+  UNION ALL SELECT 'pq_adc', query_id, neighbor_id, rank FROM pq_k
+  UNION ALL SELECT 'binary', query_id, neighbor_id, rank FROM bin_k
+),
+j AS (
+  SELECT a.tier, a.query_id, a.rank,
+         CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS is_hit
+  FROM allt a
+  LEFT JOIN truth t
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+),
+per_q AS (
+  SELECT tier, query_id,
+         MIN(CASE WHEN is_hit = 1 THEN rank END) AS first_hit,
+         SUM(CASE WHEN is_hit = 1
+                  THEN CAST(ROUND(1.0 / log2(rank + 1), 9) AS DECIMAL(19,9))
+             END) AS dcg_dec
+  FROM j
+  GROUP BY tier, query_id
+)
+SELECT tier,
+       ROUND(CAST(SUM(CASE WHEN first_hit IS NOT NULL
+                           THEN CAST(ROUND(1.0 / first_hit, 9) AS DECIMAL(19,9))
+                      END) AS DOUBLE) / {float(N_QUERIES)}, 6) AS mrr_at_k,
+       ROUND(CAST(SUM(dcg_dec) AS DOUBLE) / {float(N_QUERIES) * IDCG_AT_K!r}, 6)
+         AS ndcg_at_k
+FROM per_q
+GROUP BY tier
+"""
+
+
 #: margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
 #: Parallel Corpus Mining with Multilingual Sentence Embeddings"):
 #: neighborhood size for the ratio-margin denominator.
@@ -2488,6 +2673,8 @@ QUERIES = {
     "emb_cos_threshold_curve": emb_cos_threshold_curve,
     "binary_quant_topk": binary_quant_topk,
     "quant_tier_recall": quant_tier_recall,
+    "ann_rank_quality": ann_rank_quality,
+    "kmeans_refine_centroids": kmeans_refine_centroids,
     "bitext_margin_pairs": bitext_margin_pairs,
 }
 
@@ -2516,5 +2703,7 @@ ORACLES = {
     "emb_cos_threshold_curve": EMB_COS_CURVE_SQL,
     "binary_quant_topk": BINARY_QUANT_SQL,
     "quant_tier_recall": QUANT_TIER_RECALL_SQL,
+    "ann_rank_quality": ANN_RANK_QUALITY_SQL,
+    "kmeans_refine_centroids": KMEANS_REFINE_SQL,
     "bitext_margin_pairs": BITEXT_MARGIN_SQL,
 }

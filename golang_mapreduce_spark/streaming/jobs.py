@@ -963,6 +963,145 @@ def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_typed_sentinels(path: str, ts_sec: int, nanos_layout: bool) -> None:
+    """Watermark-advancing sentinel pair — one far-future 'click' and
+    one far-future 'purchase' (user_id = -1) — for jobs whose two
+    stream legs FILTER on event_type before their withWatermark: a
+    type='sentinel' row would be filtered out before ever reaching
+    either leg's watermark tracker, so each leg gets a sentinel of its
+    own type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if nanos_layout:
+        ts_arr = pa.array([ts_sec * 10**9] * 2, pa.int64())
+    else:
+        ts_arr = pa.array([ts_sec * 10**6] * 2, pa.timestamp("us"))
+    table = pa.table(
+        {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "event_type": pa.array(["click", "purchase"], pa.string()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def streaming_unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join with watermarks: purchases that had
+    NO click from the same user in the preceding 10 minutes — the
+    conversion-gap log (paid-traffic attribution's complement), and the
+    outer-join capability streaming_click_attribution's inner form
+    doesn't exercise: Spark must hold each purchase in state until the
+    CLICK side's watermark proves no match can still arrive, then emit
+    the null-padded row exactly once.  That late-emission contract is
+    the whole difficulty of outer stream-stream joins; the drained
+    result equals the batch NOT EXISTS anti-join (the oracle).
+
+    Drain: the sentinel pattern, but with TYPED sentinels — both join
+    legs filter on event_type before their watermark, so each leg needs
+    a far-future row of its own type to advance its tracker (see
+    _write_typed_sentinels); two sentinel batches let the batch-end
+    watermark finalize every real purchase.  Sentinel rows (user_id<0)
+    are filtered after the drain.
+
+    Scale: state is bounded by the watermark windows on both sides
+    (each leg buffers at most 30 minutes of events), keyed and shuffled
+    on user_id exactly like the inner join; Kafka's live watermark
+    replaces the sentinel artifact with nothing else changing."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="gmrs_unattr_src_")
+    try:
+        # the fixture's events.parquet is a single file at testdata SFs
+        # but a Spark-written DIRECTORY of part files for scalegen
+        # outputs; flatten either layout into src so micro-batch 1 is
+        # [all real events, sentinel A] and batch 2 is [sentinel B] —
+        # the two-batch drain semantics the oracle equality needs (real
+        # events split across watermarked batches could legitimately
+        # drop late rows).
+        ev = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(ev):
+            parts = sorted(
+                f for f in os.listdir(ev) if f.endswith(".parquet")
+            )
+            for i, p in enumerate(parts):
+                shutil.copy(
+                    os.path.join(ev, p),
+                    os.path.join(src, f"00_{i:05d}_events.parquet"),
+                )
+            n_real = len(parts)
+        else:
+            shutil.copy(ev, os.path.join(src, "00_00000_events.parquet"))
+            n_real = 1
+        real = os.path.join(src, "00_00000_events.parquet")
+        ts_type = events_ts_layout(spark, real)
+        nanos = isinstance(ts_type, T.LongType)
+        _write_typed_sentinels(os.path.join(src, "01_sentinel.parquet"), 4_102_444_800, nanos)
+        _write_typed_sentinels(os.path.join(src, "02_sentinel.parquet"), 4_133_980_800, nanos)
+        now = os.path.getmtime(real)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
+
+        base = normalize_events_ts(
+            spark.readStream.schema(events_stream_schema(ts_type))
+            .option("maxFilesPerTrigger", n_real + 1)
+            .parquet(src)
+        )
+        clicks = (
+            base.where(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"),
+            )
+            .withWatermark("click_ts", "30 minutes")
+        )
+        purchases = (
+            base.where(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("user_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
+            .withWatermark("purchase_ts", "30 minutes")
+        )
+        joined = purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (
+                F.col("click_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")
+            ),
+            "left_outer",
+        )
+        out = run_stream_to_batch(joined, spark, output_mode="append")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return (
+        out.where(F.col("click_id").isNull() & (F.col("user_id") >= 0))
+        .select("user_id", "purchase_id", "purchase_ts")
+    )
+
+
+UNATTRIBUTED_PURCHASES_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND NOT EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click'
+      AND c.user_id = p.user_id
+      AND c.ts <= p.ts
+      AND c.ts >= p.ts - INTERVAL 10 MINUTE
+  )
+"""
+
+
 def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus-quality rates computed through Structured
     Streaming — the live dashboard a continuous-ingest pipeline watches
@@ -1029,6 +1168,7 @@ QUERIES = {
     "streaming_session_append": streaming_session_append,
     "stateful_sessionize": stateful_sessionize,
     "streaming_click_attribution": streaming_click_attribution,
+    "streaming_unattributed_purchases": streaming_unattributed_purchases,
     "streaming_dedup": streaming_dedup,
     "streaming_packed_sequences": streaming_packed_sequences,
     "streaming_pii_rates": streaming_pii_rates,
@@ -1045,6 +1185,7 @@ ORACLES = {
     "streaming_session_append": SESSION_SQL,
     "stateful_sessionize": STATEFUL_SESSION_SQL,
     "streaming_click_attribution": CLICK_ATTRIBUTION_SQL,
+    "streaming_unattributed_purchases": UNATTRIBUTED_PURCHASES_SQL,
     "streaming_dedup": STREAMING_DEDUP_SQL,
     "streaming_packed_sequences": PACKED_SEQUENCES_SQL,
     "streaming_pii_rates": _pii_rates_oracle(),

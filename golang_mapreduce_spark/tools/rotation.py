@@ -168,6 +168,11 @@ ROUND8_NEW: tuple[str, ...] = (
     "bitext_margin_pairs",
     "neardup_pagerank",
     "pmi_bigrams",
+    # third mid-round batch
+    "ann_rank_quality",
+    "kmeans_refine_centroids",
+    "weighted_reservoir_sample",
+    "streaming_unattributed_purchases",
 )
 #: training_data_run's mixture/temperature predicates were factored into
 #: _mix_keep_col/_temp_keep_col (shared with the funnel attribution), so

@@ -20,6 +20,7 @@ EXECUTING = {
     "streaming_tumbling_hourly",
     "stateful_sessionize",
     "streaming_click_attribution",
+    "streaming_unattributed_purchases",
     "streaming_packed_sequences",
     "streaming_pii_rates",
     "neardup_clusters",
@@ -83,6 +84,9 @@ BNLJ_OK = {
     "quant_tier_recall",        # composes ann_ivf_topk + int8_quant_topk
                                 # + pq_adc_topk + binary_quant_topk, each
                                 # individually allow-listed above
+    "ann_rank_quality",         # same four-tier composition
+    "kmeans_refine_centroids",  # ~sqrt(N)-row centroid broadcast (the
+                                # shared _ivf_assign pass)
     "dq_constraint_audit",      # 1-row orphan-count × 1-row total-count
                                 # cross joins inside the FK constraints
     "bitext_margin_pairs",      # 8-row source query set (non-equi join,
