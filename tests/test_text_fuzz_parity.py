@@ -64,6 +64,13 @@ FAMILY = [
     (multimodal, "blob_exact_dedup"),
     (sampling, "balance_langs_sample"),
     (sampling, "hash_sample_docs"),
+    # round-8 additions: PMI over adversarial tokenization (empty docs,
+    # separator runs, CJK/emoji tokens, the repetition docs that are the
+    # only ones clearing min-support on a tiny corpus) and the weighted
+    # reservoir (weights include n_chars=0 docs — the GREATEST(...,1)
+    # guard's only live test)
+    (textstats, "pmi_bigrams"),
+    (sampling, "weighted_reservoir_sample"),
 ]
 
 
