@@ -210,6 +210,7 @@ EXTRA = [
     "kmeans_refine_centroids",
     "weighted_reservoir_sample",
     "streaming_unattributed_purchases",
+    "robust_quality_outliers",
 ]
 
 

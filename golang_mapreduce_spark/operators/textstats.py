@@ -1536,6 +1536,75 @@ FROM scored
 """
 
 
+#: Iglewicz-Hoaglin modified z-score: 0.6745 scales MAD to sigma-units
+#: under normality; |Mz| > 3.5 is their recommended outlier cut.
+MAD_SCALE = 0.6745
+MAD_CUT = 3.5
+
+
+def robust_quality_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) quality-score outliers per language — the
+    Iglewicz-Hoaglin modified z-score |0.6745·(s-median)/MAD| > 3.5.
+    hourly_anomalies z-scores against mean/std, which the outliers
+    themselves drag; a quality gate tuned on contaminated corpora needs
+    the breakdown-resistant form — median and MAD survive up to 50%
+    arbitrary corruption, so the cut stays put while the mean-based one
+    chases the junk it should be flagging.
+
+    Two-phase per-lang aggregation: exact interpolated percentile for
+    the median (a per-group sort — languages are few, and at 100 TB the
+    same plan runs on a per-lang approx sketch first to shrink the sort
+    input), a join back for |s - median|, a second percentile for MAD,
+    then a map-side flag.  All double math on engine-identical rounded
+    inputs, the advanced.py percentile convention."""
+    scores = quality_linear_score(spark, sf_dir).select(
+        "doc_id", "lang", "mean_score"
+    )
+    med = scores.groupBy("lang").agg(
+        F.expr("percentile(mean_score, 0.5)").alias("med")
+    )
+    dev = scores.join(med, "lang").select(
+        "doc_id", "lang", "mean_score", "med",
+        F.abs(F.col("mean_score") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("lang").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    mz = F.round(
+        F.lit(MAD_SCALE)
+        * (F.col("mean_score") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0.0)),
+        6,
+    )
+    return (
+        dev.join(mad, "lang")
+        .select("doc_id", "lang", "mean_score", mz.alias("modified_z"))
+        .where(F.abs(F.col("modified_z")) > MAD_CUT)
+    )
+
+
+ROBUST_QUALITY_SQL = f"""
+WITH scores AS (
+  SELECT doc_id, lang, mean_score FROM ({QUALITY_LINEAR_SQL.strip()})
+),
+med AS (
+  SELECT lang, quantile_cont(mean_score, 0.5) AS med FROM scores GROUP BY lang
+),
+dev AS (
+  SELECT s.doc_id, s.lang, s.mean_score, m.med,
+         ABS(s.mean_score - m.med) AS adev
+  FROM scores s JOIN med m USING (lang)
+),
+mad AS (
+  SELECT lang, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.mean_score,
+       ROUND({MAD_SCALE} * (d.mean_score - d.med) / NULLIF(a.mad, 0.0), 6)
+         AS modified_z
+FROM dev d JOIN mad a USING (lang)
+WHERE ABS(ROUND({MAD_SCALE} * (d.mean_score - d.med) / NULLIF(a.mad, 0.0), 6))
+      > {MAD_CUT}
+"""
+
+
 def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Punctuation-based sentence segmentation stats per document:
     sentence count, mean and max sentence length in characters — the
@@ -2051,6 +2120,7 @@ QUERIES = {
     "bpe_token_stats": bpe_token_stats,
     "doc_length_histogram": doc_length_histogram,
     "quality_linear_score": quality_linear_score,
+    "robust_quality_outliers": robust_quality_outliers,
     "sentence_stats": sentence_stats,
     "subword_sample_stats": subword_sample_stats,
 }
@@ -2082,6 +2152,7 @@ ORACLES = {
     "bpe_token_stats": BPE_TOKEN_SQL,
     "doc_length_histogram": DOC_LENGTH_HIST_SQL,
     "quality_linear_score": QUALITY_LINEAR_SQL,
+    "robust_quality_outliers": ROBUST_QUALITY_SQL,
     "sentence_stats": SENTENCE_STATS_SQL,
     "subword_sample_stats": _subword_sample_sql(),
 }

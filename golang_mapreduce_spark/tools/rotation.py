@@ -174,6 +174,11 @@ ROUND8_NEW: tuple[str, ...] = (
     "weighted_reservoir_sample",
     "streaming_unattributed_purchases",
 )
+#: Registered late in round 8 but deliberately NOT windowed: the 16-op
+#: head above already displaced one r3-stale commitment (the r1 floor
+#: is binding), so these wait as never-checked entries that lead the
+#: ROUND9_NEW head; until then the local parity suite is their gate.
+ROUND9_NEW_CARRYOVER: tuple[str, ...] = ("robust_quality_outliers",)
 #: training_data_run's mixture/temperature predicates were factored into
 #: _mix_keep_col/_temp_keep_col (shared with the funnel attribution), so
 #: its code path changed this round; containment_bottomk_pairs gained

@@ -71,6 +71,9 @@ FAMILY = [
     # guard's only live test)
     (textstats, "pmi_bigrams"),
     (sampling, "weighted_reservoir_sample"),
+    # median/MAD on tiny per-lang groups: MAD=0 langs must NULL out
+    # (nullif) rather than divide-by-zero under ANSI mode
+    (textstats, "robust_quality_outliers"),
 ]
 
 
