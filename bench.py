@@ -211,6 +211,7 @@ EXTRA = [
     "weighted_reservoir_sample",
     "streaming_unattributed_purchases",
     "robust_quality_outliers",
+    "dup_span_manifest",
 ]
 
 

@@ -1896,6 +1896,92 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_span_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable form of dup_ngram_fraction: for every document,
+    the MAXIMAL token spans whose every 5-gram also occurs in another
+    document — the removal manifest of ExactSubstr-style span dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": cut the duplicated spans, keep the document).
+    dup_ngram_fraction scores docs for dropping; this emits
+    (doc_id, span_start, span_end) for surgical cutting.
+
+    Spans are built WITHOUT pairwise anything: duplicated 5-gram
+    positions per doc (the linear doc-frequency join), then consecutive
+    position runs merge via the i - row_number() grouping trick — one
+    window pass per doc partition, integer arithmetic end to end
+    (engine-identical).  A run of shingle starts [a..b] covers tokens
+    a .. b+4 (1-based, inclusive).
+
+    Scale: identical cost profile to dup_ngram_fraction (one explode,
+    one hash-keyed df join) plus one windowed exchange on doc_id —
+    O(duplicated positions), no pair product."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= JACCARD_NGRAM)
+        .select(
+            "doc_id", F.posexplode(_shingles(JACCARD_NGRAM)).alias("p", "s")
+        )
+        .select(
+            "doc_id", (F.col("p") + 1).alias("i"), hash32("s").alias("h")
+        )
+    )
+    dfreq = (
+        pos.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    duppos = pos.join(
+        dfreq.where(F.col("n_docs") >= 2).select("h"), "h"
+    ).select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    runs = duppos.select(
+        "doc_id", "i", (F.col("i") - F.row_number().over(w)).alias("g")
+    )
+    return (
+        runs.groupBy("doc_id", "g")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + F.lit(JACCARD_NGRAM - 1)).alias("span_end"),
+            F.count("*").cast("bigint").alias("n_shingles"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_shingles")
+    )
+
+
+DUP_SPAN_MANIFEST_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, i,
+         {sql_hash32("t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]")} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {JACCARD_NGRAM - 1})) AS g(i)
+  WHERE len(t) >= {JACCARD_NGRAM}
+),
+dfreq AS (
+  SELECT h, COUNT(*) AS n_docs FROM (SELECT DISTINCT doc_id, h FROM pos) GROUP BY h
+),
+duppos AS (
+  SELECT p.doc_id, p.i
+  FROM pos p JOIN dfreq d ON d.h = p.h AND d.n_docs >= 2
+),
+runs AS (
+  SELECT doc_id, i,
+         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM duppos
+)
+SELECT doc_id,
+       MIN(i) AS span_start,
+       MAX(i) + {JACCARD_NGRAM - 1} AS span_end,
+       COUNT(*) AS n_shingles
+FROM runs
+GROUP BY doc_id, grp
+"""
+
+
 DUP_NGRAM_FRACTION_SQL = f"""
 WITH toks AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
@@ -2582,6 +2668,7 @@ QUERIES = {
     "ngram_jaccard_pruned": ngram_jaccard_pruned,
     "neardup_clusters": neardup_clusters,
     "dup_ngram_fraction": dup_ngram_fraction,
+    "dup_span_manifest": dup_span_manifest,
     "ngram_containment_pairs": ngram_containment_pairs,
     "containment_bottomk_pairs": containment_bottomk_pairs,
     "semantic_drop_by_source": semantic_drop_by_source,
@@ -2616,6 +2703,7 @@ ORACLES = {
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "ngram_jaccard_pruned": NGRAM_JACCARD_PRUNED_SQL,
     "dup_ngram_fraction": DUP_NGRAM_FRACTION_SQL,
+    "dup_span_manifest": DUP_SPAN_MANIFEST_SQL,
     "ngram_containment_pairs": NGRAM_CONTAINMENT_SQL,
     "containment_bottomk_pairs": CONTAINMENT_BOTTOMK_SQL,
     "semantic_drop_by_source": _semantic_drop_by_source_sql(),

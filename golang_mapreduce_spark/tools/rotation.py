@@ -178,7 +178,10 @@ ROUND8_NEW: tuple[str, ...] = (
 #: head above already displaced one r3-stale commitment (the r1 floor
 #: is binding), so these wait as never-checked entries that lead the
 #: ROUND9_NEW head; until then the local parity suite is their gate.
-ROUND9_NEW_CARRYOVER: tuple[str, ...] = ("robust_quality_outliers",)
+ROUND9_NEW_CARRYOVER: tuple[str, ...] = (
+    "robust_quality_outliers",
+    "dup_span_manifest",
+)
 #: training_data_run's mixture/temperature predicates were factored into
 #: _mix_keep_col/_temp_keep_col (shared with the funnel attribution), so
 #: its code path changed this round; containment_bottomk_pairs gained

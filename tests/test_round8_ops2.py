@@ -204,3 +204,34 @@ def test_pmi_values_recompute_from_counts(spark, sf_dir):
             / (float(r["n_w1"]) * float(r["n_w2"]) * float(n2))
         )
         assert abs(r["pmi"] - round(want, 6)) < 1e-9, (r, want)
+
+
+def test_span_manifest_reconciles_with_dup_fraction(spark, sf_dir):
+    """Cross-operator invariant: per doc, the sum of shingles inside
+    the manifest's maximal spans must equal dup_ngram_fraction's
+    dup_pos exactly (the manifest is the same duplicated-position set,
+    merged), spans must be disjoint and ordered, and each span's
+    shingle count must match its width."""
+    from golang_mapreduce_spark.operators.dedup import (
+        JACCARD_NGRAM,
+        dup_ngram_fraction,
+        dup_span_manifest,
+    )
+
+    spans = dup_span_manifest(spark, sf_dir).collect()
+    frac = {
+        r["doc_id"]: r["dup_pos"]
+        for r in dup_ngram_fraction(spark, sf_dir).collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        # width check: a run of k shingle starts covers k + n - 1 tokens
+        assert r["span_end"] - r["span_start"] + 1 == r["n_shingles"] + JACCARD_NGRAM - 1
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r["span_start"])
+        for a, b in zip(rows, rows[1:]):
+            # maximal: next span starts strictly past this one's last
+            # shingle start + 1 (else they'd have merged)
+            assert b["span_start"] > a["span_end"] - JACCARD_NGRAM + 2
+        assert sum(r["n_shingles"] for r in rows) == frac[doc_id]

@@ -74,6 +74,8 @@ FAMILY = [
     # median/MAD on tiny per-lang groups: MAD=0 langs must NULL out
     # (nullif) rather than divide-by-zero under ANSI mode
     (textstats, "robust_quality_outliers"),
+    # span merging over the dup group + the "word "*50 repetition doc
+    (dedup, "dup_span_manifest"),
 ]
 
 
