@@ -289,7 +289,7 @@ def minhash_pairs_from(docs: DataFrame) -> DataFrame:
     )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    return (
+    scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -302,6 +302,12 @@ def minhash_pairs_from(docs: DataFrame) -> DataFrame:
         )
         .where(F.col("est_jaccard") >= MINHASH_EST_THRESHOLD)
     )
+    # Lifecycle handle (ADVICE r8): callers that materialize eagerly
+    # (neardup_pagerank's checkpoint) can release the shared signature
+    # cache instead of leaking it for the session; lazy callers leave it
+    # for the harness-owned clearCache (bench.timed / parity sweep).
+    scored._gmrs_shared_caches = (sig,)
+    return scored
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,23 +619,36 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative-algorithm shape on DataFrames: each iteration is one
     join of the ids-only edge list to the current rank vector plus one
     partial-agg'd exchange on the destination — the edges relation is
-    persisted once and reused by all iterations (what GraphX/Pregel do
-    under the hood).  Fixed iteration count => static unrolled plan,
-    linear in |E| per iteration at any scale.
+    materialized ONCE via an eager ``localCheckpoint`` and reused by
+    all iterations (what GraphX/Pregel do under the hood).  Fixed
+    iteration count => static unrolled plan, linear in |E| per
+    iteration at any scale.  A checkpoint, not ``persist()``, because
+    the operator cannot unpersist a lazily-cached relation it hands
+    downstream: a CacheManager entry would outlive the query and leak
+    the LSH pair relation for the whole session (ADVICE r8).  The
+    checkpointed blocks are owned by the returned DataFrame's lineage
+    and reclaimed automatically by Spark's ContextCleaner once the
+    caller drops the result.  On a real cluster with executor churn,
+    swap for a reliable ``checkpoint()`` (HDFS/S3 checkpoint dir) —
+    same lifecycle, fault-tolerant lineage cut.
 
     Cross-engine determinism: per-edge contributions are double
     divisions of engine-identical inputs rounded to 9 dp and cast to
     DECIMAL(19,9), so the per-node SUM is exact (order-free); the
     damping update is then arithmetic on engine-identical doubles."""
-    from pyspark.storagelevel import StorageLevel
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_pairs_from(docs.select("doc_id", "text")).select("doc_a", "doc_b")
+    pairs_scored = minhash_pairs_from(docs.select("doc_id", "text"))
+    pairs = pairs_scored.select("doc_a", "doc_b")
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
-    edges_deg = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
+    deg = edges_deg.select("src", "d").distinct()  # reuse the cut lineage
+    # the checkpoint already ran the banding job, so the shared
+    # signature cache minhash_pairs_from registered is dead weight now
+    for shared in getattr(pairs_scored, "_gmrs_shared_caches", ()):
+        shared.unpersist(blocking=False)
 
     nodes = docs.select("doc_id")
     ranks = nodes.select("doc_id", F.lit(1.0).alias("r"))

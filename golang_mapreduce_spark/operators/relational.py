@@ -793,7 +793,7 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.expr(
             "stack(2, 'lineitem_quantity_1_50', n, v_qty, "
-            "'lineitem_discount_0_010', n, v_disc) "
+            "'lineitem_discount_0_to_0_10', n, v_disc) "
             "AS (constraint, n_checked, n_violations)"
         )
     )
@@ -863,7 +863,7 @@ SELECT 'lineitem_quantity_1_50' AS constraint, COUNT(*) AS n_checked,
        CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
 FROM lineitem
 UNION ALL
-SELECT 'lineitem_discount_0_010', COUNT(*),
+SELECT 'lineitem_discount_0_to_0_10', COUNT(*),
        CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.10 THEN 1 ELSE 0 END) AS BIGINT)
 FROM lineitem
 UNION ALL

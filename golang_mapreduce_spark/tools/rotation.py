@@ -38,12 +38,25 @@ WINDOW_SIZE = 50
 R1_FLOOR = 15
 
 
-def latest_rounds(repo_root: str = REPO_ROOT) -> dict[str, int]:
-    """name -> latest driver round with a CORRECTNESS row (any colour)."""
+def latest_rounds(
+    repo_root: str = REPO_ROOT, *, through_round: int | None = None
+) -> dict[str, int]:
+    """name -> latest driver round with a CORRECTNESS row (any colour).
+
+    ``through_round`` bounds the ledger to the state that EXISTED when a
+    window was generated (VERDICT r8 #1): the round-N window is computed
+    from rounds 1..N-1, but the driver lands ``CORRECTNESS_rN.json`` into
+    the same directory after the round's last commit, which would
+    otherwise mutate the ledger the round-N pin test validates against —
+    a gate that goes red on schedule.  Every ``roundN_window()`` binding
+    must therefore pass ``through_round=N-1``.
+    """
     latest: dict[str, int] = {}
     for path in sorted(glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
         stem = os.path.basename(path)
         rnd = int(stem[len("CORRECTNESS_r"):].split(".")[0])
+        if through_round is not None and rnd > through_round:
+            continue
         with open(path) as fh:
             for name in json.load(fh):
                 latest[name] = max(latest.get(name, 0), rnd)
@@ -195,7 +208,7 @@ ROUND8_PINS: tuple[str, ...] = ("wc", "indexer")  # VERDICT r7 #1 / r6 #8
 
 def round8_window() -> list[str]:
     return propose_window(
-        latest_rounds(),
+        latest_rounds(through_round=7),
         r1_cohort(),
         registration_order(),
         new=ROUND8_NEW,
@@ -204,11 +217,45 @@ def round8_window() -> list[str]:
     )
 
 
+#: Round-9 parameters.  The head leads with the two queries registered
+#: late in round 8 that have NEVER had a driver row (rotation carryover,
+#: VERDICT r8 #3); mid-round additions append to NEW; code-path changes
+#: go into CHANGED.  No pins this round: wc/indexer (the reference's
+#: golden pair) are r8-fresh, so the stalest-first fill is the verdict's
+#: entire ask — runtime_filtered_join (the lone r3 row) and the r4-stale
+#: cohort drain naturally.
+ROUND9_NEW: tuple[str, ...] = (
+    *ROUND9_NEW_CARRYOVER,
+)
+#: neardup_pagerank: the persisted ids-only edge relation is now
+#: unpersisted after materialization (ADVICE r8; cache-leak fix).
+#: dq_constraint_audit: the ambiguous published constraint name
+#: 'lineitem_discount_0_010' was renamed to 'lineitem_discount_0_to_0_10'
+#: in both the stack() literal and the SQL oracle (ADVICE r8) — an
+#: output-contract change, so it re-certifies.
+ROUND9_CHANGED: tuple[str, ...] = (
+    "neardup_pagerank",
+    "dq_constraint_audit",
+)
+ROUND9_PINS: tuple[str, ...] = ()
+
+
+def round9_window() -> list[str]:
+    return propose_window(
+        latest_rounds(through_round=8),
+        r1_cohort(),
+        registration_order(),
+        new=ROUND9_NEW,
+        changed=ROUND9_CHANGED,
+        pins=ROUND9_PINS,
+    )
+
+
 def main() -> None:  # pragma: no cover - CLI convenience
-    latest = latest_rounds()
-    window = round8_window()
+    latest = latest_rounds(through_round=8)
+    window = round9_window()
     r1 = r1_cohort()
-    print(f"# round-8 window ({len(window)} entries, "
+    print(f"# round-9 window ({len(window)} entries, "
           f"{sum(1 for n in window if n in r1)} r1-cohort)")
     for name in window:
         tags = [f"r{latest.get(name, 0)}"]

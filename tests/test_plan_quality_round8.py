@@ -22,7 +22,10 @@ def test_weighted_reservoir_no_shuffle_no_global_sort(spark, sf_dir):
     plan = formatted_plan(weighted_reservoir_sample(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert count_nodes(plan, "Exchange") == 0, plan
-    assert "text" not in plan.split("ReadSchema")[1], plan
+    # EVERY scan's schema must exclude text, not just the first one's
+    # (ADVICE r8: a future second scan would otherwise dodge the gate)
+    reads = [r.split("\n")[0] for r in plan.split("ReadSchema: ")[1:]]
+    assert reads and all("text" not in r for r in reads), plan
 
 
 def test_snapshot_diff_prunes_and_single_outer_join(spark, sf_dir):
@@ -63,12 +66,16 @@ def test_kmeans_broadcasts_centroids_no_merge_join(spark, sf_dir):
 
 
 def test_pagerank_edge_list_is_reused_not_recomputed(spark, sf_dir):
-    """The persisted ids-only edge relation must feed every iteration
-    from the cache: the signature/banding subtree may appear at most
-    once in the plan (InMemoryRelation), not once per iteration."""
+    """The ids-only edge relation must feed every iteration from the
+    eagerly-checkpointed relation (ADVICE r8: a lazy persist leaked a
+    session-long CacheManager entry): the signature/banding subtree
+    must appear ZERO times in the final plan — it ran exactly once, in
+    the checkpoint job — and no CacheManager entry may remain."""
     df = neardup_pagerank(spark, sf_dir)
     plan = formatted_plan(df)
-    assert "InMemoryTableScan" in plan, plan
-    # the expensive banding explode exists at most once outside the cache
-    assert plan.count("posexplode") <= 1, plan
-    spark.catalog.clearCache()
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert plan.count("posexplode") == 0, plan
+    # the leak regression itself: no lazily-registered cache survives
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "neardup_pagerank left a CacheManager entry behind"
+    )

@@ -1,9 +1,15 @@
 """The driver window is generated, not narrated (VERDICT r7 #5).
 
-``_ROUND8_WINDOW`` in ``__spark_entry__.py`` must equal the output of
-``tools/rotation.round8_window()`` exactly, and satisfy the standing
+``_ROUND9_WINDOW`` in ``__spark_entry__.py`` must equal the output of
+``tools/rotation.round9_window()`` exactly, and satisfy the standing
 invariants (size 50, unique, registered, ≥15 r1-cohort entries).  No
 Spark session needed — pure ledger math over CORRECTNESS_r0*.json.
+
+Each round-N pin binds ``through_round=N-1`` (VERDICT r8 #1): the
+window was generated from the rounds-1..N-1 ledger, and the driver's
+own ``CORRECTNESS_rN.json`` lands after the round's last commit, so an
+unbounded glob would validate the window against a ledger that didn't
+exist when it was generated — red on schedule every round.
 """
 
 from __future__ import annotations
@@ -13,9 +19,10 @@ from golang_mapreduce_spark.tools import rotation
 
 
 def test_round8_window_matches_ledger():
+    """Historical pin: the r8 window against the r1–r7 ledger state."""
     problems = rotation.validate_window(
         entry_mod._ROUND8_WINDOW,
-        rotation.latest_rounds(),
+        rotation.latest_rounds(through_round=7),
         rotation.r1_cohort(),
         rotation.registration_order(),
         new=rotation.ROUND8_NEW,
@@ -25,15 +32,37 @@ def test_round8_window_matches_ledger():
     assert problems == []
 
 
+def test_round9_window_matches_ledger():
+    problems = rotation.validate_window(
+        entry_mod._ROUND9_WINDOW,
+        rotation.latest_rounds(through_round=8),
+        rotation.r1_cohort(),
+        rotation.registration_order(),
+        new=rotation.ROUND9_NEW,
+        changed=rotation.ROUND9_CHANGED,
+        pins=rotation.ROUND9_PINS,
+    )
+    assert problems == []
+
+
+def test_through_round_bounds_the_ledger():
+    """A later round's artifact must not leak into an earlier cutoff."""
+    full = rotation.latest_rounds()
+    bounded = rotation.latest_rounds(through_round=7)
+    assert all(v <= 7 for v in bounded.values())
+    # every bounded entry exists in the full ledger at >= its round
+    assert all(full[k] >= v for k, v in bounded.items())
+
+
 def test_window_leads_registration():
     """queries() must serve the window names first, in window order."""
     names = list(entry_mod.queries())
-    assert names[: len(entry_mod._ROUND8_WINDOW)] == entry_mod._ROUND8_WINDOW
+    assert names[: len(entry_mod._ROUND9_WINDOW)] == entry_mod._ROUND9_WINDOW
 
 
 def test_every_window_query_is_oracle_backed():
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in entry_mod._ROUND8_WINDOW if n not in oracles]
+    missing = [n for n in entry_mod._ROUND9_WINDOW if n not in oracles]
     assert missing == []
 
 

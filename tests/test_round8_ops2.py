@@ -53,7 +53,7 @@ def test_dq_audit_clean_fixture_profile(spark, sf_dir):
     assert rows["orders_pk_unique"]["n_violations"] == 0
     assert rows["orders_totalprice_positive"]["n_violations"] == 0
     assert rows["lineitem_quantity_1_50"]["n_violations"] == 0
-    assert rows["lineitem_discount_0_010"]["n_violations"] == 0
+    assert rows["lineitem_discount_0_to_0_10"]["n_violations"] == 0
     assert rows["customer_acctbal_nonneg"]["n_violations"] > 0
     assert rows["lineitem_ships_after_order"]["n_violations"] > 0
     assert rows["lineitem_ships_after_order"]["n_checked"] == n_lineitem
@@ -102,7 +102,7 @@ def test_dq_audit_detects_injected_violations(spark, tmp_path):
     assert rows["customer_acctbal_nonneg"]["n_violations"] == 1
     assert rows["lineitem_fk_orders"]["n_violations"] == 1
     assert rows["lineitem_quantity_1_50"]["n_violations"] == 1
-    assert rows["lineitem_discount_0_010"]["n_violations"] == 1
+    assert rows["lineitem_discount_0_to_0_10"]["n_violations"] == 1
 
 
 def test_snapshot_diff_rederives_the_cdc_batch(spark, sf_dir):
