@@ -408,7 +408,7 @@ def final_line(total, timings, extra, big, gate, sf) -> dict:
         "gate": {
             "checked": gate.get("checked", False),
             "env_factor": gate.get("env_factor"),
-            "retried": gate.get("retried", False),
+            "retried": gate.get("retried", [])[:8],
             "n_flagged": len(flagged),
             "flagged": flagged[:5],
         },
@@ -489,6 +489,7 @@ def main() -> None:
     # code).  Self-heal: re-time only the flagged queries once warm and
     # keep the better number — real plan regressions survive the retry,
     # warmup artifacts do not.
+    retried: list[str] = []
     if gate["flagged"]:
         for name in list(gate["flagged"]):
             qname = name.removeprefix("big:")
@@ -505,6 +506,7 @@ def main() -> None:
             # single retry landing inside the same burst still reads 3x+;
             # two retries bound the gate's false-flag rate without
             # letting a real plan regression through (it survives both).
+            retried.append(name)
             for _ in range(2):
                 all_timings[name] = min(
                     all_timings[name], timed(spark, queries[qname], qdir)
@@ -522,7 +524,11 @@ def main() -> None:
         if big.get("queries"):
             big["total"] = round(sum(big["queries"].values()), 3)
         gate = regression_check(all_timings)
-        gate["retried"] = True
+    # per-query retry visibility (VERDICT r8 #5): the gate names exactly
+    # which readings came from the warm best-of-3 path, so a post-retry
+    # flag is distinguishable from a first-reading flag without a re-run.
+    # An empty list means every reported number is the cold first reading.
+    gate["retried"] = sorted(retried)
     if os.environ.get("SPARK_GRAFT_UPDATE_BASELINE"):
         update_baseline(all_timings)
     detail_path = os.path.join(

@@ -42,3 +42,15 @@ def test_timed_releases_minhash_persists(spark, sf_dir):
     spark.catalog.clearCache()
     bench.timed(spark, dedup.dedup_minhash_pairs, sf_dir)
     assert _n_persisted(spark) == 0
+
+
+def test_gate_retried_is_a_name_list():
+    """Per-query retry visibility (VERDICT r8 #5): the gate's `retried`
+    field is the sorted list of query names whose reported reading came
+    from the warm best-of-3 path — never a bare bool, so BENCH_DETAIL
+    can distinguish first-reading flags from post-retry flags."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert 'gate["retried"] = sorted(retried)' in src
+    assert 'gate["retried"] = True' not in src
