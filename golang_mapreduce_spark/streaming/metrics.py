@@ -49,6 +49,13 @@ class ProgressCollector(StreamingQueryListener):
         self.dropped_by_watermark: dict[str, int] = {}
         self.observed: dict[str, dict[str, dict]] = {}
         self.batches: dict[str, int] = {}
+        # peak (max over micro-batches) of the state store's footprint,
+        # summed across the query's state operators within a batch —
+        # the stream-stream joins' whole risk surface is state growth
+        # under watermark skew, so wall-clock alone can't certify them
+        # at scale (VERDICT r8 #6)
+        self.peak_state_rows: dict[str, int] = {}
+        self.peak_state_bytes: dict[str, int] = {}
 
     # StreamingQueryListener interface -----------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802
@@ -62,10 +69,20 @@ class ProgressCollector(StreamingQueryListener):
             self.input_rows[qid] = self.input_rows.get(qid, 0) + int(
                 p.numInputRows or 0
             )
+            batch_state_rows = 0
+            batch_state_bytes = 0
             for op in p.stateOperators:
                 self.dropped_by_watermark[qid] = self.dropped_by_watermark.get(
                     qid, 0
                 ) + int(op.numRowsDroppedByWatermark or 0)
+                batch_state_rows += int(op.numRowsTotal or 0)
+                batch_state_bytes += int(op.memoryUsedBytes or 0)
+            self.peak_state_rows[qid] = max(
+                self.peak_state_rows.get(qid, 0), batch_state_rows
+            )
+            self.peak_state_bytes[qid] = max(
+                self.peak_state_bytes.get(qid, 0), batch_state_bytes
+            )
             if p.observedMetrics:
                 per_q = self.observed.setdefault(qid, {})
                 for mname, row in p.observedMetrics.items():

@@ -86,5 +86,10 @@ def test_streaming_progress_collector_accumulates(spark, sf_dir):
         assert emitted["events_in_windows"] == spark.table(name).agg(
             F.sum("n")
         ).first()[0]
+        # peak state tracking (VERDICT r8 #6): a stateful aggregation
+        # holds at least one state row per emitted window at its peak,
+        # and the byte footprint is nonzero whenever rows are
+        assert collector.peak_state_rows.get(qid, 0) >= n_rows
+        assert collector.peak_state_bytes.get(qid, 0) > 0
     finally:
         spark.streams.removeListener(collector)
