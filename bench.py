@@ -212,6 +212,15 @@ EXTRA = [
     "streaming_unattributed_purchases",
     "robust_quality_outliers",
     "dup_span_manifest",
+    # round-9 additions
+    "graph_triangle_counts",
+    "rare_ngram_uniqueness",
+    "normalization_ladder",
+    "char_coverage_audit",
+    "session_funnel_paths",
+    "token_budget_pack_plan",
+    "quality_ablation_matrix",
+    "centroid_drift_by_label",
 ]
 
 

@@ -380,9 +380,110 @@ WHERE rank <= {SEQ_NGRAM_TOP}
 """
 
 
+# --- session funnel paths (round 9) --------------------------------------
+
+FUNNEL_GAP_SECONDS = 1800  # 30-minute inactivity gap, as session_windows_30m
+FUNNEL_PATH_LEN = 3
+FUNNEL_TOP = 25
+
+
+def session_funnel_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel entry-path mining: the {FUNNEL_TOP} most common ordered
+    prefixes (first {FUNNEL_PATH_LEN} event types) of 30-minute-gap
+    sessions — where journeys START, the complement of
+    event_ngram_patterns (which slides k-grams over whole timelines
+    with no session boundary) and event_transition_matrix (first-order
+    only).  This is the table a funnel dashboard's "top entry flows"
+    widget reads.
+
+    Scale shape: gap sessionization is the session_windows_30m double
+    window (lag + running sum) over ONE per-user (ts, event_id) sort;
+    the per-session prefix is an ordered struct sort_array + slice
+    inside the session aggregate (sessions are short — bounded
+    collect), and the final top-k is orderBy().limit() =
+    TakeOrderedAndProject, per-partition heaps, never a global sort of
+    the path relation.  (ts, event_id) ordering is total, so paths are
+    engine-identical."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn(
+            # exact integer microseconds: cast("long") floors to seconds
+            # and DuckDB's epoch() is fractional, so a gap like 1800.5 s
+            # would land on different sides of the boundary per engine
+            "gap_us",
+            F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("gap_us").isNull()
+                | (F.col("gap_us") > FUNNEL_GAP_SECONDS * 1_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess", F.sum("new_s").over(w))
+    )
+    paths = (
+        sess.groupBy("user_id", "sess")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                1,
+                FUNNEL_PATH_LEN,
+            ).alias("head")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.expr("transform(head, x -> x.event_type)")
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(FUNNEL_TOP)
+    )
+
+
+SESSION_FUNNEL_SQL = f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {FUNNEL_GAP_SECONDS * 1_000_000}
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sess
+  FROM seq
+),
+paths AS (
+  SELECT array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id),
+                      1, {FUNNEL_PATH_LEN}), '>') AS path
+  FROM sess GROUP BY user_id, sess
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {FUNNEL_TOP}
+"""
+
+
+
 QUERIES = {
     "hourly_anomalies": hourly_anomalies,
     "event_transition_matrix": event_transition_matrix,
+    "session_funnel_paths": session_funnel_paths,
     "event_ngram_patterns": event_ngram_patterns,
     "retention_cohorts": retention_cohorts,
     "window_range_7day_spend": window_range_7day_spend,
@@ -393,6 +494,7 @@ QUERIES = {
 ORACLES = {
     "hourly_anomalies": HOURLY_ANOMALY_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
+    "session_funnel_paths": SESSION_FUNNEL_SQL,
     "event_ngram_patterns": EVENT_NGRAM_SQL,
     "retention_cohorts": RETENTION_SQL,
     "window_range_7day_spend": RANGE_7DAY_SQL,

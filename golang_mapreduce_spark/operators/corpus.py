@@ -884,6 +884,81 @@ GROUP BY bucket_toks
 """
 
 
+# --- token-budget shard planning (round 9) --------------------------------
+
+PACK_PLAN_BUDGET = 4096  # tokens per shard
+
+
+def token_budget_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative shard manifest: assign each source's documents (in
+    doc_id order) to consecutive token-budget shards via an exclusive
+    prefix-sum, and report per-shard doc counts, token mass, and fill
+    ratio — the PLANNING view of sequence packing (packed_sequences is
+    the applyInPandas executor that actually concatenates; this is the
+    pure-DataFrame manifest a scheduler reads to size writer tasks,
+    and its fill-ratio column is the padding bill forecast).
+
+    A doc starting inside shard k stays in shard k even if it crosses
+    the boundary (exclusive prefix sum), matching the greedy
+    one-pass packer; shards can therefore overflow by at most one doc,
+    never underflow-fragment.
+
+    Scale shape: ONE window cumsum partitioned by source ordered by
+    doc_id (the natural write order), then a partial-agg'd groupBy on
+    (source, shard).  No joins, no collects; token counting is the
+    same ws_words size() every text operator uses — all codegen."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.size(ws_words("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    planned = docs.select(
+        "source",
+        "n_tokens",
+        (
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / F.lit(PACK_PLAN_BUDGET)
+        ).cast("bigint").alias("shard"),
+    )
+    return planned.groupBy("source", "shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        F.round(
+            F.sum("n_tokens") / F.lit(float(PACK_PLAN_BUDGET)), 6
+        ).alias("fill_ratio"),
+    )
+
+
+TOKEN_PACK_PLAN_SQL = f"""
+WITH docs AS (
+  SELECT source, doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+           AS n_tokens
+  FROM documents
+),
+planned AS (
+  SELECT source, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // {PACK_PLAN_BUDGET} AS BIGINT) AS shard
+  FROM docs
+)
+SELECT source, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {PACK_PLAN_BUDGET}.0, 6)
+         AS fill_ratio
+FROM planned
+GROUP BY source, shard
+"""
+
+
+
 QUERIES = {
     "packing_efficiency": packing_efficiency,
     "decontaminate_docs": decontaminate_docs,
@@ -897,6 +972,7 @@ QUERIES = {
     "sliding_chunk_stats": sliding_chunk_stats,
     "decontaminate_bloom": decontaminate_bloom,
     "seq_len_bucket_histogram": seq_len_bucket_histogram,
+    "token_budget_pack_plan": token_budget_pack_plan,
 }
 
 ORACLES = {
@@ -914,4 +990,5 @@ ORACLES = {
     # the same oracle-sharing move source_budget_select_hist uses
     "decontaminate_bloom": DECONTAMINATE_SQL,
     "seq_len_bucket_histogram": SEQ_LEN_BUCKET_SQL,
+    "token_budget_pack_plan": TOKEN_PACK_PLAN_SQL,
 }

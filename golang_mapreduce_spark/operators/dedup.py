@@ -2664,6 +2664,268 @@ FROM sig a JOIN sig b ON a.source < b.source
 """
 
 
+# --- near-dup graph analytics (round 9) ---------------------------------
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc triangle counts and local clustering coefficient over the
+    near-dup LSH pair graph — the structural complement of
+    dup_graph_degree_stats (how MANY neighbors) and neardup_pagerank
+    (how CENTRAL): a high clustering coefficient says the doc's
+    neighborhood is a clique, i.e. a template family that should
+    collapse to one representative, while low coefficient at high
+    degree flags hub-like boilerplate stitched across otherwise
+    unrelated docs.
+
+    Classic distributed edge-iterator shape (Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer"):
+    orient every edge low-id -> high-id (the LSH pair relation already
+    is), join paths a<b<c on the middle vertex, then close each path
+    with one hash join back to the edge list — fan-out is bounded by
+    per-vertex degree, never a cross product, and the LSH graph is
+    sparse by construction.  The edge relation feeds four subtrees
+    (e1/e2/e3 + degree), so it is materialized once via the same eager
+    localCheckpoint lifecycle as neardup_pagerank (blocks reclaimed by
+    the ContextCleaner when the result is dropped)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs_scored = minhash_pairs_from(docs.select("doc_id", "text"))
+    e = pairs_scored.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    for shared in getattr(pairs_scored, "_gmrs_shared_caches", ()):
+        shared.unpersist(blocking=False)
+
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+    member = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    tcount = member.groupBy("doc_id").agg(F.count("*").alias("n_triangles"))
+    deg = (
+        e.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(e.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    return tcount.join(deg, "doc_id").select(
+        "doc_id",
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.col("degree").cast("bigint").alias("degree"),
+        F.round(
+            F.lit(2.0) * F.col("n_triangles")
+            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+            6,
+        ).alias("clustering_coeff"),
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH pairs AS (
+  {minhash_pairs_sql("documents").strip()}
+),
+e AS (
+  SELECT doc_a, doc_b FROM pairs
+),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM e e1
+  JOIN e e2 ON e2.doc_a = e1.doc_b
+  JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+member AS (
+  SELECT a AS doc_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+tcount AS (
+  SELECT doc_id, COUNT(*) AS n_triangles FROM member GROUP BY doc_id
+),
+deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM e
+    UNION ALL SELECT doc_b AS doc_id FROM e
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_triangles AS BIGINT) AS n_triangles,
+       CAST(d.degree AS BIGINT) AS degree,
+       ROUND(2.0 * t.n_triangles / (d.degree * (d.degree - 1)), 6)
+         AS clustering_coeff
+FROM tcount t JOIN deg d USING (doc_id)
+"""
+
+
+# --- rare-n-gram uniqueness (round 9) ------------------------------------
+
+RARE_NGRAM_N = 8
+
+
+def rare_ngram_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty audit: the fraction of a document's distinct
+    {RARE_NGRAM_N}-gram shingles that appear in NO other document —
+    the doc-level complement of dup_ngram_fraction (which measures
+    duplicated mass).  A near-zero uniqueness ratio means the doc is
+    assembled entirely from corpus-common long n-grams (template /
+    boilerplate / recombined scrape), the profile memorization studies
+    weight down even when no single pair-detector fires; ratios near 1
+    mark genuinely novel text worth keeping at full weight.
+
+    Scale shape: one explode + distinct to (doc, shingle) — the same
+    inverted-index relation every shingle detector here builds — then
+    ONE groupBy(shingle) whose df==1 rows keep their only doc_id via
+    MIN(doc_id) (exact, because df==1 makes min the sole member), so
+    no join back through the shingle text is needed; per-doc counts
+    are partial-agg'd.  Linear in corpus shingle mass at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_sh = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= RARE_NGRAM_N)
+        .select("doc_id", F.explode(_shingles(RARE_NGRAM_N)).alias("s"))
+        .distinct()
+    )
+    uniq = (
+        doc_sh.groupBy("s")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("only_doc"))
+        .where(F.col("df") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count("*").alias("n_unique"))
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return sizes.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.coalesce("n_unique", F.lit(0)).cast("bigint").alias("n_unique_ngrams"),
+        F.round(
+            F.coalesce("n_unique", F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("uniqueness_ratio"),
+    )
+
+
+RARE_NGRAM_UNIQUENESS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+doc_sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(t, i, i + {RARE_NGRAM_N - 1}), ' ') AS s
+  FROM toks, UNNEST(generate_series(1, len(t) - {RARE_NGRAM_N - 1})) AS g(i)
+  WHERE len(t) >= {RARE_NGRAM_N}
+),
+uniq AS (
+  SELECT only_doc AS doc_id, COUNT(*) AS n_unique FROM (
+    SELECT s, COUNT(*) AS df, MIN(doc_id) AS only_doc
+    FROM doc_sh GROUP BY s
+  ) WHERE df = 1 GROUP BY only_doc
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM doc_sh GROUP BY doc_id
+)
+SELECT sizes.doc_id,
+       CAST(sizes.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(uniq.n_unique, 0) AS BIGINT) AS n_unique_ngrams,
+       ROUND(CAST(COALESCE(uniq.n_unique, 0) AS DOUBLE) / sizes.n_shingles, 6)
+         AS uniqueness_ratio
+FROM sizes LEFT JOIN uniq ON uniq.doc_id = sizes.doc_id
+"""
+
+
+# --- normalization ladder (round 9) --------------------------------------
+
+#: (tier name, ordered) — each tier's normalization composes the previous
+#: one, so group counts are monotonically non-increasing down the ladder.
+NORM_LADDER_TIERS = (
+    "exact",
+    "lower",
+    "squash_ws",
+    "strip_punct",
+    "strip_digits",
+)
+
+
+def normalization_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup sensitivity ladder: how many duplicate documents each
+    successively more aggressive text normalization exposes — exact
+    bytes, lowercase, whitespace-squash, punctuation-strip,
+    digit-strip.  The gap between adjacent tiers is the census a
+    pipeline owner reads before picking a dedup key (dedup_exact uses
+    tier 1's key, dedup_normalized roughly tier 3); a big jump at
+    strip_digits, say, means serial-numbered template pages dominate
+    and exact hashing will miss them.
+
+    Scale shape: ONE text-only scan computes all five normalized keys,
+    then a single aggregate with five count-distincts (Spark plans
+    multi-distinct via one expand — 5x the scan rows into a partial
+    agg, no extra scans, no joins); the result is one row stacked into
+    five.  Each distinct is hash-based at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t_lower = F.lower(F.col("text"))
+    t_ws = F.trim(F.regexp_replace(t_lower, r"\s+", " "))
+    t_punct = F.regexp_replace(t_ws, r"[^\p{L}\p{N} ]", "")
+    t_digit = F.regexp_replace(t_punct, r"\p{N}+", "")
+    agg = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.col("text")).alias("g0"),
+        F.countDistinct(t_lower).alias("g1"),
+        F.countDistinct(t_ws).alias("g2"),
+        F.countDistinct(t_punct).alias("g3"),
+        F.countDistinct(t_digit).alias("g4"),
+    )
+    stack_expr = ", ".join(
+        f"'{name}', g{i}" for i, name in enumerate(NORM_LADDER_TIERS)
+    )
+    return agg.select(
+        F.expr(f"stack({len(NORM_LADDER_TIERS)}, {stack_expr}) AS (tier, n_groups)"),
+        "n_docs",
+    ).select(
+        "tier",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        (F.col("n_docs") - F.col("n_groups")).cast("bigint").alias("n_dup_docs"),
+    )
+
+
+NORMALIZATION_LADDER_SQL = r"""
+WITH norm AS (
+  SELECT text AS t0,
+         lower(text) AS t1,
+         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t2,
+         regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        '[^\p{L}\p{N} ]', '', 'g') AS t3,
+         regexp_replace(
+           regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          '[^\p{L}\p{N} ]', '', 'g'),
+           '\p{N}+', '', 'g') AS t4
+  FROM documents
+),
+agg AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT t0) AS g0, COUNT(DISTINCT t1) AS g1,
+         COUNT(DISTINCT t2) AS g2, COUNT(DISTINCT t3) AS g3,
+         COUNT(DISTINCT t4) AS g4
+  FROM norm
+)
+SELECT tier, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_docs - n_groups AS BIGINT) AS n_dup_docs
+FROM (
+  SELECT 'exact' AS tier, n_docs, g0 AS n_groups FROM agg
+  UNION ALL SELECT 'lower', n_docs, g1 FROM agg
+  UNION ALL SELECT 'squash_ws', n_docs, g2 FROM agg
+  UNION ALL SELECT 'strip_punct', n_docs, g3 FROM agg
+  UNION ALL SELECT 'strip_digits', n_docs, g4 FROM agg
+)
+"""
+
+
 QUERIES = {
     "dup_cluster_histogram": dup_cluster_histogram,
     "neardup_method_agreement": neardup_method_agreement,
@@ -2695,6 +2957,9 @@ QUERIES = {
     "cross_source_dup_matrix": cross_source_dup_matrix,
     "source_minhash_similarity": source_minhash_similarity,
     "quality_by_dup_class": quality_by_dup_class,
+    "graph_triangle_counts": graph_triangle_counts,
+    "rare_ngram_uniqueness": rare_ngram_uniqueness,
+    "normalization_ladder": normalization_ladder,
 }
 
 ORACLES = {
@@ -2730,4 +2995,7 @@ ORACLES = {
     "cross_source_dup_matrix": CROSS_SOURCE_DUP_SQL,
     "source_minhash_similarity": _source_minhash_sql(),
     "quality_by_dup_class": _quality_by_dup_class_sql(),
+    "graph_triangle_counts": GRAPH_TRIANGLES_SQL,
+    "rare_ngram_uniqueness": RARE_NGRAM_UNIQUENESS_SQL,
+    "normalization_ladder": NORMALIZATION_LADDER_SQL,
 }

@@ -29,6 +29,7 @@ from golang_mapreduce_spark.operators.dedup import (
     minhash_pairs_from,
     minhash_pairs_sql,
 )
+from golang_mapreduce_spark.functions.text import ws_words
 from golang_mapreduce_spark.operators.textstats import QUALITY_SQL, quality_scores
 from golang_mapreduce_spark.sources.fixtures import load_table
 
@@ -523,6 +524,87 @@ GROUP BY stage, source
 """
 
 
+# --- quality-filter ablation matrix (round 9) -----------------------------
+
+#: Spark-SQL boolean predicate expressions, mirrored verbatim (modulo
+#: function spelling) in the oracle.  Integer/ratio thresholds chosen on
+#: the synthetic corpus so every flag has both populations.
+ABLATION_FLAGS = (
+    ("len_ok", "n_chars BETWEEN 80 AND 5000"),
+    # 5*distinct >= 2*n + 5  <=>  distinct >= 0.4*n + 1, in exact BIGINT
+    # arithmetic (a double->INT cast truncates in Spark but rounds in
+    # DuckDB, so the float form drifts at e.g. n=34)
+    ("ttr_ok", "5 * size(array_distinct(toks)) >= 2 * size(toks) + 5"),
+    ("awl_ok", "(CAST(n_chars - size(toks) + 1 AS DOUBLE) / size(toks)) BETWEEN 3.0 AND 8.0"),
+)
+
+
+def quality_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter ablation census: survivor counts for EVERY combination of
+    the quality predicates (CUBE over the flag booleans, NULL = the
+    "don't care" rollup), with each cell's share of the corpus — the
+    table that answers "what does each filter cost, alone and jointly"
+    BEFORE anyone re-runs the pipeline 2^k times.  Complements
+    pipeline_drop_attribution (which sequences ONE pipeline's stages;
+    this measures every subset in one pass).
+
+    Scale shape: one text scan computes the three flags, one CUBE
+    aggregate (Spark expands each row into the 8 grouping sets in the
+    map side, partial-agg'd — no extra scans, no joins); the share
+    divides by the corpus count taken from the cube's own grand-total
+    row via a 1-row broadcast cross join.  Output is 27 rows at any
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "n_chars", ws_words("text").alias("toks")
+    )
+    flagged = docs.select(
+        *[F.expr(expr).alias(name) for name, expr in ABLATION_FLAGS]
+    )
+    cube = flagged.cube("len_ok", "ttr_ok", "awl_ok").agg(
+        F.count("*").alias("n_docs")
+    )
+    total = cube.where(
+        F.col("len_ok").isNull()
+        & F.col("ttr_ok").isNull()
+        & F.col("awl_ok").isNull()
+    ).select(F.col("n_docs").alias("n_total"))
+    return cube.crossJoin(F.broadcast(total)).select(
+        "len_ok",
+        "ttr_ok",
+        "awl_ok",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+    )
+
+
+QUALITY_ABLATION_SQL = r"""
+WITH flagged AS (
+  SELECT n_chars BETWEEN 80 AND 5000 AS len_ok,
+         5 * len(list_distinct(toks)) >= 2 * len(toks) + 5 AS ttr_ok,
+         (CAST(n_chars - len(toks) + 1 AS DOUBLE) / len(toks))
+           BETWEEN 3.0 AND 8.0 AS awl_ok
+  FROM (
+    SELECT n_chars,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+    FROM documents
+  )
+),
+cube_agg AS (
+  SELECT len_ok, ttr_ok, awl_ok, COUNT(*) AS n_docs
+  FROM flagged GROUP BY CUBE (len_ok, ttr_ok, awl_ok)
+),
+total AS (
+  SELECT n_docs AS n_total FROM cube_agg
+  WHERE len_ok IS NULL AND ttr_ok IS NULL AND awl_ok IS NULL
+)
+SELECT len_ok, ttr_ok, awl_ok,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS share
+FROM cube_agg, total
+"""
+
+
+
 QUERIES = {
     "clean_corpus": clean_corpus,
     "clean_corpus_decontaminated": clean_corpus_decontaminated,
@@ -530,6 +612,7 @@ QUERIES = {
     "training_data_run": training_data_run,
     "training_data_run_semantic": training_data_run_semantic,
     "pipeline_drop_attribution": pipeline_drop_attribution,
+    "quality_ablation_matrix": quality_ablation_matrix,
 }
 ORACLES = {
     "clean_corpus": CLEAN_CORPUS_SQL,
@@ -538,4 +621,5 @@ ORACLES = {
     "training_data_run": _training_data_run_sql(),
     "training_data_run_semantic": _training_data_run_semantic_sql(),
     "pipeline_drop_attribution": _pipeline_drop_attribution_sql(),
+    "quality_ablation_matrix": QUALITY_ABLATION_SQL,
 }

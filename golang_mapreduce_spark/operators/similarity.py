@@ -2648,6 +2648,113 @@ FROM margins WHERE rank_x = 1
 """
 
 
+# --- centroid drift by label (round 9) ------------------------------------
+
+def centroid_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift check: split the collection into two halves by
+    vec_id parity (the stand-in for "yesterday's batch vs today's"),
+    compute each label's per-half centroid, and report the cosine
+    between the halves' centroids — the one-number-per-class alarm a
+    retrieval/serving pipeline watches for embedding-model or upstream
+    -data drift.  Cosine ~1.0 means the class geometry is stable;
+    a dip localizes WHICH class moved.
+
+    Scale shape: one posexplode into (label, half, dim) with partial
+    aggregation — the same distributed-vector-mean shape as
+    kmeans_refine_centroids — then the dot/norm products join two
+    |labels| x dims relations on (label, dim): tiny at any collection
+    size.  No all-pairs anything; linear in collection mass.
+
+    Cross-engine determinism: per-dim sums are 9-dp DECIMAL (exact,
+    order-free); each centroid component is the sum/count double
+    division rounded to 6 dp and cast DECIMAL(12,6); the dot and norm
+    accumulations multiply those decimals exactly (25,12 products) so
+    the final cosine divides engine-identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).cast("int").alias("half"),
+            F.posexplode("embedding").alias("dim", "v"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(
+            F.sum(
+                F.round(F.col("v").cast("double"), 9).cast("decimal(19,9)")
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "label",
+            "half",
+            "dim",
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 6)
+            .cast("decimal(12,6)")
+            .alias("c"),
+        )
+    )
+    a = comp.where(F.col("half") == 0).select(
+        "label", "dim", F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = comp.where(F.col("half") == 1).select(
+        "label", "dim", F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sum(F.col("ca") * F.col("ca")).alias("na2"),
+            F.sum(F.col("cb") * F.col("cb")).alias("nb2"),
+        )
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+CENTROID_DRIFT_SQL = """
+WITH expl AS (
+  SELECT label, CAST(vec_id % 2 AS INT) AS half, u.dim - 1 AS dim,
+         CAST(u.v AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS dim) u
+),
+comp AS (
+  SELECT label, half, dim, COUNT(*) AS n,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(19,9))) AS DOUBLE)
+                    / COUNT(*), 6) AS DECIMAL(12,6)) AS c
+  FROM expl GROUP BY label, half, dim
+)
+SELECT a.label,
+       CAST(MAX(a.n) AS BIGINT) AS n_a,
+       CAST(MAX(b.n) AS BIGINT) AS n_b,
+       ROUND(CAST(SUM(a.c * b.c) AS DOUBLE)
+             / (SQRT(CAST(SUM(a.c * a.c) AS DOUBLE))
+                * SQRT(CAST(SUM(b.c * b.c) AS DOUBLE))), 6)
+         AS centroid_cosine
+FROM comp a
+JOIN comp b ON b.label = a.label AND b.dim = a.dim AND b.half = 1
+WHERE a.half = 0
+GROUP BY a.label
+"""
+
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -2666,6 +2773,7 @@ QUERIES = {
     "ivf_int8_topk": ivf_int8_topk,
     "hard_negative_mining": hard_negative_mining,
     "embedding_dim_stats": embedding_dim_stats,
+    "centroid_drift_by_label": centroid_drift_by_label,
     "embedding_outliers": embedding_outliers,
     "knn_label_vote": knn_label_vote,
     "matryoshka_recall": matryoshka_recall,
@@ -2696,6 +2804,7 @@ ORACLES = {
     "ivf_int8_topk": IVF_INT8_SQL,
     "hard_negative_mining": HARD_NEGATIVES_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+    "centroid_drift_by_label": CENTROID_DRIFT_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "knn_label_vote": KNN_LABEL_VOTE_SQL,
     "matryoshka_recall": MATRYOSHKA_SQL,

@@ -2093,6 +2093,96 @@ GROUP BY c.source
 """
 
 
+# --- character coverage audit (round 9) ----------------------------------
+
+#: integer-thousandths coverage target (999 = 99.9%), kept as integer so
+#: the threshold comparison is exact integer arithmetic in both engines
+CHAR_COVERAGE_PERMILLE = 999
+
+
+def char_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary design census, per language: the number of
+    distinct characters, total character occurrences, and the size of
+    the smallest character set covering {CHAR_COVERAGE_PERMILLE}/1000
+    of all occurrences — the `character_coverage` knob every
+    SentencePiece/BPE training run sets blind; this measures it.  A
+    lang whose 99.9% cover needs hundreds of characters (CJK) gets a
+    different vocab budget than one needing dozens (Latin).
+
+    Scale shape: the per-character explode is O(corpus bytes) rows but
+    collapses immediately into a partial-agg'd groupBy(lang, char) —
+    the shuffle carries |langs| x |alphabet| rows, not characters; the
+    rank/cumulative pass is a window over that tiny aggregate.  The
+    coverage threshold compares cum*1000 >= target*total in BIGINT, so
+    the cut is exact integer math in both engines (no float boundary).
+    Ties rank by (count desc, char asc) for a total order."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("lang", "ch").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("ch"))
+    ranked = freq.select(
+        "lang",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    tot = freq.groupBy("lang").agg(
+        F.sum("n").alias("total_chars"), F.count("*").alias("distinct_chars")
+    )
+    return (
+        ranked.join(tot, "lang")
+        .where(
+            F.col("cum") * F.lit(1000)
+            >= F.lit(CHAR_COVERAGE_PERMILLE) * F.col("total_chars")
+        )
+        .groupBy("lang", "distinct_chars", "total_chars")
+        .agg(F.min("rk").alias("chars_for_999"))
+        .select(
+            "lang",
+            F.col("distinct_chars").cast("bigint").alias("distinct_chars"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            F.col("chars_for_999").cast("bigint").alias("chars_for_999"),
+        )
+    )
+
+
+CHAR_COVERAGE_SQL = f"""
+WITH chars AS (
+  SELECT lang, substr(text, i, 1) AS ch
+  FROM documents, UNNEST(generate_series(1, len(text))) AS g(i)
+),
+freq AS (
+  SELECT lang, ch, COUNT(*) AS n FROM chars GROUP BY lang, ch
+),
+ranked AS (
+  SELECT lang, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, ch ASC) AS rk,
+         SUM(n) OVER (PARTITION BY lang ORDER BY n DESC, ch ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM freq
+),
+tot AS (
+  SELECT lang, SUM(n) AS total_chars, COUNT(*) AS distinct_chars
+  FROM freq GROUP BY lang
+)
+SELECT r.lang,
+       CAST(t.distinct_chars AS BIGINT) AS distinct_chars,
+       CAST(t.total_chars AS BIGINT) AS total_chars,
+       CAST(MIN(r.rk) AS BIGINT) AS chars_for_999
+FROM ranked r JOIN tot t USING (lang)
+WHERE r.cum * 1000 >= {CHAR_COVERAGE_PERMILLE} * t.total_chars
+GROUP BY r.lang, t.distinct_chars, t.total_chars
+"""
+
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
@@ -2109,6 +2199,7 @@ QUERIES = {
     "doc_perplexity": doc_perplexity,
     "perplexity_tail_split": perplexity_tail_split,
     "quality_drift_by_batch": quality_drift_by_batch,
+    "char_coverage_audit": char_coverage_audit,
     "lang_doc_stats": lang_doc_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "quality_scores": quality_scores,
@@ -2144,6 +2235,7 @@ ORACLES = {
     "bigram_counts": BIGRAM_SQL,
     "pmi_bigrams": PMI_BIGRAMS_SQL,
     "winnow_fingerprints": WINNOW_SQL,
+    "char_coverage_audit": CHAR_COVERAGE_SQL,
     "lang_doc_stats": LANG_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "quality_scores": QUALITY_SQL,

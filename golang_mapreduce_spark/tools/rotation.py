@@ -226,6 +226,19 @@ def round8_window() -> list[str]:
 #: cohort drain naturally.
 ROUND9_NEW: tuple[str, ...] = (
     *ROUND9_NEW_CARRYOVER,
+    # mid-round additions (round 9, first batch): graph analytics over
+    # the near-dup pair relation, doc-level novelty, the normalization
+    # dedup ladder, tokenizer character-coverage census, session entry
+    # paths, the declarative packing manifest, the quality-filter
+    # ablation cube, and per-label embedding drift
+    "graph_triangle_counts",
+    "rare_ngram_uniqueness",
+    "normalization_ladder",
+    "char_coverage_audit",
+    "session_funnel_paths",
+    "token_budget_pack_plan",
+    "quality_ablation_matrix",
+    "centroid_drift_by_label",
 )
 #: neardup_pagerank: the persisted ids-only edge relation is now
 #: unpersisted after materialization (ADVICE r8; cache-leak fix).

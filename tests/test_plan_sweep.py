@@ -92,6 +92,8 @@ BNLJ_OK = {
     "bitext_margin_pairs",      # 8-row source query set (non-equi join,
                                 # same shape as knn_bruteforce)
     "pmi_bigrams",              # two 1-row corpus-total broadcasts
+    "quality_ablation_matrix",  # 1-row grand-total broadcast (the cube's
+                                # own all-NULL row feeds the share divisor)
     "pipeline_drop_attribution",  # temp_rates' 1-row min-count broadcast
                                   # (building its plan also runs the CC
                                   # label loop, like clean_corpus — kept
