@@ -221,6 +221,13 @@ EXTRA = [
     "token_budget_pack_plan",
     "quality_ablation_matrix",
     "centroid_drift_by_label",
+    "cms_heavy_hitters",
+    "lang_vocab_overlap",
+    "image_phash_clusters",
+    "embedding_power_iteration",
+    "streaming_cms_cells",
+    "streaming_upsert_snapshot",
+    "hll_distinct_by_source",
 ]
 
 

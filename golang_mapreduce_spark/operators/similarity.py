@@ -2755,6 +2755,91 @@ GROUP BY a.label
 
 
 
+# --- power iteration for the dominant direction (round 9, batch 2) --------
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed power-iteration step for the collection's
+    dominant direction: starting from the deterministic all-ones
+    vector, u = X·1 (per-row sums), then w = Xᵀu (per-dim weighted
+    sums), normalized to unit length — the building block of PCA
+    whitening / spectral embedding-health checks, expressed entirely as
+    DataFrame aggregates (the matrix is never materialized, only two
+    linear passes).  Iterating this converges to the top singular
+    direction; one step already separates a dominant-variance corpus
+    from an isotropic one (embedding_outliers' complement: WHERE the
+    mass points, not who deviates).
+
+    Scale shape: pass 1 is posexplode → per-vec_id exact DECIMAL sums
+    (partial-agg'd, shuffle keyed on vec_id); pass 2 re-joins u to the
+    exploded relation on vec_id (both sides hash-partition) and
+    partial-aggs per dim into d rows.  Linear in collection mass, d
+    rows out at any scale.
+
+    Cross-engine determinism: row sums are 9-dp DECIMAL (exact,
+    order-free) cast to double (engine-identical); per-dim products of
+    identical doubles are rounded to 9 dp and DECIMAL-summed; the final
+    normalization divides identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("v"))
+    u = expl.groupBy("vec_id").agg(
+        F.sum(F.round("v", 9).cast("decimal(19,9)"))
+        .cast("double")
+        .alias("u")
+    )
+    w = (
+        expl.join(u, "vec_id")
+        .groupBy("dim")
+        .agg(
+            F.sum(
+                F.round(F.col("v") * F.col("u"), 9).cast("decimal(25,9)")
+            ).cast("double").alias("w")
+        )
+    )
+    norm = w.agg(
+        F.sqrt(
+            F.sum(
+                (F.round("w", 6).cast("decimal(18,6)")
+                 * F.round("w", 6).cast("decimal(18,6)"))
+            ).cast("double")
+        ).alias("nrm")
+    )
+    return w.crossJoin(F.broadcast(norm)).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("w") / F.col("nrm"), 6).alias("component"),
+    )
+
+
+POWER_ITERATION_SQL = """
+WITH expl AS (
+  SELECT vec_id, u.dim - 1 AS dim, CAST(u.v AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS dim) u
+),
+uvec AS (
+  SELECT vec_id,
+         CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(19,9))) AS DOUBLE) AS u
+  FROM expl GROUP BY vec_id
+),
+w AS (
+  SELECT dim,
+         CAST(SUM(CAST(ROUND(e.v * uvec.u, 9) AS DECIMAL(25,9))) AS DOUBLE) AS w
+  FROM expl e JOIN uvec USING (vec_id)
+  GROUP BY dim
+),
+nrm AS (
+  SELECT SQRT(CAST(SUM(CAST(ROUND(w, 6) AS DECIMAL(18,6))
+                       * CAST(ROUND(w, 6) AS DECIMAL(18,6))) AS DOUBLE)) AS nrm
+  FROM w
+)
+SELECT CAST(dim AS INT) AS dim, ROUND(w.w / nrm.nrm, 6) AS component
+FROM w, nrm
+"""
+
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -2774,6 +2859,7 @@ QUERIES = {
     "hard_negative_mining": hard_negative_mining,
     "embedding_dim_stats": embedding_dim_stats,
     "centroid_drift_by_label": centroid_drift_by_label,
+    "embedding_power_iteration": embedding_power_iteration,
     "embedding_outliers": embedding_outliers,
     "knn_label_vote": knn_label_vote,
     "matryoshka_recall": matryoshka_recall,
@@ -2805,6 +2891,7 @@ ORACLES = {
     "hard_negative_mining": HARD_NEGATIVES_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "centroid_drift_by_label": CENTROID_DRIFT_SQL,
+    "embedding_power_iteration": POWER_ITERATION_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "knn_label_vote": KNN_LABEL_VOTE_SQL,
     "matryoshka_recall": MATRYOSHKA_SQL,

@@ -2183,6 +2183,320 @@ GROUP BY r.lang, t.distinct_chars, t.total_chars
 
 
 
+# --- Count-Min-Sketch heavy hitters (round 9, batch 2) --------------------
+
+CMS_ROWS = 4       # independent hash rows
+CMS_WIDTH = 1024   # buckets per row
+CMS_TOPK = 20      # heavy hitters reported
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch frequency estimation, audited against truth: the
+    corpus's {CMS_TOPK} most frequent tokens with their exact counts,
+    the CMS estimate (min over {CMS_ROWS} hash rows of {CMS_WIDTH}
+    buckets), and the collision overestimate — the sketch a 100 TB
+    pipeline ships per shard and merges (cell-wise BIGINT add) instead
+    of shuffling a billion-row token relation, plus the audit that
+    calibrates its width.  CMS never underestimates, so overestimate
+    >= 0 is a structural invariant (pinned by test).
+
+    Scale shape: cells are built from the per-token partial counts
+    (the map-side-combine form — identical cell values to per-occurrence
+    increments, since bucket sums commute), so the shuffle carries
+    {CMS_ROWS} x {CMS_WIDTH} cells, not occurrences.  The top-k is
+    TakeOrderedAndProject; the estimate join touches k x {CMS_ROWS}
+    rows against the tiny cell relation.  Hashing is the md5-derived
+    hash32 both engines share."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.explode(ws_words("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+    )
+
+    def bucket_cols():
+        return F.array(
+            *[
+                (hash32(F.concat(F.col("tok"), F.lit(f"#cms{i}")))
+                 % CMS_WIDTH).cast("int")
+                for i in range(CMS_ROWS)
+            ]
+        )
+
+    cells = (
+        exact.select("exact_n", F.posexplode(bucket_cols()).alias("row_i", "bucket"))
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("exact_n").alias("cell_n"))
+    )
+    top = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(CMS_TOPK)
+    probes = top.select(
+        "tok", "exact_n", F.posexplode(bucket_cols()).alias("row_i", "bucket")
+    )
+    return (
+        probes.join(cells, ["row_i", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell_n").alias("cms_estimate"))
+        .select(
+            "tok",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+def _cms_bucket_sql(i: int) -> str:
+    expr = f"tok || '#cms{i}'"
+    return f"({sql_hash32(expr)} % {CMS_WIDTH})"
+
+
+def _cms_sql() -> str:
+    bucket_rows = "\n    UNION ALL ".join(
+        f"SELECT tok, exact_n, {i} AS row_i, {_cms_bucket_sql(i)} AS bucket FROM exact"
+        for i in range(CMS_ROWS)
+    )
+    return f"""
+WITH exact AS (
+  SELECT tok, COUNT(*) AS exact_n
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+  GROUP BY tok
+),
+buckets AS (
+  {bucket_rows}
+),
+cells AS (
+  SELECT row_i, bucket, SUM(exact_n) AS cell_n
+  FROM buckets GROUP BY row_i, bucket
+),
+top AS (
+  SELECT tok, exact_n FROM exact
+  ORDER BY exact_n DESC, tok ASC LIMIT {CMS_TOPK}
+),
+probes AS (
+  {bucket_rows.replace("FROM exact", "FROM top")}
+)
+SELECT p.tok,
+       CAST(p.exact_n AS BIGINT) AS exact_n,
+       CAST(MIN(c.cell_n) AS BIGINT) AS cms_estimate,
+       CAST(MIN(c.cell_n) - p.exact_n AS BIGINT) AS overestimate
+FROM probes p JOIN cells c ON c.row_i = p.row_i AND c.bucket = p.bucket
+GROUP BY p.tok, p.exact_n
+"""
+
+
+
+# --- cross-language vocabulary overlap (round 9, batch 2) -----------------
+
+VOCAB_OVERLAP_TOP = 100
+
+
+def lang_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap of the per-language top-{VOCAB_OVERLAP_TOP}
+    token vocabularies — the multilingual-mixing diagnostic: languages
+    whose head vocabularies overlap heavily (script sharing, code-mixed
+    corpora, or a mislabeled-lang pipeline bug) can share tokenizer
+    budget, while near-zero overlap says per-lang vocab partitions are
+    safe.  Complements char_coverage_audit (characters) at the token
+    level and oov_rate_by_lang (which needs a reference vocab; this is
+    reference-free).
+
+    Scale shape: token counts partial-agg on (lang, token); the top-V
+    per lang is one window rank over that aggregate; the pair join is
+    an equi-join on token over |langs| x V rows (tiny at any corpus
+    size) with |langs|^2 output.  Jaccard denominators use each lang's
+    ACTUAL head size (< V when a lang has fewer distinct tokens), so
+    the ratio is well-defined on small strata too."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(ws_words("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    head = counts.select(
+        "lang", "tok", F.row_number().over(w).alias("rk")
+    ).where(F.col("rk") <= VOCAB_OVERLAP_TOP)
+    sizes = head.groupBy("lang").agg(F.count("*").alias("vsize"))
+    a = head.select(F.col("lang").alias("lang_a"), "tok")
+    b = head.select(F.col("lang").alias("lang_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("vsize").alias("va"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("vsize").alias("vb"))
+    return (
+        sa.join(sb, sa.lang_a < sb.lang_b)
+        .join(inter, ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / (F.col("va") + F.col("vb") - F.coalesce("n_common", F.lit(0))),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
+LANG_VOCAB_OVERLAP_SQL = f"""
+WITH counts AS (
+  SELECT lang, tok, COUNT(*) AS n
+  FROM (
+    SELECT lang,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+  GROUP BY lang, tok
+),
+head AS (
+  SELECT lang, tok
+  FROM (
+    SELECT lang, tok,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS rk
+    FROM counts
+  ) WHERE rk <= {VOCAB_OVERLAP_TOP}
+),
+sizes AS (
+  SELECT lang, COUNT(*) AS vsize FROM head GROUP BY lang
+),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_common
+  FROM head a JOIN head b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+)
+SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+       CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+             / (sa.vsize + sb.vsize - COALESCE(i.n_common, 0)), 6)
+         AS vocab_jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.lang < sb.lang
+LEFT JOIN inter i ON i.lang_a = sa.lang AND i.lang_b = sb.lang
+"""
+
+
+
+# --- HyperLogLog distinct-count audit (round 9, batch 4) -------------------
+
+HLL_BUCKETS = 256          # m: registers per sketch
+HLL_RANK_CAP = 25          # 24 payload bits + 1
+#: alpha_256 * m^2, embedded as ONE Python-formatted double literal in
+#: both engines (the spark-graft shared-constant convention)
+HLL_EST_NUM = 47072.71267120224
+
+
+def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimates per source, audited against
+    the exact count — the OTHER canonical mergeable sketch next to
+    cms_heavy_hitters (Flajolet et al. 2007): registers are
+    max-leading-zero ranks per hash bucket, so per-shard sketches merge
+    by element-wise MAX — the 100 TB way to keep per-source vocabulary
+    cardinalities without a COUNT(DISTINCT) shuffle.  Register powers
+    2^-M are exact doubles whose sum is order-independent (26-bit
+    magnitude span); the standard small-range linear-counting branch
+    (raw E <= 2.5m with empty registers: E = m*ln(m/V)) applies, its
+    ln taken on an engine-identical quotient of exact integers — the
+    same accepted transcendental convention as the entropy oracles.
+
+    Scale shape: one explode + one (source, bucket) partial-agg'd MAX —
+    the shuffle carries at most |sources| x {HLL_BUCKETS} register
+    rows; the exact side (the audit column) is the only part that
+    wouldn't scale, which is the point the rel_error column makes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(ws_words("text")).alias("tok"))
+    h = hash32("tok")
+    w = (h / F.lit(HLL_BUCKETS)).cast("bigint")  # top 24 bits
+    rank = F.when(w == 0, F.lit(HLL_RANK_CAP)).otherwise(
+        F.lit(HLL_RANK_CAP) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    reg = (
+        toks.select("source", (h % HLL_BUCKETS).cast("int").alias("bucket"),
+                    rank.alias("rank"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rank").alias("m"))
+    )
+    sums = reg.groupBy("source").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m")))
+            + (F.lit(HLL_BUCKETS) - F.count("*"))  # empty registers: 2^0
+        ).alias("sum_pow"),
+        (F.lit(HLL_BUCKETS) - F.count("*")).cast("double").alias("v_empty"),
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    raw = F.lit(HLL_EST_NUM) / F.col("sum_pow")
+    est = F.when(
+        (F.col("v_empty") > 0) & (raw <= F.lit(2.5 * HLL_BUCKETS)),
+        F.lit(float(HLL_BUCKETS))
+        * F.log(F.lit(float(HLL_BUCKETS)) / F.col("v_empty")),
+    ).otherwise(raw)
+    return sums.join(exact, "source").select(
+        "source",
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        F.round(est, 4).alias("hll_estimate"),
+        F.round(
+            (est - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_error"),
+    )
+
+
+HLL_DISTINCT_SQL = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT source, tok, {H32} AS h FROM toks
+),
+reg AS (
+  SELECT source, CAST(h % {m} AS INT) AS bucket,
+         MAX(CASE WHEN h // {m} = 0 THEN {cap}
+                  ELSE {cap} - length(printf('%b', h // {m})) END) AS m
+  FROM hashed GROUP BY source, h % {m}
+),
+sums AS (
+  SELECT source,
+         SUM(POWER(2.0, -m)) + ({m} - COUNT(*)) * 1.0 AS sum_pow,
+         CAST({m} - COUNT(*) AS DOUBLE) AS v_empty
+  FROM reg GROUP BY source
+),
+est AS (
+  SELECT source,
+         CASE WHEN v_empty > 0 AND ({est} / sum_pow) <= 2.5 * {m}
+              THEN {m}.0 * ln({m}.0 / v_empty)
+              ELSE {est} / sum_pow END AS e
+  FROM sums
+),
+exact AS (
+  SELECT source, COUNT(DISTINCT tok) AS exact_distinct FROM toks GROUP BY source
+)
+SELECT s.source,
+       CAST(x.exact_distinct AS BIGINT) AS exact_distinct,
+       ROUND(s.e, 4) AS hll_estimate,
+       ROUND((s.e - x.exact_distinct) / x.exact_distinct, 6) AS rel_error
+FROM est s JOIN exact x USING (source)
+""".format(H32=sql_hash32("tok"), m=HLL_BUCKETS, cap=HLL_RANK_CAP,
+           est=repr(HLL_EST_NUM))
+
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
@@ -2200,6 +2514,9 @@ QUERIES = {
     "perplexity_tail_split": perplexity_tail_split,
     "quality_drift_by_batch": quality_drift_by_batch,
     "char_coverage_audit": char_coverage_audit,
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "lang_vocab_overlap": lang_vocab_overlap,
+    "hll_distinct_by_source": hll_distinct_by_source,
     "lang_doc_stats": lang_doc_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "quality_scores": quality_scores,
@@ -2236,6 +2553,9 @@ ORACLES = {
     "pmi_bigrams": PMI_BIGRAMS_SQL,
     "winnow_fingerprints": WINNOW_SQL,
     "char_coverage_audit": CHAR_COVERAGE_SQL,
+    "cms_heavy_hitters": _cms_sql(),
+    "lang_vocab_overlap": LANG_VOCAB_OVERLAP_SQL,
+    "hll_distinct_by_source": HLL_DISTINCT_SQL,
     "lang_doc_stats": LANG_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "quality_scores": QUALITY_SQL,

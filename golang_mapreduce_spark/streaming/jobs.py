@@ -1135,6 +1135,178 @@ def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(agg, spark)
 
 
+def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch cells maintained INCREMENTALLY over the document
+    stream — the mergeable-sketch ingestion shape: each micro-batch's
+    token occurrences fold into the 4x1024 running cell counts (bounded
+    streaming state regardless of vocabulary size), and the drained
+    cells are value-identical to the batch sketch
+    (textstats.cms_heavy_hitters builds the same cells
+    map-side-combine style), so the oracle is the batch cell relation.
+    This is how a live pipeline keeps heavy-hitter frequencies current
+    without ever shuffling a token relation.
+
+    Scale: stateless explode + hash per row, one keyed running
+    aggregate of FIXED cardinality (4x1024 BIGINTs) — the smallest
+    possible streaming state for a frequency structure; Kafka swap-in
+    changes nothing downstream."""
+    from golang_mapreduce_spark.functions.hashing import hash32
+    from golang_mapreduce_spark.functions.text import ws_words
+    from golang_mapreduce_spark.operators.textstats import CMS_ROWS, CMS_WIDTH
+
+    docs = (
+        spark.readStream.schema(docs_stream_schema())
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = docs.select(F.explode(ws_words("text")).alias("tok"))
+    buckets = toks.select(
+        F.posexplode(
+            F.array(
+                *[
+                    (hash32(F.concat(F.col("tok"), F.lit(f"#cms{i}")))
+                     % CMS_WIDTH).cast("int")
+                    for i in range(CMS_ROWS)
+                ]
+            )
+        ).alias("row_i", "bucket")
+    )
+    cells = buckets.groupBy("row_i", "bucket").agg(
+        F.count("*").cast("bigint").alias("cell_n")
+    )
+    return run_stream_to_batch(cells, spark)
+
+
+def _streaming_cms_oracle() -> str:
+    from golang_mapreduce_spark.functions.hashing import sql_hash32
+    from golang_mapreduce_spark.operators.textstats import CMS_ROWS, CMS_WIDTH
+
+    rows = "\n  UNION ALL ".join(
+        "SELECT {i} AS row_i, ({h} % {w}) AS bucket FROM toks".format(
+            i=i, w=CMS_WIDTH, h=sql_hash32("tok || '#cms{}'".format(i))
+        )
+        for i in range(CMS_ROWS)
+    )
+    return """
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+buckets AS (
+  {rows}
+)
+SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS cell_n
+FROM buckets GROUP BY row_i, bucket
+""".format(rows=rows)
+
+
+def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch keyed-snapshot sink — the production MERGE pattern:
+    the event stream drains in TWO micro-batches (events staged as two
+    half files), and each batch UPSERTS into a per-user latest-event
+    snapshot on disk; batch 2's merge must overwrite batch 1's rows for
+    users who acted again.  Exactly-once comes from the idempotent
+    versioned write: each batch writes snapshot version v{batch_id}
+    derived from v{batch_id-1} + the batch, so a RETRIED batch
+    overwrites its own output instead of double-applying (the
+    foreachBatch contract; Delta/Iceberg MERGE INTO is this operator
+    with a transaction log).
+
+    The drained snapshot equals the batch last-writer-wins query — per
+    user, the latest event by (ts, event_id) — so the oracle is plain
+    SQL over events.
+
+    Scale: each merge shuffles (old snapshot ∪ batch) on user_id — at
+    100 TB the snapshot is bucketed on user_id so its side needs no
+    re-shuffle, and versions are table-format snapshots instead of
+    directories; per-batch cost is O(batch + touched partitions), never
+    O(history replayed)."""
+    import os
+    from glob import glob as _glob
+
+    from pyspark.sql.window import Window
+
+    ensure_session_invariants(spark, events=True)
+    src = tempfile.mkdtemp(prefix="gmrs_upsert_src_")
+    ckpt = tempfile.mkdtemp(prefix="gmrs_ckpt_")
+    snap_root = tempfile.mkdtemp(prefix="gmrs_snap_")
+    halves = tempfile.mkdtemp(prefix="gmrs_halves_")
+    state: dict = {"latest": None}
+    try:
+        events_batch = normalize_events_ts(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        )
+        for i in (0, 1):
+            events_batch.where(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{halves}/h{i}")
+            part = sorted(_glob(f"{halves}/h{i}/part-*.parquet"))[0]
+            shutil.copy(part, os.path.join(src, f"0{i}_events.parquet"))
+
+        ts_type = events_ts_layout(spark, os.path.join(src, "00_events.parquet"))
+        stream = normalize_events_ts(
+            spark.readStream.schema(events_stream_schema(ts_type))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def merge(batch_df, batch_id: int) -> None:
+            w = Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+            incoming = batch_df.select(
+                "user_id", "ts", "event_id", "event_type", "value"
+            )
+            if state["latest"] is not None:
+                incoming = spark.read.parquet(state["latest"]).unionByName(incoming)
+            merged = (
+                incoming.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            out = os.path.join(snap_root, f"v{batch_id}")
+            merged.write.mode("overwrite").parquet(out)  # idempotent on retry
+            state["latest"] = out
+
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert state["latest"] is not None
+        snap = spark.read.parquet(state["latest"])
+        # materialize before the temp snapshot dir vanishes
+        return spark.createDataFrame(snap.collect(), schema=snap.schema).select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(halves, ignore_errors=True)
+        shutil.rmtree(snap_root, ignore_errors=True)
+
+
+STREAMING_UPSERT_SQL = """
+SELECT user_id,
+       ts AS last_ts,
+       event_id AS last_event_id,
+       event_type AS last_type,
+       value AS last_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def _streaming_quality_oracle() -> str:
     from golang_mapreduce_spark.operators.textstats import QUALITY_SQL
 
@@ -1175,6 +1347,8 @@ QUERIES = {
     "streaming_incremental_triage": streaming_incremental_triage,
     "streaming_triage_append": streaming_triage_append,
     "streaming_quality_monitor": streaming_quality_monitor,
+    "streaming_cms_cells": streaming_cms_cells,
+    "streaming_upsert_snapshot": streaming_upsert_snapshot,
 }
 ORACLES = {
     "streaming_tumbling_hourly": TUMBLING_SQL,
@@ -1194,4 +1368,8 @@ ORACLES = {
     # batch triage table — one oracle certifies both output modes
     "streaming_triage_append": _streaming_triage_oracle(),
     "streaming_quality_monitor": _streaming_quality_oracle(),
+    # drained incremental sketch cells equal the batch CMS cells
+    "streaming_cms_cells": _streaming_cms_oracle(),
+    # the final foreachBatch snapshot equals batch last-writer-wins
+    "streaming_upsert_snapshot": STREAMING_UPSERT_SQL,
 }

@@ -239,6 +239,18 @@ ROUND9_NEW: tuple[str, ...] = (
     "token_budget_pack_plan",
     "quality_ablation_matrix",
     "centroid_drift_by_label",
+    # mid-round additions (round 9, second batch): the mergeable-sketch
+    # heavy-hitter audit, cross-lang vocabulary overlap, perceptual image
+    # cluster histogram, and the distributed power-iteration step
+    "cms_heavy_hitters",
+    "lang_vocab_overlap",
+    "image_phash_clusters",
+    "embedding_power_iteration",
+    # third batch: the incremental sketch and the foreachBatch MERGE sink
+    "streaming_cms_cells",
+    "streaming_upsert_snapshot",
+    # fourth batch: the HLL mergeable-sketch twin of the CMS audit
+    "hll_distinct_by_source",
 )
 #: neardup_pagerank: the persisted ids-only edge relation is now
 #: unpersisted after materialization (ADVICE r8; cache-leak fix).
@@ -246,9 +258,13 @@ ROUND9_NEW: tuple[str, ...] = (
 #: 'lineitem_discount_0_010' was renamed to 'lineitem_discount_0_to_0_10'
 #: in both the stack() literal and the SQL oracle (ADVICE r8) — an
 #: output-contract change, so it re-certifies.
+#: image_phash_pairs: refactored into phash_signatures +
+#: phash_pairs_from_sigs so the cluster operator could star-collapse
+#: identical signatures (behavior-identical; re-verified vs oracle).
 ROUND9_CHANGED: tuple[str, ...] = (
     "neardup_pagerank",
     "dq_constraint_audit",
+    "image_phash_pairs",
 )
 ROUND9_PINS: tuple[str, ...] = ()
 

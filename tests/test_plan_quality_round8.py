@@ -71,6 +71,7 @@ def test_pagerank_edge_list_is_reused_not_recomputed(spark, sf_dir):
     session-long CacheManager entry): the signature/banding subtree
     must appear ZERO times in the final plan — it ran exactly once, in
     the checkpoint job — and no CacheManager entry may remain."""
+    spark.catalog.clearCache()  # attribute any leftover to THIS operator
     df = neardup_pagerank(spark, sf_dir)
     plan = formatted_plan(df)
     assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan

@@ -35,6 +35,9 @@ EXECUTING = {
     "streaming_session_append",
     "streaming_quality_monitor",
     "neardup_weighted_sample",  # composes the CC loop's labels
+    "image_phash_clusters",  # CC loop over the phash pair graph
+    "streaming_cms_cells",   # runs a stream drain
+    "streaming_upsert_snapshot",  # runs a stream drain (foreachBatch)
 }
 # NOT excluded despite composing packed_sequences: packing_efficiency is
 # a pure DataFrame rollup over the applyInPandas packing plan — building
@@ -92,6 +95,10 @@ BNLJ_OK = {
     "bitext_margin_pairs",      # 8-row source query set (non-equi join,
                                 # same shape as knn_bruteforce)
     "pmi_bigrams",              # two 1-row corpus-total broadcasts
+    "lang_vocab_overlap",       # |langs|-row head-size table on BOTH
+                                # sides (non-equi lang_a < lang_b pairing,
+                                # the source_minhash_similarity shape)
+    "embedding_power_iteration",  # 1-row norm broadcast
     "quality_ablation_matrix",  # 1-row grand-total broadcast (the cube's
                                 # own all-NULL row feeds the share divisor)
     "pipeline_drop_attribution",  # temp_rates' 1-row min-count broadcast

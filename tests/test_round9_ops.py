@@ -38,6 +38,9 @@ def test_triangle_counts_graph_identities(spark, sf_dir):
     membership total is divisible by 3; the local clustering coefficient
     is a proper ratio in (0, 1]; and every doc in a triangle has degree
     >= 2 (it needs two in-triangle neighbors)."""
+    spark.catalog.clearCache()  # isolate: the isEmpty check below must
+    # attribute leftovers to THIS operator, not a prior test's async
+    # unpersist still in flight
     rows = graph_triangle_counts(spark, sf_dir).collect()
     assert rows, "fixture has duplicate clusters of size >= 3, so triangles"
     assert sum(r["n_triangles"] for r in rows) % 3 == 0
@@ -267,3 +270,163 @@ def test_centroid_drift_cosine_properties(spark, planted_dir, sf_dir):
     assert sum(r["n_a"] + r["n_b"] for r in rows) == emb.count()
     for r in rows:
         assert -1.0 <= r["centroid_cosine"] <= 1.0
+
+
+# --- batch 2 ---------------------------------------------------------------
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """CMS structural guarantee: estimate >= exact for every reported
+    token, overestimate is their difference, and the exact counts agree
+    with a direct recount."""
+    from golang_mapreduce_spark.operators.textstats import (
+        CMS_TOPK,
+        cms_heavy_hitters,
+    )
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert 0 < len(rows) <= CMS_TOPK
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_n"] >= 1
+        assert r["overestimate"] == r["cms_estimate"] - r["exact_n"]
+    top_tok = max(rows, key=lambda r: (r["exact_n"], r["tok"]))
+    docs = load_table(spark, sf_dir, "documents")
+    direct = (
+        docs.select(F.explode(ws_words("text")).alias("t"))
+        .where(F.col("t") == top_tok["tok"])
+        .count()
+    )
+    assert direct == top_tok["exact_n"]
+
+
+def test_lang_vocab_overlap_shape(spark, sf_dir):
+    from golang_mapreduce_spark.operators.textstats import (
+        VOCAB_OVERLAP_TOP,
+        lang_vocab_overlap,
+    )
+
+    rows = lang_vocab_overlap(spark, sf_dir).collect()
+    n_langs = (
+        load_table(spark, sf_dir, "documents").select("lang").distinct().count()
+    )
+    assert len(rows) == n_langs * (n_langs - 1) // 2
+    for r in rows:
+        assert r["lang_a"] < r["lang_b"]
+        assert 0 <= r["n_common"] <= VOCAB_OVERLAP_TOP
+        assert 0.0 <= r["vocab_jaccard"] <= 1.0
+
+
+def test_phash_clusters_reconcile_with_pairs(spark, sf_dir):
+    """Cluster membership mass equals the number of distinct docs in the
+    phash pair relation (every paired doc lands in exactly one cluster,
+    clusters have >= 2 members)."""
+    from golang_mapreduce_spark.operators.multimodal import (
+        image_phash_clusters,
+        image_phash_pairs,
+    )
+
+    hist = image_phash_clusters(spark, sf_dir).collect()
+    assert hist
+    for r in hist:
+        assert r["cluster_size"] >= 2
+    paired_docs = (
+        image_phash_pairs(spark, sf_dir)
+        .select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["cluster_size"] * r["n_clusters"] for r in hist) == paired_docs
+    spark.catalog.clearCache()
+
+
+def test_power_iteration_unit_norm_and_deterministic(spark, sf_dir):
+    from golang_mapreduce_spark.operators.similarity import (
+        embedding_power_iteration,
+    )
+
+    rows = sorted(
+        embedding_power_iteration(spark, sf_dir).collect(),
+        key=lambda r: r["dim"],
+    )
+    dims = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.size("embedding"))
+        .first()[0]
+    )
+    assert [r["dim"] for r in rows] == list(range(dims))
+    norm2 = sum(r["component"] ** 2 for r in rows)
+    assert abs(norm2 - 1.0) < 1e-4  # unit vector up to 6-dp rounding
+    again = sorted(
+        embedding_power_iteration(spark, sf_dir).collect(),
+        key=lambda r: r["dim"],
+    )
+    assert [r["component"] for r in rows] == [r["component"] for r in again]
+
+
+def test_streaming_cms_cells_equal_batch_sketch(spark, sf_dir):
+    """The incrementally maintained cells must be value-identical to the
+    batch sketch's cells (map-side-combine equivalence), and cell mass
+    must equal total token occurrences times the number of hash rows."""
+    from golang_mapreduce_spark.functions.hashing import hash32
+    from golang_mapreduce_spark.operators.textstats import CMS_ROWS, CMS_WIDTH
+    from golang_mapreduce_spark.streaming.jobs import streaming_cms_cells
+
+    cells = streaming_cms_cells(spark, sf_dir).collect()
+    assert cells
+    assert all(0 <= r["row_i"] < CMS_ROWS and 0 <= r["bucket"] < CMS_WIDTH
+               for r in cells)
+    docs = load_table(spark, sf_dir, "documents")
+    n_occurrences = docs.agg(F.sum(F.size(ws_words("text")))).first()[0]
+    assert sum(r["cell_n"] for r in cells) == CMS_ROWS * n_occurrences
+    # spot-check one cell against a direct batch count
+    probe = cells[0]
+    direct = (
+        docs.select(F.explode(ws_words("text")).alias("tok"))
+        .where(
+            (hash32(F.concat(F.col("tok"), F.lit(f"#cms{probe['row_i']}")))
+             % CMS_WIDTH).cast("int") == probe["bucket"]
+        )
+        .count()
+    )
+    assert direct == probe["cell_n"]
+
+
+def test_streaming_upsert_snapshot_is_last_writer_wins(spark, sf_dir):
+    """The final foreachBatch snapshot holds exactly one row per user —
+    the latest event by (ts, event_id) — even though each user's events
+    were split across two micro-batches."""
+    from pyspark.sql.window import Window
+
+    from golang_mapreduce_spark.streaming.jobs import streaming_upsert_snapshot
+
+    snap = {r["user_id"]: r for r in streaming_upsert_snapshot(spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    truth = {
+        r["user_id"]: r
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert set(snap) == set(truth)
+    for uid, t in truth.items():
+        s = snap[uid]
+        assert s["last_event_id"] == t["event_id"]
+        assert s["last_type"] == t["event_type"]
+        assert s["last_ts"] == t["ts"]
+
+
+def test_hll_estimate_within_sketch_error(spark, sf_dir):
+    """HLL with m=256 has ~6.5% standard error; assert the estimate
+    lands within 4 sigma of exact for every source, and registers imply
+    estimate > 0."""
+    from golang_mapreduce_spark.operators.textstats import hll_distinct_by_source
+
+    rows = hll_distinct_by_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        assert r["hll_estimate"] > 0
+        assert abs(r["rel_error"]) < 4 * 0.065, r
+        # rel_error column is consistent with its inputs
+        recomputed = (r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert abs(recomputed - r["rel_error"]) < 1e-4
