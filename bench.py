@@ -228,6 +228,7 @@ EXTRA = [
     "streaming_cms_cells",
     "streaming_upsert_snapshot",
     "hll_distinct_by_source",
+    "user_activity_power_law",
 ]
 
 
@@ -424,7 +425,11 @@ def final_line(total, timings, extra, big, gate, sf) -> dict:
         "gate": {
             "checked": gate.get("checked", False),
             "env_factor": gate.get("env_factor"),
-            "retried": gate.get("retried", [])[:8],
+            # tolerate the legacy bool form in recorded gates
+            "retried": (
+                lambda r: (["(warm retries ran)"] if r else [])
+                if isinstance(r, bool) else r[:8]
+            )(gate.get("retried", [])),
             "n_flagged": len(flagged),
             "flagged": flagged[:5],
         },

@@ -480,10 +480,79 @@ LIMIT {FUNNEL_TOP}
 
 
 
+# --- user-activity power law (round 9, batch 5) ----------------------------
+
+def user_activity_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-per-user tail census in power-of-2 buckets: how many users
+    sit in each activity magnitude, what share of ALL events each
+    magnitude carries, and the cumulative share from the heaviest
+    bucket down — the skew diagnostic that decides whether user-keyed
+    shuffles (sessionization, stream-stream joins, per-user windows)
+    need salting before they hit a 100 TB event log.  A heavy tail
+    (top bucket carrying a large event share) is exactly the hot-key
+    profile join_skew_diagnostics flags on the TPC-H side, measured
+    here on the behavioral axis.
+
+    Scale shape: one partial-agg'd groupBy(user) for counts, then the
+    bucket rollup is |buckets| rows (≈ log2 of the max user).  The
+    bucket id is the count's BIT LENGTH (length of the base-2 string —
+    exact integer arithmetic in both engines, no float log2 whose
+    half-ulp could flip a boundary); shares divide exact BIGINTs."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    ev = per_user.select(
+        F.length(F.conv(F.col("n").cast("string"), 10, 2)).alias("bucket"),
+        "n",
+    ).groupBy("bucket").agg(
+        F.count("*").alias("n_users"), F.sum("n").alias("n_events")
+    )
+    tot = ev.agg(F.sum("n_events").alias("tot")).select("tot")
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ev.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("n_events") / F.col("tot"), 6).alias("event_share"),
+            F.round(
+                F.sum("n_events").over(w) / F.col("tot"), 6
+            ).alias("cum_share_from_top"),
+        )
+    )
+
+
+USER_POWER_LAW_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+ev AS (
+  SELECT length(printf('%b', n)) AS bucket,
+         COUNT(*) AS n_users, SUM(n) AS n_events
+  FROM per_user GROUP BY length(printf('%b', n))
+),
+tot AS (SELECT SUM(n_events) AS tot FROM ev)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_events AS BIGINT) AS n_events,
+       ROUND(CAST(n_events AS DOUBLE) / tot, 6) AS event_share,
+       ROUND(CAST(SUM(n_events) OVER (ORDER BY bucket DESC
+                                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / tot, 6) AS cum_share_from_top
+FROM ev, tot
+"""
+
+
+
 QUERIES = {
     "hourly_anomalies": hourly_anomalies,
     "event_transition_matrix": event_transition_matrix,
     "session_funnel_paths": session_funnel_paths,
+    "user_activity_power_law": user_activity_power_law,
     "event_ngram_patterns": event_ngram_patterns,
     "retention_cohorts": retention_cohorts,
     "window_range_7day_spend": window_range_7day_spend,
@@ -495,6 +564,7 @@ ORACLES = {
     "hourly_anomalies": HOURLY_ANOMALY_SQL,
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "session_funnel_paths": SESSION_FUNNEL_SQL,
+    "user_activity_power_law": USER_POWER_LAW_SQL,
     "event_ngram_patterns": EVENT_NGRAM_SQL,
     "retention_cohorts": RETENTION_SQL,
     "window_range_7day_spend": RANGE_7DAY_SQL,

@@ -535,7 +535,13 @@ ABLATION_FLAGS = (
     # arithmetic (a double->INT cast truncates in Spark but rounds in
     # DuckDB, so the float form drifts at e.g. n=34)
     ("ttr_ok", "5 * size(array_distinct(toks)) >= 2 * size(toks) + 5"),
-    ("awl_ok", "(CAST(n_chars - size(toks) + 1 AS DOUBLE) / size(toks)) BETWEEN 3.0 AND 8.0"),
+    # explicit empty/NULL branch: ANSI mode makes the bare division
+    # throw on zero tokens (adversarial edge corpus), and the FALSE it
+    # maps to must be spelled out identically in the oracle
+    ("awl_ok",
+     "CASE WHEN size(toks) IS NULL OR size(toks) = 0 THEN false "
+     "ELSE (CAST(n_chars - size(toks) + 1 AS DOUBLE) / size(toks)) "
+     "BETWEEN 3.0 AND 8.0 END"),
 )
 
 
@@ -581,8 +587,9 @@ QUALITY_ABLATION_SQL = r"""
 WITH flagged AS (
   SELECT n_chars BETWEEN 80 AND 5000 AS len_ok,
          5 * len(list_distinct(toks)) >= 2 * len(toks) + 5 AS ttr_ok,
-         (CAST(n_chars - len(toks) + 1 AS DOUBLE) / len(toks))
-           BETWEEN 3.0 AND 8.0 AS awl_ok
+         CASE WHEN len(toks) IS NULL OR len(toks) = 0 THEN false
+              ELSE (CAST(n_chars - len(toks) + 1 AS DOUBLE) / len(toks))
+                   BETWEEN 3.0 AND 8.0 END AS awl_ok
   FROM (
     SELECT n_chars,
            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks

@@ -2119,7 +2119,11 @@ def char_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    chars = docs.select(
+    # length > 0 guard: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead
+    # of being empty like DuckDB's generate_series, so an empty text
+    # would contribute two phantom empty-string "characters" (caught by
+    # the adversarial edge corpus); NULL texts drop on both engines
+    chars = docs.where(F.length("text") > 0).select(
         "lang",
         F.explode(
             F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")

@@ -1277,9 +1277,12 @@ def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         assert state["latest"] is not None
-        snap = spark.read.parquet(state["latest"])
-        # materialize before the temp snapshot dir vanishes
-        return spark.createDataFrame(snap.collect(), schema=snap.schema).select(
+        # materialize into executor blocks (lineage cut) before the temp
+        # snapshot dir vanishes — never a driver-side collect; the
+        # blocks are ContextCleaner-reclaimed when the caller drops the
+        # result (the neardup_pagerank checkpoint lifecycle)
+        snap = spark.read.parquet(state["latest"]).localCheckpoint(eager=True)
+        return snap.select(
             "user_id",
             F.col("ts").alias("last_ts"),
             F.col("event_id").alias("last_event_id"),

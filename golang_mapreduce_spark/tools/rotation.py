@@ -251,6 +251,8 @@ ROUND9_NEW: tuple[str, ...] = (
     "streaming_upsert_snapshot",
     # fourth batch: the HLL mergeable-sketch twin of the CMS audit
     "hll_distinct_by_source",
+    # fifth: the user-keyed shuffle-skew census
+    "user_activity_power_law",
 )
 #: neardup_pagerank: the persisted ids-only edge relation is now
 #: unpersisted after materialization (ADVICE r8; cache-leak fix).

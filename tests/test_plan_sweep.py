@@ -99,6 +99,7 @@ BNLJ_OK = {
                                 # sides (non-equi lang_a < lang_b pairing,
                                 # the source_minhash_similarity shape)
     "embedding_power_iteration",  # 1-row norm broadcast
+    "user_activity_power_law",    # 1-row event-total broadcast
     "quality_ablation_matrix",  # 1-row grand-total broadcast (the cube's
                                 # own all-NULL row feeds the share divisor)
     "pipeline_drop_attribution",  # temp_rates' 1-row min-count broadcast

@@ -430,3 +430,28 @@ def test_hll_estimate_within_sketch_error(spark, sf_dir):
         # rel_error column is consistent with its inputs
         recomputed = (r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
         assert abs(recomputed - r["rel_error"]) < 1e-4
+
+
+def test_user_power_law_shares_reconcile(spark, sf_dir):
+    """Buckets partition users and events; shares sum to 1; the
+    cumulative-from-top column is monotone and ends at 1 for the lowest
+    bucket; bucket = bit length of the per-user count."""
+    from golang_mapreduce_spark.operators.analytics import user_activity_power_law
+
+    rows = sorted(
+        user_activity_power_law(spark, sf_dir).collect(),
+        key=lambda r: -r["bucket"],
+    )
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    n_events = e.count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert abs(sum(r["event_share"] for r in rows) - 1.0) < 1e-5
+    cums = [r["cum_share_from_top"] for r in rows]
+    assert cums == sorted(cums)
+    assert abs(cums[-1] - 1.0) < 1e-6
+    for r in rows:
+        # bucket b holds users with counts in [2^(b-1), 2^b)
+        assert r["n_events"] >= r["n_users"] * (1 << (r["bucket"] - 1))
+        assert r["n_events"] < r["n_users"] * (1 << r["bucket"])
