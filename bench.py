@@ -229,6 +229,8 @@ EXTRA = [
     "streaming_upsert_snapshot",
     "hll_distinct_by_source",
     "user_activity_power_law",
+    "fuzzy_key_join_customers",
+    "streaming_hll_registers",
 ]
 
 

@@ -892,7 +892,132 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 """
 
 
+# --- fuzzy key join (round 9, batch 6) -------------------------------------
+
+FUZZY_KEY_LIM = 400  # customer-id cutoff keeping the demo pair set compact
+
+
+def fuzzy_key_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string-key self-join (record linkage): customer-name
+    pairs within Levenshtein distance 1, found by FastSS-style
+    deletion-variant BLOCKING (Bocek et al. 2007) — never an all-pairs
+    distance matrix.  Two same-length names within distance 1 differ by
+    one substitution, so deleting that position from both yields the
+    same string: block on (position, 1-deletion variant).  Insert/
+    delete matches surface by joining a variant directly against full
+    names.  Every candidate is then VERIFIED with the engine's exact
+    levenshtein — blocking buys recall cheaply, verification keeps
+    precision exact.
+
+    Scale shape: variants explode each key into |key| rows (bounded by
+    key length — metadata scale, not corpus scale), the blocking joins
+    are equi-joins on (pos, variant) / (variant = name), and verify
+    touches candidates only.  This is the dedup-by-typo shape for
+    entity keys (user handles, SKUs, file paths) where MinHash shingles
+    are too coarse; at 100 TB the variant relation is ~|keys| x len
+    rows, partial-shuffled on the variant hash — linear, and the
+    blocking guarantees recall 1.0 at distance 1 by construction."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") < FUZZY_KEY_LIM
+    )
+    names = c.select("c_custkey", "c_name")
+    variants = names.select(
+        "c_custkey",
+        "c_name",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, length(c_name)), i -> "
+                "concat(substring(c_name, 1, i - 1), "
+                "substring(c_name, i + 1, length(c_name))))"
+            )
+        ).alias("pos", "var"),
+    )
+    va = variants.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"),
+        "pos", "var",
+    )
+    vb = variants.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"),
+        "pos", "var",
+    )
+    cand_sub = (
+        va.join(vb, ["pos", "var"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b")
+    )
+    nb = names.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b")
+    )
+    cand_indel = (
+        variants.join(nb, variants.var == F.col("name_b"))
+        .select(
+            F.least(F.col("c_custkey"), F.col("key_b")).alias("key_a"),
+            F.greatest(F.col("c_custkey"), F.col("key_b")).alias("key_b2"),
+            F.when(F.col("c_custkey") < F.col("key_b"), F.col("c_name"))
+            .otherwise(F.col("name_b")).alias("name_a"),
+            F.when(F.col("c_custkey") < F.col("key_b"), F.col("name_b"))
+            .otherwise(F.col("c_name")).alias("name_b2"),
+        )
+        .where(F.col("key_a") != F.col("key_b2"))
+        .select(
+            "key_a", F.col("key_b2").alias("key_b"),
+            "name_a", F.col("name_b2").alias("name_b"),
+        )
+    )
+    return (
+        cand_sub.unionAll(cand_indel)
+        .distinct()
+        .where(F.levenshtein("name_a", "name_b") <= 1)
+        .select(
+            F.col("key_a").cast("bigint").alias("custkey_a"),
+            F.col("key_b").cast("bigint").alias("custkey_b"),
+            F.levenshtein("name_a", "name_b").cast("int").alias("distance"),
+        )
+    )
+
+
+FUZZY_KEY_JOIN_SQL = f"""
+WITH names AS (
+  SELECT c_custkey, c_name FROM customer WHERE c_custkey < {FUZZY_KEY_LIM}
+),
+variants AS (
+  SELECT c_custkey, c_name, g.i AS pos,
+         substr(c_name, 1, g.i - 1) || substr(c_name, g.i + 1) AS var
+  FROM names, UNNEST(generate_series(1, len(c_name))) AS g(i)
+),
+cand_sub AS (
+  SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         a.c_name AS name_a, b.c_name AS name_b
+  FROM variants a
+  JOIN variants b ON a.pos = b.pos AND a.var = b.var
+                 AND a.c_custkey < b.c_custkey
+),
+cand_indel AS (
+  SELECT LEAST(v.c_custkey, n.c_custkey) AS key_a,
+         GREATEST(v.c_custkey, n.c_custkey) AS key_b,
+         CASE WHEN v.c_custkey < n.c_custkey THEN v.c_name ELSE n.c_name END
+           AS name_a,
+         CASE WHEN v.c_custkey < n.c_custkey THEN n.c_name ELSE v.c_name END
+           AS name_b
+  FROM variants v
+  JOIN names n ON v.var = n.c_name AND v.c_custkey <> n.c_custkey
+),
+cand AS (
+  SELECT DISTINCT key_a, key_b, name_a, name_b FROM (
+    SELECT * FROM cand_sub UNION ALL SELECT * FROM cand_indel
+  )
+)
+SELECT CAST(key_a AS BIGINT) AS custkey_a,
+       CAST(key_b AS BIGINT) AS custkey_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS distance
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+"""
+
+
+
 QUERIES = {
+    "fuzzy_key_join_customers": fuzzy_key_join_customers,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier": q5_local_supplier,
@@ -919,6 +1044,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fuzzy_key_join_customers": FUZZY_KEY_JOIN_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier": Q5_SQL,

@@ -1201,6 +1201,76 @@ FROM buckets GROUP BY row_i, bucket
 """.format(rows=rows)
 
 
+def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers maintained INCREMENTALLY over the document
+    stream — the streaming half of hll_distinct_by_source: per (source,
+    bucket), the running MAX leading-zero rank.  MAX is the canonical
+    streaming-friendly aggregate (monotone, mergeable), so state is
+    bounded at |sources| x 256 register rows no matter how many tokens
+    flow; the drained registers equal the batch sketch's register
+    relation, which is therefore the oracle.  Together with
+    streaming_cms_cells this completes the mergeable-sketch pair in
+    BOTH execution modes: a live pipeline keeps per-source vocabulary
+    cardinalities current at fixed memory, and a nightly batch job can
+    merge its registers element-wise with these.
+
+    Scale: stateless explode + hash per row, one keyed running MAX of
+    fixed cardinality; Kafka swap-in changes nothing downstream."""
+    from golang_mapreduce_spark.functions.hashing import hash32
+    from golang_mapreduce_spark.functions.text import ws_words
+    from golang_mapreduce_spark.operators.textstats import (
+        HLL_BUCKETS,
+        HLL_RANK_CAP,
+    )
+
+    docs = (
+        spark.readStream.schema(docs_stream_schema())
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = docs.select("source", F.explode(ws_words("text")).alias("tok"))
+    h = hash32("tok")
+    w = (h / F.lit(HLL_BUCKETS)).cast("bigint")
+    rank = F.when(w == 0, F.lit(HLL_RANK_CAP)).otherwise(
+        F.lit(HLL_RANK_CAP) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    reg = (
+        toks.select(
+            "source",
+            (h % HLL_BUCKETS).cast("int").alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rank").cast("int").alias("m"))
+    )
+    return run_stream_to_batch(reg, spark)
+
+
+def _streaming_hll_oracle() -> str:
+    from golang_mapreduce_spark.functions.hashing import sql_hash32
+    from golang_mapreduce_spark.operators.textstats import (
+        HLL_BUCKETS,
+        HLL_RANK_CAP,
+    )
+
+    return """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT source, {h32} AS h FROM toks
+)
+SELECT source, CAST(h % {m} AS INT) AS bucket,
+       CAST(MAX(CASE WHEN h // {m} = 0 THEN {cap}
+                     ELSE {cap} - length(printf('%b', h // {m})) END) AS INT)
+         AS m
+FROM hashed GROUP BY source, h % {m}
+""".format(h32=sql_hash32("tok"), m=HLL_BUCKETS, cap=HLL_RANK_CAP)
+
+
 def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch keyed-snapshot sink — the production MERGE pattern:
     the event stream drains in TWO micro-batches (events staged as two
@@ -1352,6 +1422,7 @@ QUERIES = {
     "streaming_quality_monitor": streaming_quality_monitor,
     "streaming_cms_cells": streaming_cms_cells,
     "streaming_upsert_snapshot": streaming_upsert_snapshot,
+    "streaming_hll_registers": streaming_hll_registers,
 }
 ORACLES = {
     "streaming_tumbling_hourly": TUMBLING_SQL,
@@ -1375,4 +1446,6 @@ ORACLES = {
     "streaming_cms_cells": _streaming_cms_oracle(),
     # the final foreachBatch snapshot equals batch last-writer-wins
     "streaming_upsert_snapshot": STREAMING_UPSERT_SQL,
+    # drained incremental registers equal the batch HLL register relation
+    "streaming_hll_registers": _streaming_hll_oracle(),
 }

@@ -253,6 +253,9 @@ ROUND9_NEW: tuple[str, ...] = (
     "hll_distinct_by_source",
     # fifth: the user-keyed shuffle-skew census
     "user_activity_power_law",
+    # sixth: fuzzy record linkage and the streaming HLL half
+    "fuzzy_key_join_customers",
+    "streaming_hll_registers",
 )
 #: neardup_pagerank: the persisted ids-only edge relation is now
 #: unpersisted after materialization (ADVICE r8; cache-leak fix).

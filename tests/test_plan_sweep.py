@@ -38,6 +38,7 @@ EXECUTING = {
     "image_phash_clusters",  # CC loop over the phash pair graph
     "streaming_cms_cells",   # runs a stream drain
     "streaming_upsert_snapshot",  # runs a stream drain (foreachBatch)
+    "streaming_hll_registers",    # runs a stream drain
 }
 # NOT excluded despite composing packed_sequences: packing_efficiency is
 # a pure DataFrame rollup over the applyInPandas packing plan — building

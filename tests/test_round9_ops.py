@@ -455,3 +455,74 @@ def test_user_power_law_shares_reconcile(spark, sf_dir):
         # bucket b holds users with counts in [2^(b-1), 2^b)
         assert r["n_events"] >= r["n_users"] * (1 << (r["bucket"] - 1))
         assert r["n_events"] < r["n_users"] * (1 << r["bucket"])
+
+
+def test_fuzzy_key_join_blocking_is_exact_at_distance_one(spark, sf_dir):
+    """The deletion-variant blocking guarantees recall 1.0 at distance
+    1: brute-force the small key subset with levenshtein and compare
+    pair sets exactly; every reported distance is 1 (names are unique)."""
+    from golang_mapreduce_spark.operators.relational import (
+        FUZZY_KEY_LIM,
+        fuzzy_key_join_customers,
+    )
+
+    got = {
+        (r["custkey_a"], r["custkey_b"])
+        for r in fuzzy_key_join_customers(spark, sf_dir).collect()
+    }
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < FUZZY_KEY_LIM)
+        .select("c_custkey", "c_name")
+    )
+    a = c.select(F.col("c_custkey").alias("ka"), F.col("c_name").alias("na"))
+    b = c.select(F.col("c_custkey").alias("kb"), F.col("c_name").alias("nb"))
+    truth = {
+        (r["ka"], r["kb"])
+        for r in a.crossJoin(b)  # brute force: test-only, tiny subset
+        .where(
+            (F.col("ka") < F.col("kb"))
+            & (F.levenshtein("na", "nb") <= 1)
+        )
+        .collect()
+    }
+    assert got == truth
+    rows = fuzzy_key_join_customers(spark, sf_dir).collect()
+    assert all(r["distance"] == 1 for r in rows)
+
+
+def test_streaming_hll_registers_equal_batch_sketch(spark, sf_dir):
+    """Drained incremental registers are value-identical to the batch
+    HLL registers (MAX is mergeable), and every register respects the
+    rank cap."""
+    from golang_mapreduce_spark.functions.hashing import hash32
+    from golang_mapreduce_spark.operators.textstats import (
+        HLL_BUCKETS,
+        HLL_RANK_CAP,
+    )
+    from golang_mapreduce_spark.streaming.jobs import streaming_hll_registers
+
+    regs = streaming_hll_registers(spark, sf_dir).collect()
+    assert regs
+    for r in regs:
+        assert 0 <= r["bucket"] < HLL_BUCKETS
+        assert 1 <= r["m"] <= HLL_RANK_CAP
+    # batch recomputation matches
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(ws_words("text")).alias("tok"))
+    h = hash32("tok")
+    w = (h / F.lit(HLL_BUCKETS)).cast("bigint")
+    rank = F.when(w == 0, F.lit(HLL_RANK_CAP)).otherwise(
+        F.lit(HLL_RANK_CAP) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    batch = {
+        (r["source"], r["bucket"]): r["m"]
+        for r in toks.select(
+            "source", (h % HLL_BUCKETS).cast("int").alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rank").cast("int").alias("m"))
+        .collect()
+    }
+    assert {(r["source"], r["bucket"]): r["m"] for r in regs} == batch
