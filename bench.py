@@ -231,6 +231,9 @@ EXTRA = [
     "user_activity_power_law",
     "fuzzy_key_join_customers",
     "streaming_hll_registers",
+    "coreset_kcenter_select",
+    "quality_quantile_normalize",
+    "conversion_latency_quantiles",
 ]
 
 

@@ -548,11 +548,75 @@ FROM ev, tot
 
 
 
+# --- conversion latency quantiles (round 9, batch 7) ------------------------
+
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase latency distribution: for every user whose
+    first purchase follows their first view, the exact interpolated
+    p50/p90/p99 of the latency (seconds) plus the converting-user count
+    — funnel_conversion tells you HOW MANY convert; this tells you HOW
+    LONG they take, the number an attribution window (e.g. the 10-min
+    click join) is tuned against.
+
+    Exactness: latencies are integer microsecond diffs divided by 1e6
+    (exact doubles), and the percentiles use the engines' shared
+    linear-interpolation definition on identical inputs, rounded to
+    6 dp — the percentile_prices convention.  One groupBy(user) with
+    conditional MINs, then a single global aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("t_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("t_purchase"),
+    )
+    lat = per_user.where(
+        F.col("t_view").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_view"))
+    ).select(
+        ((F.col("t_purchase") - F.col("t_view")) / F.lit(1_000_000.0))
+        .alias("latency_s")
+    )
+    return lat.agg(
+        F.count("*").cast("bigint").alias("n_converting"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.expr("percentile(latency_s, 0.99)"), 6).alias("p99_s"),
+    )
+
+
+CONVERSION_LATENCY_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS t_purchase
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT (t_purchase - t_view) / 1000000.0 AS latency_s
+  FROM per_user
+  WHERE t_view IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase > t_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converting,
+       ROUND(CAST(quantile_cont(latency_s, 0.5) AS DOUBLE), 6) AS p50_s,
+       ROUND(CAST(quantile_cont(latency_s, 0.9) AS DOUBLE), 6) AS p90_s,
+       ROUND(CAST(quantile_cont(latency_s, 0.99) AS DOUBLE), 6) AS p99_s
+FROM lat
+"""
+
+
+
 QUERIES = {
     "hourly_anomalies": hourly_anomalies,
     "event_transition_matrix": event_transition_matrix,
     "session_funnel_paths": session_funnel_paths,
     "user_activity_power_law": user_activity_power_law,
+    "conversion_latency_quantiles": conversion_latency_quantiles,
     "event_ngram_patterns": event_ngram_patterns,
     "retention_cohorts": retention_cohorts,
     "window_range_7day_spend": window_range_7day_spend,
@@ -565,6 +629,7 @@ ORACLES = {
     "event_transition_matrix": EVENT_TRANSITION_SQL,
     "session_funnel_paths": SESSION_FUNNEL_SQL,
     "user_activity_power_law": USER_POWER_LAW_SQL,
+    "conversion_latency_quantiles": CONVERSION_LATENCY_SQL,
     "event_ngram_patterns": EVENT_NGRAM_SQL,
     "retention_cohorts": RETENTION_SQL,
     "window_range_7day_spend": RANGE_7DAY_SQL,

@@ -2840,6 +2840,97 @@ FROM w, nrm
 
 
 
+# --- greedy k-center coreset selection (round 9, batch 7) ------------------
+
+KCENTER_K = 6
+
+
+def coreset_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — Gonzalez
+    1985, the 2-approximation every diversity-aware data-curation
+    pipeline reaches for: start from the min-vec_id vector, then
+    {KCENTER_K - 1} times pick the vector FARTHEST (squared L2, 6-dp
+    rounded, min-vec_id tie-break) from the already-selected set.  The
+    output (selection rank, vec_id, distance at selection) is both the
+    coreset and its coverage-radius curve: the distance column is the
+    k-center objective after each pick, the number that says when
+    adding more coreset points stops buying coverage.
+
+    Iterative-algorithm shape: K-1 rounds of one broadcast cross join
+    (|selected| <= {KCENTER_K} rows) + one partial-agg'd per-vector MIN
+    + one TakeOrdered(1) — each round's driver traffic is ONE row
+    (bounded by construction, the clusters_from convergence-scalar
+    convention).  Linear in collection mass per round at any scale.
+
+    Cross-engine determinism: pair distances round to 6 dp before the
+    MIN, so argmax comparisons happen on engine-identical doubles with
+    a total (distance DESC, vec_id ASC) order."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    selected = [(0, int(first["vec_id"]), None, list(first["emb"]))]
+    for rank in range(1, KCENTER_K):
+        centers = spark.createDataFrame(
+            [(vid, e) for _, vid, _, e in selected],
+            "c_id long, c_emb array<double>",
+        )
+        dists = (
+            emb.join(F.broadcast(centers))
+            .select("vec_id", "emb", _l2sq_full("emb", "c_emb").alias("d"))
+            .groupBy("vec_id", "emb")
+            .agg(F.min("d").alias("min_d"))
+        )
+        nxt = (
+            dists.orderBy(F.desc("min_d"), F.asc("vec_id")).limit(1).collect()[0]
+        )
+        selected.append(
+            (rank, int(nxt["vec_id"]), float(nxt["min_d"]), list(nxt["emb"]))
+        )
+    return spark.createDataFrame(
+        [(r, v, d) for r, v, d, _ in selected],
+        "center_rank int, vec_id long, dist_at_selection double",
+    )
+
+
+def _kcenter_sql() -> str:
+    dist = _sql_l2sq_full("e.emb", "c.emb")
+    steps = []
+    prev_centers = "SELECT vec_id, emb FROM c0"
+    finals = ["SELECT 0 AS center_rank, vec_id, CAST(NULL AS DOUBLE) "
+              "AS dist_at_selection FROM c0"]
+    for i in range(1, KCENTER_K):
+        steps.append(f"""cents{i} AS (
+  {prev_centers}
+),
+d{i} AS (
+  SELECT e.vec_id, e.emb, MIN({dist}) AS min_d
+  FROM emb e, cents{i} c
+  GROUP BY e.vec_id, e.emb
+),
+c{i} AS (
+  SELECT vec_id, emb, min_d FROM d{i}
+  ORDER BY min_d DESC, vec_id ASC LIMIT 1
+)""")
+        prev_centers += (
+            "\n  UNION ALL SELECT vec_id, emb FROM c" + str(i)
+        )
+        finals.append(f"SELECT {i}, vec_id, min_d FROM c{i}")
+    steps_sql = ",\n".join(steps)
+    finals_sql = "\nUNION ALL ".join(finals)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+c0 AS (
+  SELECT vec_id, emb FROM emb ORDER BY vec_id LIMIT 1
+),
+{steps_sql}
+{finals_sql}
+"""
+
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -2860,6 +2951,7 @@ QUERIES = {
     "embedding_dim_stats": embedding_dim_stats,
     "centroid_drift_by_label": centroid_drift_by_label,
     "embedding_power_iteration": embedding_power_iteration,
+    "coreset_kcenter_select": coreset_kcenter_select,
     "embedding_outliers": embedding_outliers,
     "knn_label_vote": knn_label_vote,
     "matryoshka_recall": matryoshka_recall,
@@ -2892,6 +2984,7 @@ ORACLES = {
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "centroid_drift_by_label": CENTROID_DRIFT_SQL,
     "embedding_power_iteration": POWER_ITERATION_SQL,
+    "coreset_kcenter_select": _kcenter_sql(),
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "knn_label_vote": KNN_LABEL_VOTE_SQL,
     "matryoshka_recall": MATRYOSHKA_SQL,

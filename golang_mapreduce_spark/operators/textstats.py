@@ -2501,6 +2501,101 @@ FROM est s JOIN exact x USING (source)
 
 
 
+# --- quality quantile normalization (round 9, batch 7) ----------------------
+
+QNORM_PERMILLE = 1000  # anchor resolution for the global quantile table
+
+
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of quality scores: each doc's
+    within-source percentile position is mapped onto the GLOBAL score
+    distribution via a {QNORM_PERMILLE}-anchor quantile table — the
+    batch-effect correction that makes quality thresholds comparable
+    across sources whose scorers drift (a 0.6 from a clean wiki source
+    and a 0.6 from a boilerplate-heavy crawl mean different things;
+    after normalization both read as "the score a doc at this
+    within-source rank would have globally").
+
+    Scale shape: the within-source rank is a per-source window (source
+    partitions balance); the global side is ONE aggregate producing the
+    anchor array (exact interpolated percentile here; at 100 TB swap
+    approx_percentile with the same anchor grid — the mapping machinery
+    is unchanged), broadcast as {QNORM_PERMILLE}+1 rows.  The permille
+    bucket is integer arithmetic on engine-identical doubles, so the
+    anchor lookup is an exact equi-join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    scored = docs.join(q, "doc_id")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    ).select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.round(
+            (F.col("rk") - F.lit(0.5)) / F.col("n_src") * QNORM_PERMILLE, 0
+        ).cast("int").alias("pm"),
+    )
+    ps = [i / QNORM_PERMILLE for i in range(QNORM_PERMILLE + 1)]
+    anchors = (
+        q.agg(
+            F.expr(
+                "percentile(quality_score, array("
+                + ", ".join(repr(p) for p in ps)
+                + "))"
+            ).alias("qs")
+        )
+        .select(F.posexplode("qs").alias("pm", "anchor"))
+    )
+    return ranked.join(F.broadcast(anchors), "pm").select(
+        "doc_id",
+        "source",
+        F.round("quality_score", 6).alias("quality_score"),
+        F.round("anchor", 6).alias("normalized_score"),
+    )
+
+
+def _qnorm_sql() -> str:
+    ps = ", ".join(
+        repr(i / QNORM_PERMILLE) for i in range(QNORM_PERMILLE + 1)
+    )
+    return f"""
+WITH q AS (
+  {QUALITY_SQL.strip()}
+),
+scored AS (
+  SELECT d.doc_id, d.source, q.quality_score
+  FROM documents d JOIN q USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, source, quality_score,
+         CAST(ROUND((ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY quality_score, doc_id)
+                     - 0.5)
+                    / COUNT(*) OVER (PARTITION BY source)
+                    * {QNORM_PERMILLE}, 0) AS INT) AS pm
+  FROM scored
+),
+anchors AS (
+  SELECT UNNEST(generate_series(0, {QNORM_PERMILLE})) AS pm,
+         UNNEST(quantile_cont(quality_score, [{ps}])) AS anchor
+  FROM q
+)
+SELECT r.doc_id, r.source,
+       ROUND(r.quality_score, 6) AS quality_score,
+       ROUND(a.anchor, 6) AS normalized_score
+FROM ranked r JOIN anchors a USING (pm)
+"""
+
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
@@ -2521,6 +2616,7 @@ QUERIES = {
     "cms_heavy_hitters": cms_heavy_hitters,
     "lang_vocab_overlap": lang_vocab_overlap,
     "hll_distinct_by_source": hll_distinct_by_source,
+    "quality_quantile_normalize": quality_quantile_normalize,
     "lang_doc_stats": lang_doc_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "quality_scores": quality_scores,
@@ -2560,6 +2656,7 @@ ORACLES = {
     "cms_heavy_hitters": _cms_sql(),
     "lang_vocab_overlap": LANG_VOCAB_OVERLAP_SQL,
     "hll_distinct_by_source": HLL_DISTINCT_SQL,
+    "quality_quantile_normalize": _qnorm_sql(),
     "lang_doc_stats": LANG_STATS_SQL,
     "lang_id_heuristic": LANG_ID_SQL,
     "quality_scores": QUALITY_SQL,

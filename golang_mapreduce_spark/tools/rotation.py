@@ -256,6 +256,11 @@ ROUND9_NEW: tuple[str, ...] = (
     # sixth: fuzzy record linkage and the streaming HLL half
     "fuzzy_key_join_customers",
     "streaming_hll_registers",
+    # seventh: greedy k-center coreset, cross-source quantile
+    # normalization, and the funnel latency distribution
+    "coreset_kcenter_select",
+    "quality_quantile_normalize",
+    "conversion_latency_quantiles",
 )
 #: neardup_pagerank: the persisted ids-only edge relation is now
 #: unpersisted after materialization (ADVICE r8; cache-leak fix).

@@ -39,6 +39,7 @@ EXECUTING = {
     "streaming_cms_cells",   # runs a stream drain
     "streaming_upsert_snapshot",  # runs a stream drain (foreachBatch)
     "streaming_hll_registers",    # runs a stream drain
+    "coreset_kcenter_select",     # K-1 bounded driver rounds at build
 }
 # NOT excluded despite composing packed_sequences: packing_efficiency is
 # a pure DataFrame rollup over the applyInPandas packing plan — building

@@ -526,3 +526,76 @@ def test_streaming_hll_registers_equal_batch_sketch(spark, sf_dir):
         .collect()
     }
     assert {(r["source"], r["bucket"]): r["m"] for r in regs} == batch
+
+
+def test_kcenter_coreset_is_greedy_optimal_sequence(spark, sf_dir):
+    """The coverage-radius curve is non-increasing (each pick is the
+    current farthest point), ranks are dense from 0, vec_ids unique,
+    and pick 1 really is the global farthest from pick 0 (brute-check)."""
+    from golang_mapreduce_spark.operators.similarity import (
+        KCENTER_K,
+        _l2sq_full,
+        coreset_kcenter_select,
+    )
+
+    rows = sorted(
+        coreset_kcenter_select(spark, sf_dir).collect(),
+        key=lambda r: r["center_rank"],
+    )
+    assert [r["center_rank"] for r in rows] == list(range(KCENTER_K))
+    assert len({r["vec_id"] for r in rows}) == KCENTER_K
+    dists = [r["dist_at_selection"] for r in rows]
+    assert dists[0] is None
+    assert all(d is not None and d > 0 for d in dists[1:])
+    assert all(a >= b for a, b in zip(dists[1:], dists[2:]))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    c0 = emb.orderBy("vec_id").limit(1).collect()[0]
+    c0df = spark.createDataFrame([(list(c0["emb"]),)], "c_emb array<double>")
+    far = (
+        emb.crossJoin(F.broadcast(c0df))
+        .select("vec_id", _l2sq_full("emb", "c_emb").alias("d"))
+        .orderBy(F.desc("d"), F.asc("vec_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert rows[1]["vec_id"] == far["vec_id"]
+    assert abs(rows[1]["dist_at_selection"] - far["d"]) < 1e-9
+
+
+def test_quantile_normalize_preserves_order_and_bounds(spark, sf_dir):
+    """Within a source, normalization is monotone in the raw score; the
+    normalized values live inside the global score range; every doc
+    appears exactly once."""
+    from golang_mapreduce_spark.operators.textstats import (
+        quality_quantile_normalize,
+        quality_scores,
+    )
+
+    rows = quality_quantile_normalize(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    g = quality_scores(spark, sf_dir).agg(
+        F.min("quality_score"), F.max("quality_score")
+    ).first()
+    gmin, gmax = g[0], g[1]
+    by_src: dict = {}
+    for r in rows:
+        assert gmin - 1e-6 <= r["normalized_score"] <= gmax + 1e-6
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r["quality_score"], r["doc_id"]))
+        norms = [r["normalized_score"] for r in rs]
+        assert norms == sorted(norms), src
+
+
+def test_conversion_latency_quantiles_sane(spark, sf_dir):
+    from golang_mapreduce_spark.operators.analytics import (
+        conversion_latency_quantiles,
+        funnel_conversion,
+    )
+
+    r = conversion_latency_quantiles(spark, sf_dir).first()
+    assert r["n_converting"] > 0
+    assert 0 < r["p50_s"] <= r["p90_s"] <= r["p99_s"]
