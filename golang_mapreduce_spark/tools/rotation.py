@@ -21,10 +21,13 @@ Standing rotation priority (spark-graft conventions):
    entry must keep an in-window family mate; the mates are prose in the
    ``__spark_entry__`` window comment, the *math* lives here.
 
-``propose_window`` is pure and deterministic.  ``round8_window()`` binds
-this round's parameters.  ``tests/test_rotation.py`` asserts the pasted
-``_ROUND8_WINDOW`` literal equals ``round8_window()`` exactly, so the
-window cannot silently drift from the ledger.
+``propose_window`` is pure and deterministic.  ``round9_window()`` binds
+the CURRENT round's parameters (``round8_window()`` remains as the
+historical pin).  ``tests/test_rotation.py`` asserts each pasted
+``_ROUND{N}_WINDOW`` literal equals ``round{N}_window()`` exactly —
+always against the ledger as of round N-1 (``through_round=N-1``) — so
+the window can neither drift from the ledger nor be invalidated by the
+driver landing round N's own CORRECTNESS file.
 """
 
 from __future__ import annotations
