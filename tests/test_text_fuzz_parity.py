@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from golang_mapreduce_spark.operators import dedup, multimodal, sampling, textstats
+from golang_mapreduce_spark.operators import corpus, dedup, multimodal, sampling, textstats
 from tests.oracle import compare
 
 #: (text, lang) — adversarial shapes; doc_id/source/n_chars derived.
@@ -76,6 +76,23 @@ FAMILY = [
     (textstats, "robust_quality_outliers"),
     # span merging over the dup group + the "word "*50 repetition doc
     (dedup, "dup_span_manifest"),
+    # round-9 additions: both mergeable sketches over adversarial
+    # tokenization (CJK/emoji tokens hash like any others; empty docs
+    # contribute nothing), the novelty/ladder/coverage trio (empty and
+    # whitespace-only docs are exactly where their guards live), vocab
+    # overlap across the lang-tagged scripts, the quantile normalizer
+    # (tiny per-source strata stress the permille mapping), the packing
+    # manifest (zero-token docs take zero budget), and the triangle
+    # counts over the dup-group near-dup graph
+    (textstats, "cms_heavy_hitters"),
+    (textstats, "hll_distinct_by_source"),
+    (dedup, "rare_ngram_uniqueness"),
+    (dedup, "normalization_ladder"),
+    (textstats, "char_coverage_audit"),
+    (textstats, "lang_vocab_overlap"),
+    (textstats, "quality_quantile_normalize"),
+    (corpus, "token_budget_pack_plan"),
+    (dedup, "graph_triangle_counts"),
 ]
 
 
