@@ -2195,7 +2195,8 @@ CMS_TOPK = 20      # heavy hitters reported
 
 
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min-Sketch frequency estimation, audited against truth: the
+    """Count-Min-Sketch (Cormode & Muthukrishnan 2005) frequency
+    estimation, audited against truth: the
     corpus's {CMS_TOPK} most frequent tokens with their exact counts,
     the CMS estimate (min over {CMS_ROWS} hash rows of {CMS_WIDTH}
     buckets), and the collision overestimate — the sketch a 100 TB
