@@ -293,11 +293,58 @@ def round9_window() -> list[str]:
     )
 
 
+def window_for_round(
+    round_no: int,
+    *,
+    new: tuple[str, ...] = (),
+    changed: tuple[str, ...] = (),
+    pins: tuple[str, ...] = (),
+) -> list[str]:
+    """Generic round-N window over the rounds-1..N-1 ledger — what the
+    next round's builder calls (via the CLI below) before any
+    ROUND{N}_* constants exist in this file."""
+    return propose_window(
+        latest_rounds(through_round=round_no - 1),
+        r1_cohort(),
+        registration_order(),
+        new=new,
+        changed=changed,
+        pins=pins,
+    )
+
+
 def main() -> None:  # pragma: no cover - CLI convenience
-    latest = latest_rounds(through_round=8)
-    window = round9_window()
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Generate a driver-window proposal from the "
+        "CORRECTNESS ledger.  With no flags, prints the CURRENT round's "
+        "committed window (round 9)."
+    )
+    ap.add_argument("--round", type=int, default=None,
+                    help="round number N; ledger bound = N-1")
+    ap.add_argument("--new", default="", help="comma-separated NEW names")
+    ap.add_argument("--changed", default="",
+                    help="comma-separated CHANGED names")
+    ap.add_argument("--pins", default="", help="comma-separated pins")
+    args = ap.parse_args()
+
+    def _split(v: str) -> tuple[str, ...]:
+        return tuple(x for x in v.split(",") if x)
+
+    if args.round is None:
+        round_no, window = 9, round9_window()
+    else:
+        round_no = args.round
+        window = window_for_round(
+            round_no,
+            new=_split(args.new),
+            changed=_split(args.changed),
+            pins=_split(args.pins),
+        )
+    latest = latest_rounds(through_round=round_no - 1)
     r1 = r1_cohort()
-    print(f"# round-9 window ({len(window)} entries, "
+    print(f"# round-{round_no} window ({len(window)} entries, "
           f"{sum(1 for n in window if n in r1)} r1-cohort)")
     for name in window:
         tags = [f"r{latest.get(name, 0)}"]
