@@ -234,6 +234,8 @@ EXTRA = [
     "coreset_kcenter_select",
     "quality_quantile_normalize",
     "conversion_latency_quantiles",
+    "attribution_model_compare",
+    "rfm_segments",
 ]
 
 

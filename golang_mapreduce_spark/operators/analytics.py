@@ -611,12 +611,186 @@ FROM lat
 
 
 
+# --- attribution model comparison (round 9, r10 carryover) ------------------
+
+ATTR_WINDOW_MIN = 10  # minutes, matching streaming_click_attribution
+
+
+def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch attribution, side by side: for every
+    purchase with at least one click in the preceding {ATTR_WINDOW_MIN}
+    minutes by the same user, credit the FIRST click (first-touch) and
+    the LAST click (last-touch) in the window, then roll up how often
+    the two models agree and how much credit volume each assigns — the
+    table a marketing-analytics owner reads before standardizing on a
+    model, and the batch twin of the streaming click-attribution join.
+
+    Scale shape: ONE interval join (the streaming_click_attribution
+    predicate exactly) shuffled on user_id, then one purchase-keyed
+    aggregate taking MIN/MAX click over the window (no per-model
+    re-join), then a two-row rollup.  Ties on click ts break by
+    event_id, so both models are total orders."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {ATTR_WINDOW_MIN} MINUTES")
+        ),
+    )
+    per_purchase = joined.groupBy(
+        "purchase_id", "purchase_value"
+    ).agg(
+        F.min(F.struct("click_ts", "click_id")).alias("first_touch"),
+        F.max(F.struct("click_ts", "click_id")).alias("last_touch"),
+    )
+    return per_purchase.agg(
+        F.count("*").cast("bigint").alias("n_attributed"),
+        F.sum(
+            F.when(
+                F.col("first_touch.click_id") == F.col("last_touch.click_id"), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_models_agree"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("first_touch.click_id") == F.col("last_touch.click_id"),
+                    1.0,
+                ).otherwise(0.0)
+            ) / F.count("*"),
+            6,
+        ).alias("agreement_rate"),
+        F.expr(
+            "CAST(SUM(CAST(purchase_value AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("attributed_value"),
+    )
+
+
+ATTRIBUTION_COMPARE_SQL = f"""
+WITH joined AS (
+  SELECT p.event_id AS purchase_id, p.value AS purchase_value,
+         c.ts AS click_ts, c.event_id AS click_id
+  FROM events p
+  JOIN events c
+    ON p.event_type = 'purchase' AND c.event_type = 'click'
+   AND c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL {ATTR_WINDOW_MIN} MINUTE
+),
+per_purchase AS (
+  SELECT purchase_id, purchase_value,
+         MIN(ROW(click_ts, click_id)) AS first_touch,
+         MAX(ROW(click_ts, click_id)) AS last_touch
+  FROM joined GROUP BY purchase_id, purchase_value
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_attributed,
+       CAST(SUM(CASE WHEN first_touch = last_touch THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_models_agree,
+       ROUND(SUM(CASE WHEN first_touch = last_touch THEN 1.0 ELSE 0.0 END)
+             / COUNT(*), 6) AS agreement_rate,
+       CAST(SUM(CAST(purchase_value AS DECIMAL(18,6))) AS DOUBLE)
+         AS attributed_value
+FROM per_purchase
+"""
+
+
+
+# --- RFM segmentation (round 9, r10 carryover) -------------------------------
+
+RFM_TILES = 4
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-Frequency-Monetary customer segmentation over orders:
+    each customer is quartiled independently on days-since-last-order
+    (recency — lower is better), order count (frequency), and
+    decimal-exact total spend (monetary); the rollup counts customers
+    and spend per (r, f, m) cell — the classic CRM segmentation, and a
+    stress of three simultaneous ntile windows over one scan.
+
+    Exactness: recency is integer epoch-day arithmetic against the
+    corpus max date (a deterministic anchor — no wall clock, per the
+    no-Date.now discipline); spend sums as DECIMAL(18,2) before the
+    double cast; every ntile orders by (metric, custkey) so tiles are
+    total orders.  Scale: one groupBy(custkey) then three window
+    passes over the |customers| aggregate (each a single exchange of
+    ids + three numbers), then a <= {RFM_TILES}^3-row rollup."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    anchor_day = o.agg(
+        F.max(F.expr("unix_date(CAST(o_orderdate AS DATE))"))
+    ).first()[0]
+    per_cust = o.groupBy("o_custkey").agg(
+        (
+            F.lit(int(anchor_day))
+            - F.max(F.expr("unix_date(CAST(o_orderdate AS DATE))"))
+        ).alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("o_custkey"))
+    tiled = per_cust.select(
+        "monetary",
+        F.ntile(RFM_TILES).over(wr).alias("r_tile"),
+        F.ntile(RFM_TILES).over(wf).alias("f_tile"),
+        F.ntile(RFM_TILES).over(wm).alias("m_tile"),
+    )
+    return tiled.groupBy("r_tile", "f_tile", "m_tile").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.sum("monetary").cast("double"), 2).alias("segment_spend"),
+    )
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         (SELECT MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+          FROM orders)
+         - MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT monetary,
+         NTILE({RFM_TILES}) OVER (ORDER BY recency_days, o_custkey) AS r_tile,
+         NTILE({RFM_TILES}) OVER (ORDER BY frequency DESC, o_custkey) AS f_tile,
+         NTILE({RFM_TILES}) OVER (ORDER BY monetary DESC, o_custkey) AS m_tile
+  FROM per_cust
+)
+SELECT r_tile, f_tile, m_tile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(monetary) AS DOUBLE), 2) AS segment_spend
+FROM tiled GROUP BY r_tile, f_tile, m_tile
+"""
+
+
+
 QUERIES = {
     "hourly_anomalies": hourly_anomalies,
     "event_transition_matrix": event_transition_matrix,
     "session_funnel_paths": session_funnel_paths,
     "user_activity_power_law": user_activity_power_law,
     "conversion_latency_quantiles": conversion_latency_quantiles,
+    "attribution_model_compare": attribution_model_compare,
+    "rfm_segments": rfm_segments,
     "event_ngram_patterns": event_ngram_patterns,
     "retention_cohorts": retention_cohorts,
     "window_range_7day_spend": window_range_7day_spend,
@@ -630,6 +804,8 @@ ORACLES = {
     "session_funnel_paths": SESSION_FUNNEL_SQL,
     "user_activity_power_law": USER_POWER_LAW_SQL,
     "conversion_latency_quantiles": CONVERSION_LATENCY_SQL,
+    "attribution_model_compare": ATTRIBUTION_COMPARE_SQL,
+    "rfm_segments": RFM_SQL,
     "event_ngram_patterns": EVENT_NGRAM_SQL,
     "retention_cohorts": RETENTION_SQL,
     "window_range_7day_spend": RANGE_7DAY_SQL,

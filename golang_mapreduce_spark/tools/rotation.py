@@ -280,6 +280,14 @@ ROUND9_CHANGED: tuple[str, ...] = (
     "image_phash_pairs",
 )
 ROUND9_PINS: tuple[str, ...] = ()
+#: Registered late in round 9 but deliberately NOT windowed (the 26-op
+#: head already defers most of the r4-stale cohort): these two wait as
+#: never-checked entries that lead the ROUND10_NEW head, exactly the
+#: r8 -> r9 carryover precedent; the local parity suite is their gate.
+ROUND10_NEW_CARRYOVER: tuple[str, ...] = (
+    "attribution_model_compare",
+    "rfm_segments",
+)
 
 
 def round9_window() -> list[str]:

@@ -599,3 +599,56 @@ def test_conversion_latency_quantiles_sane(spark, sf_dir):
     r = conversion_latency_quantiles(spark, sf_dir).first()
     assert r["n_converting"] > 0
     assert 0 < r["p50_s"] <= r["p90_s"] <= r["p99_s"]
+
+
+# --- r10 carryovers ---------------------------------------------------------
+
+def test_attribution_models_reconcile_with_click_join(spark, sf_dir):
+    """n_attributed equals the distinct purchases in the inner
+    attribution join; agreement is a proper rate; purchases with exactly
+    one window click MUST agree across models."""
+    from golang_mapreduce_spark.operators.analytics import (
+        attribution_model_compare,
+    )
+    from golang_mapreduce_spark.streaming.jobs import (
+        streaming_click_attribution,
+    )
+
+    r = attribution_model_compare(spark, sf_dir).first()
+    attributed = (
+        streaming_click_attribution(spark, sf_dir)
+        .select("purchase_id")
+        .distinct()
+        .count()
+    )
+    assert r["n_attributed"] == attributed
+    assert 0 <= r["n_models_agree"] <= r["n_attributed"]
+    assert abs(r["agreement_rate"] - r["n_models_agree"] / r["n_attributed"]) < 1e-6
+    assert r["attributed_value"] > 0
+
+
+def test_rfm_segments_partition_customers(spark, sf_dir):
+    """Segments partition the customer base; tiles are in range; total
+    spend reconciles with the orders table exactly (decimal sums)."""
+    from golang_mapreduce_spark.operators.analytics import (
+        RFM_TILES,
+        rfm_segments,
+    )
+
+    rows = rfm_segments(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_tile"] <= RFM_TILES
+        assert 1 <= r["f_tile"] <= RFM_TILES
+        assert 1 <= r["m_tile"] <= RFM_TILES
+    total = float(
+        o.agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            )
+        ).first()[0]
+    )
+    assert abs(sum(r["segment_spend"] for r in rows) - total) < 0.05
