@@ -558,8 +558,13 @@ def quality_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (Spark expands each row into the 8 grouping sets in the
     map side, partial-agg'd — no extra scans, no joins); the share
     divides by the corpus count taken from the cube's own grand-total
-    row via a 1-row broadcast cross join.  Output is 27 rows at any
-    corpus size."""
+    row via a 1-row broadcast cross join.  Output is 8 grouping sets ×
+    the observed flag values (27 rows when no flag is NULL as data).
+
+    The ``gid`` column is ``grouping_id()`` (len_ok = MSB): it
+    distinguishes a rollup-NULL cell from a NULL *data* value (a
+    NULL-text doc yields ttr_ok = NULL as data — ADVICE r9), and the
+    grand total is selected by gid = 7, never by IS NULL."""
     docs = load_table(spark, sf_dir, "documents").select(
         "n_chars", ws_words("text").alias("toks")
     )
@@ -567,17 +572,17 @@ def quality_ablation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.expr(expr).alias(name) for name, expr in ABLATION_FLAGS]
     )
     cube = flagged.cube("len_ok", "ttr_ok", "awl_ok").agg(
-        F.count("*").alias("n_docs")
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").alias("n_docs"),
     )
-    total = cube.where(
-        F.col("len_ok").isNull()
-        & F.col("ttr_ok").isNull()
-        & F.col("awl_ok").isNull()
-    ).select(F.col("n_docs").alias("n_total"))
+    total = cube.where(F.col("gid") == 7).select(
+        F.col("n_docs").alias("n_total")
+    )
     return cube.crossJoin(F.broadcast(total)).select(
         "len_ok",
         "ttr_ok",
         "awl_ok",
+        "gid",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
     )
@@ -597,14 +602,15 @@ WITH flagged AS (
   )
 ),
 cube_agg AS (
-  SELECT len_ok, ttr_ok, awl_ok, COUNT(*) AS n_docs
+  SELECT len_ok, ttr_ok, awl_ok,
+         CAST(GROUPING(len_ok, ttr_ok, awl_ok) AS BIGINT) AS gid,
+         COUNT(*) AS n_docs
   FROM flagged GROUP BY CUBE (len_ok, ttr_ok, awl_ok)
 ),
 total AS (
-  SELECT n_docs AS n_total FROM cube_agg
-  WHERE len_ok IS NULL AND ttr_ok IS NULL AND awl_ok IS NULL
+  SELECT n_docs AS n_total FROM cube_agg WHERE gid = 7
 )
-SELECT len_ok, ttr_ok, awl_ok,
+SELECT len_ok, ttr_ok, awl_ok, gid,
        CAST(n_docs AS BIGINT) AS n_docs,
        ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS share
 FROM cube_agg, total

@@ -2864,7 +2864,12 @@ def coreset_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine determinism: pair distances round to 6 dp before the
     MIN, so argmax comparisons happen on engine-identical doubles with
-    a total (distance DESC, vec_id ASC) order."""
+    a total (distance DESC, vec_id ASC) order.  Already-selected
+    centers are anti-joined out of each round's candidate pool
+    (ADVICE r9): on a degenerate collection where every remaining
+    point coincides with a center (all min_d = 0) the argmax would
+    otherwise re-select an existing center, breaking the
+    'farthest UNSELECTED vector' contract with duplicate members."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -2875,8 +2880,10 @@ def coreset_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(vid, e) for _, vid, _, e in selected],
             "c_id long, c_emb array<double>",
         )
+        sel_ids = [vid for _, vid, _, _ in selected]
         dists = (
-            emb.join(F.broadcast(centers))
+            emb.where(~F.col("vec_id").isin(sel_ids))
+            .join(F.broadcast(centers))
             .select("vec_id", "emb", _l2sq_full("emb", "c_emb").alias("d"))
             .groupBy("vec_id", "emb")
             .agg(F.min("d").alias("min_d"))
@@ -2906,6 +2913,7 @@ def _kcenter_sql() -> str:
 d{i} AS (
   SELECT e.vec_id, e.emb, MIN({dist}) AS min_d
   FROM emb e, cents{i} c
+  WHERE e.vec_id NOT IN (SELECT vec_id FROM cents{i})
   GROUP BY e.vec_id, e.emb
 ),
 c{i} AS (

@@ -210,27 +210,15 @@ def test_ablation_cube_reconciles_marginals(spark, sf_dir):
     rows = quality_ablation_matrix(spark, sf_dir).collect()
     n_docs = load_table(spark, sf_dir, "documents").count()
 
-    def cells(**spec):
-        out = []
-        for r in rows:
-            if all(
-                (r[k] is None if v is None else r[k] == v)
-                for k, v in spec.items()
-            ):
-                out.append(r)
-        return out
-
-    grand = cells(len_ok=None, ttr_ok=None, awl_ok=None)
+    # rollup membership comes from gid (len_ok = MSB), never IS NULL —
+    # a NULL data value must not be mistaken for a rollup cell
+    grand = [r for r in rows if r["gid"] == 7]
     assert len(grand) == 1 and grand[0]["n_docs"] == n_docs
-    for flag in ("len_ok", "ttr_ok", "awl_ok"):
-        others = {f: None for f in ("len_ok", "ttr_ok", "awl_ok") if f != flag}
-        marginal = [r for r in rows
-                    if r[flag] is not None
-                    and all(r[f] is None for f in others)]
+    for flag, gid in (("len_ok", 3), ("ttr_ok", 5), ("awl_ok", 6)):
+        marginal = [r for r in rows if r["gid"] == gid]
         assert sum(r["n_docs"] for r in marginal) == n_docs
         assert abs(sum(r["share"] for r in marginal) - 1.0) < 1e-5
-    fully = [r for r in rows
-             if all(r[f] is not None for f in ("len_ok", "ttr_ok", "awl_ok"))]
+    fully = [r for r in rows if r["gid"] == 0]
     assert sum(r["n_docs"] for r in fully) == n_docs
     # at least one flag splits the corpus even at the tiny test SF; the
     # all-flags-split guarantee is checked on the planted fixture below
@@ -249,8 +237,7 @@ def test_ablation_flags_split_planted_fixture(spark, planted_dir):
     the planted texts are constructed to produce for len_ok and ttr_ok,
     and the cube mechanics (cells sum to total) for the rest."""
     rows = quality_ablation_matrix(spark, planted_dir).collect()
-    fully = [r for r in rows
-             if all(r[f] is not None for f in ("len_ok", "ttr_ok", "awl_ok"))]
+    fully = [r for r in rows if r["gid"] == 0]
     assert sum(r["n_docs"] for r in fully) == 7
     assert {r["len_ok"] for r in fully} == {True, False}
 
@@ -562,6 +549,31 @@ def test_kcenter_coreset_is_greedy_optimal_sequence(spark, sf_dir):
     )
     assert rows[1]["vec_id"] == far["vec_id"]
     assert abs(rows[1]["dist_at_selection"] - far["d"]) < 1e-9
+
+
+def test_kcenter_degenerate_pool_never_reselects_a_center(spark, planted_dir):
+    """ADVICE r9: the planted fixture has 12 vectors but only TWO
+    distinct embedding values, so from pick 2 on every unselected
+    point coincides with a center (min_d = 0).  The anti-join must
+    keep selecting fresh vec_ids (duplicate coreset members are a
+    contract break), and the coverage radius must read exactly 0 for
+    the degenerate picks."""
+    from golang_mapreduce_spark.operators.similarity import (
+        KCENTER_K,
+        coreset_kcenter_select,
+    )
+
+    rows = sorted(
+        coreset_kcenter_select(spark, planted_dir).collect(),
+        key=lambda r: r["center_rank"],
+    )
+    assert len(rows) == KCENTER_K
+    assert len({r["vec_id"] for r in rows}) == KCENTER_K
+    # pick 1 is the other distinct value (positive distance); picks 2+
+    # are coincident leftovers at distance 0, lowest vec_id first
+    assert rows[1]["dist_at_selection"] > 0
+    for r in rows[2:]:
+        assert r["dist_at_selection"] == 0.0
 
 
 def test_quantile_normalize_preserves_order_and_bounds(spark, sf_dir):
