@@ -236,6 +236,10 @@ EXTRA = [
     "conversion_latency_quantiles",
     "attribution_model_compare",
     "rfm_segments",
+    # round-10 additions
+    "bpe_merge_candidates",
+    "zipf_slope_by_lang",
+    "js_divergence_sources",
 ]
 
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from golang_mapreduce_spark.functions.hashing import hash32, sql_hash32
 from golang_mapreduce_spark.functions.text import ws_words
@@ -2597,6 +2598,336 @@ FROM ranked r JOIN anchors a USING (pm)
 
 
 
+# --- distributed BPE merge round (round 10) --------------------------------
+
+MERGE_TOP = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE training round: the corpus-frequency-weighted
+    adjacent character-pair counts whose argmax IS the first merge a
+    byte-pair tokenizer would learn (functions/bpe.py train_merges — the
+    in-memory trainer this op is the cluster-scale twin of; the trainer
+    uses unit word frequency over a closed vocab, this counts every
+    corpus occurrence, which is what real tokenizer training does).
+    Emits the top {MERGE_TOP} candidates with rank — the table a
+    tokenizer team reads per merge round.
+
+    Scale shape: word counting is the canonical map-side-combined word
+    count (the vocab relation is ~N^0.5 of the corpus by Heaps' law);
+    pair explosion runs over the VOCAB relation, not the corpus — each
+    distinct word contributes len(word)-1 pairs weighted by its corpus
+    count, so the pair relation is bounded by vocab mass, then one
+    partial-agg'd pair count and a TakeOrderedAndProject top-k.
+    Overlapping pairs count per adjacent index ('aaa' yields (a,a)
+    twice), matching the trainer's Counter loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    wfreq = (
+        docs.select(F.explode(ws_words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wcnt"))
+    )
+    pairs = wfreq.where(F.length("w") >= 2).select(
+        "wcnt",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    cand = pairs.groupBy("pair").agg(
+        F.sum("wcnt").cast("bigint").alias("pair_count")
+    )
+    topk = cand.orderBy(F.desc("pair_count"), F.asc("pair")).limit(MERGE_TOP)
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return topk.select(
+        "pair", F.row_number().over(w).alias("rank"), "pair_count"
+    )
+
+
+BPE_MERGE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS w
+  FROM documents
+),
+wfreq AS (
+  SELECT w, COUNT(*) AS wcnt FROM toks GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, wcnt
+  FROM wfreq, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) s
+  WHERE length(w) >= 2
+),
+cand AS (
+  SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS pair_count FROM pairs GROUP BY pair
+),
+ranked AS (
+  SELECT pair, pair_count,
+         CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INT) AS rank
+  FROM cand
+)
+SELECT pair, rank, pair_count FROM ranked WHERE rank <= {MERGE_TOP}
+"""
+
+
+# --- Zipf rank-frequency slope (round 10) -----------------------------------
+
+ZIPF_TOP = 100
+
+
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf fit: ordinary least squares of ln(freq) on
+    ln(rank) over each language's top-{ZIPF_TOP} tokens.  Natural text
+    sits near slope -1; a corpus whose slope drifts (boilerplate, spam,
+    template floods) fails the census before anyone trains on it.
+    Emits slope, intercept, and r² per language.
+
+    Exactness: x=ln(rank) and y=ln(cnt) round to 9 dp then accumulate
+    as DECIMAL(19,9) / DECIMAL(38,18) (order-free exact sums, the
+    embedding_dim_stats discipline), so the closed-form OLS reads the
+    same doubles in both engines; outputs round to 6 dp.  r² is NULL
+    when the frequency column is constant (zero variance), identically
+    in both engines via NULLIF.
+
+    Scale shape: token counting is map-side combined; the per-lang
+    top-k ranks run a window over the VOCAB relation (~N^0.5 of corpus
+    mass) partitioned by lang — at extreme scale a pushed frequency
+    floor (cnt >= c) prunes the vocab tail before the window without
+    touching the top-{ZIPF_TOP}; the regression is then a 5-sum
+    partial agg over <= {ZIPF_TOP} rows per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("lang", F.explode(ws_words("text")).alias("t"))
+        .groupBy("lang", "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("t"))
+    ranked = freq.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= ZIPF_TOP
+    )
+    xy = ranked.select(
+        "lang",
+        F.round(F.log(F.col("rank").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 9).alias("y"),
+    )
+    sums = xy.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.expr("SUM(CAST(x AS DECIMAL(19,9)))").alias("sx"),
+        F.expr("SUM(CAST(y AS DECIMAL(19,9)))").alias("sy"),
+        F.expr("SUM(CAST(x * x AS DECIMAL(38,18)))").alias("sxx"),
+        F.expr("SUM(CAST(x * y AS DECIMAL(38,18)))").alias("sxy"),
+        F.expr("SUM(CAST(y * y AS DECIMAL(38,18)))").alias("syy"),
+    )
+    return sums.where(F.col("n") >= 3).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_ranks"),
+        F.expr(
+            "ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+        ).alias("zipf_slope"),
+        F.expr(
+            "ROUND((CAST(sy AS DOUBLE)"
+            " - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            "   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "   * CAST(sx AS DOUBLE)) / n, 6)"
+        ).alias("intercept"),
+        F.expr(
+            "ROUND(POW(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)"
+            " / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "    * NULLIF(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)), 6)"
+        ).alias("r2"),
+    )
+
+
+ZIPF_SLOPE_SQL = f"""
+WITH freq AS (
+  SELECT lang, t, COUNT(*) AS cnt
+  FROM (
+    SELECT lang,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+    FROM documents
+  )
+  GROUP BY lang, t
+),
+ranked AS (
+  SELECT lang, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, t) AS rank
+  FROM freq
+),
+xy AS (
+  SELECT lang,
+         ROUND(LN(CAST(rank AS DOUBLE)), 9) AS x,
+         ROUND(LN(CAST(cnt AS DOUBLE)), 9) AS y
+  FROM ranked WHERE rank <= {ZIPF_TOP}
+),
+sums AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(19,9))) AS sx,
+         SUM(CAST(y AS DECIMAL(19,9))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+         SUM(CAST(y * y AS DECIMAL(38,18))) AS syy
+  FROM xy GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_ranks,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+         AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+       ROUND(POW(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+             / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * NULLIF(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), 0.0)), 6)
+         AS r2
+FROM sums WHERE n >= 3
+"""
+
+
+# --- Jensen-Shannon divergence between sources (round 10) -------------------
+
+JS_TOPV = 200
+LN2 = float.fromhex("0x1.62e42fefa39efp-1")  # math.log(2), shared literal
+
+
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the per-source
+    unigram distributions (each source restricted to its top-{JS_TOPV}
+    tokens, renormalized) — the mixture-design distance matrix: which
+    sources are redundant (JSD ~ 0), which add genuinely new text
+    (JSD ~ ln 2).  js_normalized divides by ln 2, so 1.0 = disjoint.
+
+    Algebraic decomposition (the reason this never materializes a
+    full-outer join per pair): for tokens in only one distribution the
+    JSD term is p·ln2/2, so
+      JSD = ln2/2 · (2 − sharedMassA − sharedMassB) + Σ_{{t∈A∩B}} cross(t)
+    needs ONLY the intersection join plus each pair's shared mass.
+    The pair skeleton (|sources|² rows, both sides broadcast) left-joins
+    the intersection aggregate, so disjoint pairs emit exactly ln 2.
+
+    Scale shape: per-source top-V caps every distribution at {JS_TOPV}
+    rows, so the token-keyed intersection join carries <= V·|sources|
+    rows and the per-pair aggregate is bounded by V — constant in
+    corpus size once the (map-side combined) token counts exist.
+    Exactness: probabilities and JSD terms round to 9 dp then sum as
+    DECIMAL (order-free); ln 2 is one shared Python-formatted literal
+    in both plans."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("source", F.explode(ws_words("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("t"))
+    top = freq.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= JS_TOPV
+    )
+    tot = top.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    probs = top.join(tot, "source").select(
+        "source", "t", (F.col("cnt") / F.col("tot")).alias("p")
+    )
+    a = probs.select(
+        F.col("source").alias("source_a"), "t", F.col("p").alias("pa")
+    )
+    b = probs.select(
+        F.col("source").alias("source_b"), "t", F.col("p").alias("pb")
+    )
+    inter = (
+        a.join(b, "t")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common_tokens"),
+            F.expr("SUM(CAST(ROUND(pa, 9) AS DECIMAL(19,9)))").alias("ma"),
+            F.expr("SUM(CAST(ROUND(pb, 9) AS DECIMAL(19,9)))").alias("mb"),
+            F.expr(
+                "SUM(CAST(ROUND(0.5 * (pa * LN(2 * pa / (pa + pb))"
+                " + pb * LN(2 * pb / (pa + pb))), 9) AS DECIMAL(19,9)))"
+            ).alias("cross_term"),
+        )
+    )
+    srcs = docs.select("source").distinct()
+    skel = (
+        F.broadcast(srcs.select(F.col("source").alias("source_a")))
+        .crossJoin(F.broadcast(srcs.select(F.col("source").alias("source_b"))))
+        .where(F.col("source_a") < F.col("source_b"))
+    )
+    joined = skel.join(inter, ["source_a", "source_b"], "left")
+    jsd = (
+        F.lit(LN2) / 2
+        * (
+            F.lit(2.0)
+            - F.coalesce(F.col("ma").cast("double"), F.lit(0.0))
+            - F.coalesce(F.col("mb").cast("double"), F.lit(0.0))
+        )
+        + F.coalesce(F.col("cross_term").cast("double"), F.lit(0.0))
+    )
+    return joined.select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_common_tokens", F.lit(0).cast("bigint")).alias(
+            "n_common_tokens"
+        ),
+        F.round(jsd, 6).alias("js_divergence"),
+        F.round(jsd / F.lit(LN2), 6).alias("js_normalized"),
+    )
+
+
+JS_DIVERGENCE_SQL = f"""
+WITH freq AS (
+  SELECT source, t, COUNT(*) AS cnt
+  FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+    FROM documents
+  )
+  GROUP BY source, t
+),
+top AS (
+  SELECT source, t, cnt
+  FROM (
+    SELECT source, t, cnt,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, t) AS rank
+    FROM freq
+  ) WHERE rank <= {JS_TOPV}
+),
+tot AS (
+  SELECT source, SUM(cnt) AS tot FROM top GROUP BY source
+),
+probs AS (
+  SELECT top.source, t, CAST(cnt AS DOUBLE) / tot AS p
+  FROM top JOIN tot ON top.source = tot.source
+),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common_tokens,
+         SUM(CAST(ROUND(a.p, 9) AS DECIMAL(19,9))) AS ma,
+         SUM(CAST(ROUND(b.p, 9) AS DECIMAL(19,9))) AS mb,
+         SUM(CAST(ROUND(0.5 * (a.p * LN(2 * a.p / (a.p + b.p))
+                               + b.p * LN(2 * b.p / (a.p + b.p))), 9)
+                  AS DECIMAL(19,9))) AS cross_term
+  FROM probs a JOIN probs b ON a.t = b.t AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+skel AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM (SELECT DISTINCT source FROM documents) a,
+       (SELECT DISTINCT source FROM documents) b
+  WHERE a.source < b.source
+)
+SELECT skel.source_a, skel.source_b,
+       COALESCE(n_common_tokens, 0) AS n_common_tokens,
+       ROUND({LN2!r} / 2 * (2.0 - COALESCE(CAST(ma AS DOUBLE), 0.0)
+                                - COALESCE(CAST(mb AS DOUBLE), 0.0))
+             + COALESCE(CAST(cross_term AS DOUBLE), 0.0), 6) AS js_divergence,
+       ROUND(({LN2!r} / 2 * (2.0 - COALESCE(CAST(ma AS DOUBLE), 0.0)
+                                 - COALESCE(CAST(mb AS DOUBLE), 0.0))
+              + COALESCE(CAST(cross_term AS DOUBLE), 0.0)) / {LN2!r}, 6)
+         AS js_normalized
+FROM skel LEFT JOIN inter
+  ON skel.source_a = inter.source_a AND skel.source_b = inter.source_b
+"""
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
@@ -2632,6 +2963,9 @@ QUERIES = {
     "robust_quality_outliers": robust_quality_outliers,
     "sentence_stats": sentence_stats,
     "subword_sample_stats": subword_sample_stats,
+    "bpe_merge_candidates": bpe_merge_candidates,
+    "zipf_slope_by_lang": zipf_slope_by_lang,
+    "js_divergence_sources": js_divergence_sources,
 }
 
 ORACLES = {
@@ -2669,4 +3003,7 @@ ORACLES = {
     "robust_quality_outliers": ROBUST_QUALITY_SQL,
     "sentence_stats": SENTENCE_STATS_SQL,
     "subword_sample_stats": _subword_sample_sql(),
+    "bpe_merge_candidates": BPE_MERGE_SQL,
+    "zipf_slope_by_lang": ZIPF_SLOPE_SQL,
+    "js_divergence_sources": JS_DIVERGENCE_SQL,
 }

@@ -104,6 +104,9 @@ BNLJ_OK = {
     "user_activity_power_law",    # 1-row event-total broadcast
     "quality_ablation_matrix",  # 1-row grand-total broadcast (the cube's
                                 # own all-NULL row feeds the share divisor)
+    "js_divergence_sources",    # |sources|-row pair skeleton on BOTH
+                                # sides (non-equi source_a < source_b
+                                # pairing, the lang_vocab_overlap shape)
     "pipeline_drop_attribution",  # temp_rates' 1-row min-count broadcast
                                   # (building its plan also runs the CC
                                   # label loop, like clean_corpus — kept

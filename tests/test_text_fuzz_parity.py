@@ -93,6 +93,15 @@ FAMILY = [
     (textstats, "quality_quantile_normalize"),
     (corpus, "token_budget_pack_plan"),
     (dedup, "graph_triangle_counts"),
+    # round-10 additions: the BPE merge census (multi-byte chars must
+    # pair by CODE POINT identically in both engines; single-char and
+    # empty tokens contribute nothing), the Zipf fit (langs with < 3
+    # ranks must drop, constant-frequency langs must NULL their r²),
+    # and the source JSD (a source whose docs tokenize to nothing gets
+    # the disjoint-distribution reading ln 2, never a div-by-zero)
+    (textstats, "bpe_merge_candidates"),
+    (textstats, "zipf_slope_by_lang"),
+    (textstats, "js_divergence_sources"),
 ]
 
 
