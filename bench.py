@@ -240,6 +240,9 @@ EXTRA = [
     "bpe_merge_candidates",
     "zipf_slope_by_lang",
     "js_divergence_sources",
+    "decayed_event_counts",
+    "item_cooccurrence_similarity",
+    "graph_kcore_membership",
 ]
 
 

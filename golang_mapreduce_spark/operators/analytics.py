@@ -783,6 +783,211 @@ FROM tiled GROUP BY r_tile, f_tile, m_tile
 
 
 
+# --- exponentially decayed event counts (round 10) --------------------------
+
+DECAY_HALF_LIFE_DAYS = 7
+#: ln 2 / half-life-in-seconds, one Python-formatted double literal
+#: shared by both engines (the cross-engine shared-constant convention).
+_DECAY_LAMBDA = 0.6931471805599453 / (DECAY_HALF_LIFE_DAYS * 86400.0)
+
+
+def decayed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exponentially time-decayed activity: each event
+    weighs exp(-λ·age) with a {DECAY_HALF_LIFE_DAYS}-day half-life
+    against the corpus max timestamp (a deterministic anchor — no wall
+    clock), giving the freshness-weighted counters every trending /
+    ranking / feature-store pipeline keeps.  decay_ratio (decayed over
+    raw count) reads as "how recent is this event type's mass":
+    1.0 = all just now, ->0 = all ancient.
+
+    Mergeability is the point at scale: the decayed sum is a plain SUM
+    of per-event terms, so it partial-aggregates map-side and can be
+    maintained incrementally by adding new events' weights and
+    multiplying the old total by exp(-λ·Δt) at anchor advance — the
+    streaming twin of the CMS/HLL mergeable-sketch family.
+
+    Exactness: age is integer-microsecond arithmetic / 1e6 (exact
+    doubles), weights round to 9 dp then sum as DECIMAL (order-free),
+    λ is one shared Python-formatted literal in both plans."""
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.unix_micros("ts")).alias("anchor_us"))
+    aged = e.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "value",
+        (
+            (F.col("anchor_us") - F.unix_micros("ts")) / F.lit(1_000_000.0)
+        ).alias("age_s"),
+    )
+    return aged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(
+            F.expr(
+                f"CAST(SUM(CAST(ROUND(EXP(-({_DECAY_LAMBDA!r}) * age_s), 9)"
+                " AS DECIMAL(19,9))) AS DOUBLE)"
+            ),
+            6,
+        ).alias("decayed_count"),
+        F.round(
+            F.expr(
+                f"CAST(SUM(CAST(ROUND(EXP(-({_DECAY_LAMBDA!r}) * age_s) * value, 9)"
+                " AS DECIMAL(28,9))) AS DOUBLE)"
+            ),
+            6,
+        ).alias("decayed_value"),
+        F.round(
+            F.expr(
+                f"CAST(SUM(CAST(ROUND(EXP(-({_DECAY_LAMBDA!r}) * age_s), 9)"
+                " AS DECIMAL(19,9))) AS DOUBLE)"
+            )
+            / F.count("*"),
+            6,
+        ).alias("decay_ratio"),
+    )
+
+
+DECAYED_COUNTS_SQL = f"""
+WITH anchor AS (
+  SELECT MAX(epoch_us(ts)) AS anchor_us FROM events
+),
+aged AS (
+  SELECT event_type, value,
+         (anchor_us - epoch_us(ts)) / 1000000.0 AS age_s
+  FROM events, anchor
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(EXP(-({_DECAY_LAMBDA!r}) * age_s), 9)
+                          AS DECIMAL(19,9))) AS DOUBLE), 6) AS decayed_count,
+       ROUND(CAST(SUM(CAST(ROUND(EXP(-({_DECAY_LAMBDA!r}) * age_s) * value, 9)
+                          AS DECIMAL(28,9))) AS DOUBLE), 6) AS decayed_value,
+       ROUND(CAST(SUM(CAST(ROUND(EXP(-({_DECAY_LAMBDA!r}) * age_s), 9)
+                          AS DECIMAL(19,9))) AS DOUBLE) / COUNT(*), 6)
+         AS decay_ratio
+FROM aged
+GROUP BY event_type
+"""
+
+
+# --- item co-occurrence similarity (round 10) --------------------------------
+
+ITEM_CAP = 50
+COOC_MIN_USERS = 2
+
+
+def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarities from click
+    co-occurrence: items are the typed ``props.k`` of click events,
+    "users who clicked both" is the signal, cosine and Jaccard over
+    the user sets are the scores — the classic "people who viewed X
+    also viewed Y" table, computed without ever materializing the
+    user×item matrix.
+
+    Scale shape: the (user, item) relation is DISTINCT then capped at
+    each user's first {ITEM_CAP} items (by first-click time, item
+    tie-break — deterministic), so the per-user self-join fans out at
+    most {ITEM_CAP}²/2 pairs per user regardless of how degenerate a
+    power user is — THE standard guard against the quadratic heavy-user
+    blowup in co-occurrence mining (the LSH hot-bucket lesson, user
+    edition).  Pair counts and per-item user counts partial-aggregate;
+    pairs below {COOC_MIN_USERS} co-users are pruned before scoring."""
+    e = load_table(spark, sf_dir, "events")
+    ui = (
+        e.where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+            "ts",
+        )
+        .where(F.col("item").isNotNull())
+        .groupBy("user_id", "item")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("first_ts", "item")
+    capped = (
+        ui.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ITEM_CAP)
+        .select("user_id", "item")
+    )
+    n_users = capped.groupBy("item").agg(F.count("*").alias("n_users"))
+    a = capped.select("user_id", F.col("item").alias("item_a"))
+    b = capped.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_co_users"))
+        .where(F.col("n_co_users") >= COOC_MIN_USERS)
+    )
+    na = n_users.select(
+        F.col("item").alias("item_a"), F.col("n_users").alias("n_users_a")
+    )
+    nb = n_users.select(
+        F.col("item").alias("item_b"), F.col("n_users").alias("n_users_b")
+    )
+    return (
+        co.join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n_co_users").cast("bigint").alias("n_co_users"),
+            F.col("n_users_a").cast("bigint").alias("n_users_a"),
+            F.col("n_users_b").cast("bigint").alias("n_users_b"),
+            F.round(
+                F.col("n_co_users")
+                / F.sqrt(F.col("n_users_a") * F.col("n_users_b")),
+                6,
+            ).alias("cosine"),
+            F.round(
+                F.col("n_co_users")
+                / (F.col("n_users_a") + F.col("n_users_b") - F.col("n_co_users")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+ITEM_COOC_SQL = f"""
+WITH ui AS (
+  SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         MIN(ts) AS first_ts
+  FROM events
+  WHERE event_type = 'click'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+  GROUP BY user_id, item
+),
+capped AS (
+  SELECT user_id, item FROM (
+    SELECT user_id, item,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY first_ts, item) AS rn
+    FROM ui
+  ) WHERE rn <= {ITEM_CAP}
+),
+n_users AS (
+  SELECT item, COUNT(*) AS n_users FROM capped GROUP BY item
+),
+co AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_co_users
+  FROM capped a JOIN capped b
+    ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= {COOC_MIN_USERS}
+)
+SELECT item_a, item_b,
+       CAST(n_co_users AS BIGINT) AS n_co_users,
+       CAST(na.n_users AS BIGINT) AS n_users_a,
+       CAST(nb.n_users AS BIGINT) AS n_users_b,
+       ROUND(n_co_users / SQRT(CAST(na.n_users AS DOUBLE) * nb.n_users), 6)
+         AS cosine,
+       ROUND(CAST(n_co_users AS DOUBLE)
+             / (na.n_users + nb.n_users - n_co_users), 6) AS jaccard
+FROM co
+JOIN n_users na ON na.item = co.item_a
+JOIN n_users nb ON nb.item = co.item_b
+"""
+
+
 QUERIES = {
     "hourly_anomalies": hourly_anomalies,
     "event_transition_matrix": event_transition_matrix,
@@ -791,6 +996,8 @@ QUERIES = {
     "conversion_latency_quantiles": conversion_latency_quantiles,
     "attribution_model_compare": attribution_model_compare,
     "rfm_segments": rfm_segments,
+    "decayed_event_counts": decayed_event_counts,
+    "item_cooccurrence_similarity": item_cooccurrence_similarity,
     "event_ngram_patterns": event_ngram_patterns,
     "retention_cohorts": retention_cohorts,
     "window_range_7day_spend": window_range_7day_spend,
@@ -806,6 +1013,8 @@ ORACLES = {
     "conversion_latency_quantiles": CONVERSION_LATENCY_SQL,
     "attribution_model_compare": ATTRIBUTION_COMPARE_SQL,
     "rfm_segments": RFM_SQL,
+    "decayed_event_counts": DECAYED_COUNTS_SQL,
+    "item_cooccurrence_similarity": ITEM_COOC_SQL,
     "event_ngram_patterns": EVENT_NGRAM_SQL,
     "retention_cohorts": RETENTION_SQL,
     "window_range_7day_spend": RANGE_7DAY_SQL,

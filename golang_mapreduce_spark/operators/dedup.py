@@ -2762,6 +2762,140 @@ FROM tcount t JOIN deg d USING (doc_id)
 """
 
 
+# --- k-core peeling over the near-dup graph (round 10) ---------------------
+
+KCORE_K = 2
+KCORE_PEELS = 3
+
+
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_PEELS}-round k-core peeling (k={KCORE_K}) over the
+    near-dup LSH pair graph — the third leg of the graph-audit family
+    (degree = how many neighbors, triangles = how clique-like, core =
+    how DEEP in the dense region): repeatedly delete vertices with
+    degree < k and the edges they carry.  Docs that survive every peel
+    sit inside mutually-reinforcing duplicate mass (template families,
+    mirror clusters) that single-pair review queues systematically
+    under-sample; docs peeled in round 1 are periphery attached by one
+    accidental collision.
+
+    The peel count is a static unroll (the neardup_pagerank
+    convention): each round is one degree aggregate + two semi-joins,
+    all linear in surviving edge mass, so {KCORE_PEELS} rounds at k=2
+    is a fixed-depth approximation of the full 2-core (full
+    convergence would loop to fixpoint; the unroll keeps the plan
+    acyclic and the oracle one CTE chain).  The edge relation feeds
+    every round's two subtrees + the final degree count, so each level
+    materializes once via the eager-localCheckpoint lifecycle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs_scored = minhash_pairs_from(docs.select("doc_id", "text"))
+    e = pairs_scored.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    for shared in getattr(pairs_scored, "_gmrs_shared_caches", ()):
+        shared.unpersist(blocking=False)
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(edges.select(F.col("doc_b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    deg0 = degrees(e)
+    survivors: list[DataFrame] = []
+    cur = e
+    for _ in range(KCORE_PEELS):
+        surv = (
+            degrees(cur)
+            .where(F.col("deg") >= KCORE_K)
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        survivors.append(surv)
+        cur = (
+            cur.join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+    core_deg = degrees(cur)
+    out = deg0.select("doc_id", F.col("deg").alias("degree0"))
+    flag_total = None
+    for i, surv in enumerate(survivors):
+        flagged = surv.withColumn(f"s{i}", F.lit(1))
+        out = out.join(flagged, "doc_id", "left")
+        term = F.coalesce(F.col(f"s{i}"), F.lit(0))
+        flag_total = term if flag_total is None else flag_total + term
+    return (
+        out.join(core_deg.withColumnRenamed("deg", "core_deg"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("degree0").cast("bigint").alias("degree0"),
+            flag_total.cast("int").alias("rounds_survived"),
+            (flag_total == KCORE_PEELS).alias("in_core"),
+            F.coalesce("core_deg", F.lit(0)).cast("bigint").alias("core_degree"),
+        )
+    )
+
+
+def _kcore_sql() -> str:
+    """Every peel level is AS MATERIALIZED: DuckDB inlines plain CTEs
+    at each reference, and the e{{i}} chain references its predecessor
+    three times (two IN subqueries + the projection), so without
+    materialization the MinHash pair CTE would be re-evaluated
+    O(3^peels) times — measured at minutes on a 10-doc corpus."""
+    peels = []
+    prev = "e0"
+    for i in range(1, KCORE_PEELS + 1):
+        peels.append(f"""deg{i} AS MATERIALIZED (
+  SELECT doc_id, COUNT(*) AS deg FROM (
+    SELECT doc_a AS doc_id FROM {prev}
+    UNION ALL SELECT doc_b FROM {prev}
+  ) GROUP BY doc_id
+),
+s{i} AS MATERIALIZED (
+  SELECT doc_id FROM deg{i} WHERE deg >= {KCORE_K}
+),
+e{i} AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM {prev}
+  WHERE doc_a IN (SELECT doc_id FROM s{i})
+    AND doc_b IN (SELECT doc_id FROM s{i})
+)""")
+        prev = f"e{i}"
+    peel_sql = ",\n".join(peels)
+    flags = " + ".join(
+        f"(CASE WHEN v.doc_id IN (SELECT doc_id FROM s{i}) THEN 1 ELSE 0 END)"
+        for i in range(1, KCORE_PEELS + 1)
+    )
+    return f"""
+WITH pairs AS MATERIALIZED (
+  {minhash_pairs_sql("documents").strip()}
+),
+e0 AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM pairs
+),
+{peel_sql},
+v AS (
+  SELECT doc_id, COUNT(*) AS degree0 FROM (
+    SELECT doc_a AS doc_id FROM e0
+    UNION ALL SELECT doc_b FROM e0
+  ) GROUP BY doc_id
+),
+coredeg AS (
+  SELECT doc_id, COUNT(*) AS deg FROM (
+    SELECT doc_a AS doc_id FROM {prev}
+    UNION ALL SELECT doc_b FROM {prev}
+  ) GROUP BY doc_id
+)
+SELECT v.doc_id,
+       CAST(v.degree0 AS BIGINT) AS degree0,
+       CAST({flags} AS INT) AS rounds_survived,
+       ({flags}) = {KCORE_PEELS} AS in_core,
+       CAST(COALESCE(coredeg.deg, 0) AS BIGINT) AS core_degree
+FROM v LEFT JOIN coredeg ON v.doc_id = coredeg.doc_id
+"""
+
+
 # --- rare-n-gram uniqueness (round 9) ------------------------------------
 
 RARE_NGRAM_N = 8
@@ -2958,6 +3092,7 @@ QUERIES = {
     "source_minhash_similarity": source_minhash_similarity,
     "quality_by_dup_class": quality_by_dup_class,
     "graph_triangle_counts": graph_triangle_counts,
+    "graph_kcore_membership": graph_kcore_membership,
     "rare_ngram_uniqueness": rare_ngram_uniqueness,
     "normalization_ladder": normalization_ladder,
 }
@@ -2996,6 +3131,7 @@ ORACLES = {
     "source_minhash_similarity": _source_minhash_sql(),
     "quality_by_dup_class": _quality_by_dup_class_sql(),
     "graph_triangle_counts": GRAPH_TRIANGLES_SQL,
+    "graph_kcore_membership": _kcore_sql(),
     "rare_ngram_uniqueness": RARE_NGRAM_UNIQUENESS_SQL,
     "normalization_ladder": NORMALIZATION_LADDER_SQL,
 }

@@ -104,6 +104,7 @@ BNLJ_OK = {
     "user_activity_power_law",    # 1-row event-total broadcast
     "quality_ablation_matrix",  # 1-row grand-total broadcast (the cube's
                                 # own all-NULL row feeds the share divisor)
+    "decayed_event_counts",     # 1-row max-timestamp anchor broadcast
     "js_divergence_sources",    # |sources|-row pair skeleton on BOTH
                                 # sides (non-equi source_a < source_b
                                 # pairing, the lang_vocab_overlap shape)

@@ -125,6 +125,149 @@ def test_jsd_extremes_on_planted_sources(spark, tmp_path):
         assert by_pair[pair]["js_normalized"] == pytest.approx(1.0, abs=1e-6)
 
 
+def test_decayed_counts_match_python_recount(spark, sf_dir):
+    """Exact recount: same anchor, same per-event 9-dp-rounded weights,
+    same decimal sums — and the structural bounds (0 < decayed <= n,
+    ratio in (0, 1])."""
+    from decimal import Decimal
+
+    from golang_mapreduce_spark.operators.analytics import (
+        _DECAY_LAMBDA,
+        decayed_event_counts,
+    )
+
+    rows = decayed_event_counts(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "value"
+    ).collect()
+    anchor = max(r["us"] for r in ev)
+    agg: dict[str, list] = {}
+    for r in ev:
+        age = (anchor - r["us"]) / 1_000_000.0
+        w = math.exp(-_DECAY_LAMBDA * age)
+        a = agg.setdefault(r["event_type"], [0, Decimal(0), Decimal(0)])
+        a[0] += 1
+        a[1] += Decimal(f"{round(w, 9):.9f}")
+        a[2] += Decimal(f"{round(w * r['value'], 9):.9f}")
+    assert len(rows) == len(agg)
+    for r in rows:
+        n, dc, dv = agg[r["event_type"]]
+        assert r["n_events"] == n
+        assert r["decayed_count"] == pytest.approx(round(float(dc), 6), abs=1e-9)
+        assert r["decayed_value"] == pytest.approx(round(float(dv), 6), abs=1e-9)
+        assert 0 < r["decayed_count"] <= n
+        assert 0 < r["decay_ratio"] <= 1.0
+
+
+def test_item_cooccurrence_planted_scores_and_cap(spark, tmp_path):
+    """Planted click log: items 1 and 2 share exactly 2 of 3/2 users ->
+    cosine 2/sqrt(6), jaccard 2/3; a 60-item power user is capped at
+    ITEM_CAP so items ranked past the cap never pair."""
+    import datetime as dt
+
+    from golang_mapreduce_spark.operators.analytics import (
+        ITEM_CAP,
+        item_cooccurrence_similarity,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def click(user, item, minute):
+        nonlocal eid
+        rows.append(
+            (eid, t0 + dt.timedelta(minutes=minute), user, "click", 1.0,
+             '{"k": %d}' % item)
+        )
+        eid += 1
+
+    # users 100, 101 click both items 1 and 2; user 102 clicks only 1
+    for u in (100, 101):
+        click(u, 1, 0)
+        click(u, 2, 1)
+    click(102, 1, 0)
+    # power user 103 clicks 60 distinct items (1000..1059) in time order:
+    # the cap keeps the first ITEM_CAP, so 1000+ITEM_CAP.. never pair
+    for j in range(60):
+        click(103, 1000 + j, j)
+    d = str(tmp_path / "cooc")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    out = item_cooccurrence_similarity(spark, d).collect()
+    by_pair = {(r["item_a"], r["item_b"]): r for r in out}
+    r12 = by_pair[(1, 2)]
+    assert r12["n_co_users"] == 2
+    assert r12["n_users_a"] == 3 and r12["n_users_b"] == 2
+    assert r12["cosine"] == pytest.approx(2 / math.sqrt(6), abs=1e-6)
+    assert r12["jaccard"] == pytest.approx(2 / 3, abs=1e-6)
+    capped_out = {it for pair in by_pair for it in pair if it >= 1000}
+    assert capped_out <= {1000 + j for j in range(ITEM_CAP)}
+    # the power user's single-user pairs are pruned by COOC_MIN_USERS
+    assert all(
+        r["n_co_users"] >= 2 for r in out
+    )
+
+
+def test_kcore_planted_clique_and_pendant_pair(spark, tmp_path):
+    """Planted graph via exact near-duplicates: a 4-clique of identical
+    docs (degree 3 each -> survives every peel, in_core) and an isolated
+    duplicate PAIR (degree 1 -> peeled in round 1, rounds_survived 0,
+    core_degree 0)."""
+    from golang_mapreduce_spark.operators.dedup import (
+        KCORE_PEELS,
+        graph_kcore_membership,
+    )
+
+    clique_body = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(12))
+    pair_body = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(12))
+    docs = [(i, clique_body, "en", "s0", len(clique_body)) for i in range(4)]
+    docs += [(10 + i, pair_body, "en", "s1", len(pair_body)) for i in range(2)]
+    d = str(tmp_path / "kcore")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+
+    rows = {r["doc_id"]: r for r in graph_kcore_membership(spark, d).collect()}
+    assert set(rows) == {0, 1, 2, 3, 10, 11}
+    for did in (0, 1, 2, 3):
+        r = rows[did]
+        assert r["degree0"] == 3 and r["in_core"]
+        assert r["rounds_survived"] == KCORE_PEELS
+        assert r["core_degree"] == 3
+    for did in (10, 11):
+        r = rows[did]
+        assert r["degree0"] == 1 and not r["in_core"]
+        assert r["rounds_survived"] == 0
+        assert r["core_degree"] == 0
+
+
+def test_kcore_real_corpus_invariants(spark, sf_dir):
+    """core edges are a subset of the original graph (core_degree <=
+    degree0); in_core iff all peels survived; peeled docs carry zero
+    core edges."""
+    from golang_mapreduce_spark.operators.dedup import (
+        KCORE_PEELS,
+        graph_kcore_membership,
+    )
+
+    spark.catalog.clearCache()
+    rows = graph_kcore_membership(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["rounds_survived"] <= KCORE_PEELS
+        assert r["in_core"] == (r["rounds_survived"] == KCORE_PEELS)
+        assert r["core_degree"] <= r["degree0"]
+        if r["rounds_survived"] < KCORE_PEELS:
+            assert r["core_degree"] == 0
+    # the checkpointed edge levels must not leave cache entries behind
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_jsd_real_corpus_bounds(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_sources = docs.select("source").distinct().count()

@@ -102,6 +102,9 @@ FAMILY = [
     (textstats, "bpe_merge_candidates"),
     (textstats, "zipf_slope_by_lang"),
     (textstats, "js_divergence_sources"),
+    # k-core peeling over the adversarial corpus's dup-pair graph (the
+    # exact-duplicate trio is the only structure that pairs at all)
+    (dedup, "graph_kcore_membership"),
 ]
 
 
