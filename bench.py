@@ -243,7 +243,73 @@ EXTRA = [
     "decayed_event_counts",
     "item_cooccurrence_similarity",
     "graph_kcore_membership",
+    "source_level_split",
+    "benford_price_audit",
+    "embedding_clip_calibration",
+    "streaming_trending_topk",
+    # round-10 coverage sweep (VERDICT r9 "what's wrong" #1): the 48
+    # registered queries that predate the every-new-op-goes-in-EXTRA
+    # convention and had never been benched — folding them in closes
+    # the regression-gate hole; tests/test_bench_gate.py now asserts
+    # EVERY queries() name is timed (HEADLINE ∪ EXTRA), so the gap
+    # class cannot silently reappear.
+    "streaming_click_attribution",
+    "date_funcs",
+    "knn_numpy_batched",
+    "media_blob_stats",
+    "file_counts",
+    "file_profile",
+    "q4_priority_count",
+    "mr_wc",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "correlated_min_price_parts",
+    "join_left_order_counts",
+    "join_semi_big_spenders",
+    "join_anti_inactive_customers",
+    "agg_rollup_returns",
+    "agg_cube_orders",
+    "distinct_stats",
+    "set_ops_segments",
+    "scalar_funcs",
+    "json_events_typed",
+    "q8_market_share",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_dormant_rich_customers",
+    "q20_promo_suppliers",
+    "dataset_split_counts",
+    "ntile_customer_quartiles",
+    "funnel_conversion",
+    "sliding_10m_5m",
+    "streaming_tumbling_hourly",
+    "emb_neardup_multiprobe",
+    "pq_codes",
+    "lang_doc_stats",
+    "lang_id_heuristic",
+    "token_stats",
+    "bigram_counts",
+    "winnow_fingerprints",
+    "multimodal_join",
+    "image_features",
+    "audio_chunk_features",
+    "video_frame_sample",
+    "grouping_sets_orders",
+    "window_order_gaps",
+    "percentile_prices",
+    "nested_customer_profile",
+    "salted_word_count",
 ]
+
+
+#: Benched names that do not yet have a bench_baseline.json best_sec.
+#: tests/test_bench_gate.py pins that NO name outside this set lacks a
+#: baseline — the set exists to shrink: the round-10 quiet best-of-N
+#: seeding run empties it, and any future op must either get a seed or
+#: be listed here explicitly (no silent gate holes).
+PENDING_BASELINE_SEED: set[str] = set()
 
 
 def force(df) -> None:

@@ -1016,6 +1016,123 @@ WHERE levenshtein(name_a, name_b) <= 1
 
 
 
+# --- Benford leading-digit audit (round 10) ---------------------------------
+
+#: log10(1 + 1/d) for d in 1..9 — the Benford first-digit law, computed
+#: once in Python and embedded as shared double literals in both plans
+#: (the cross-engine shared-constant convention).
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _benford_case(engine_digit: str) -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in sorted(_BENFORD_P.items())
+    )
+    return f"CASE {engine_digit} {whens} END"
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformance audit over the two monetary fact
+    columns (orders.o_totalprice, lineitem.l_extendedprice): observed
+    leading-digit shares against log10(1+1/d), with per-digit and total
+    chi-square — the forensic screen for synthetic, capped, or
+    manually-entered amounts (organic multiplicative data follows
+    Benford; a generator that draws uniform prices fails it loudly,
+    which is itself a useful fixture fact).
+
+    Determinism: the leading digit comes from the integer CENTS string
+    (FLOOR(x*100) is exact IEEE in both engines; BIGINT-to-string is
+    engine-identical) — never from double formatting.  Chi-square terms
+    round to 9 dp and sum as DECIMAL over an 18-row relation.
+
+    Scale shape: two fact scans pruned to one column each, one
+    partial-agg'd groupBy(col, digit) whose output is <= 18 rows;
+    everything after the count is arithmetic on that tiny relation."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.lit("o_totalprice").alias("col_name"),
+        F.col("o_totalprice").alias("x"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("l_extendedprice").alias("col_name"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    digit = F.substring(
+        F.floor(F.col("x") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.unionAll(l)
+        .where(F.col("x") > 0)
+        .select("col_name", digit.alias("digit"))
+        .groupBy("col_name", "digit")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("col_name")
+    p = F.expr(_benford_case("digit"))
+    tot = F.sum("n").over(w)
+    exp_n = tot * p
+    term = F.pow(F.col("n") - exp_n, 2) / exp_n
+    with_terms = counts.select(
+        "col_name",
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / tot, 6).alias("share"),
+        F.round(p, 6).alias("expected_share"),
+        F.round(term, 6).alias("chi2_term"),
+        F.round(term, 9).alias("_t9"),
+    )
+    return with_terms.select(
+        "col_name",
+        "digit",
+        "n",
+        "share",
+        "expected_share",
+        "chi2_term",
+        F.round(
+            F.expr(
+                "CAST(SUM(CAST(_t9 AS DECIMAL(28,9)))"
+                " OVER (PARTITION BY col_name) AS DOUBLE)"
+            ),
+            6,
+        ).alias("chi2_total"),
+    )
+
+
+BENFORD_SQL = f"""
+WITH vals AS (
+  SELECT 'o_totalprice' AS col_name, o_totalprice AS x FROM orders
+  UNION ALL
+  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+),
+counts AS (
+  SELECT col_name,
+         CAST(substr(CAST(CAST(FLOOR(x * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit,
+         COUNT(*) AS n
+  FROM vals WHERE x > 0
+  GROUP BY 1, 2
+),
+terms AS (
+  SELECT col_name, digit, n,
+         SUM(n) OVER (PARTITION BY col_name) AS tot,
+         {_benford_case("digit")} AS p
+  FROM counts
+)
+SELECT col_name, digit,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / tot, 6) AS share,
+       ROUND(p, 6) AS expected_share,
+       ROUND(POW(n - tot * p, 2) / (tot * p), 6) AS chi2_term,
+       ROUND(CAST(SUM(CAST(ROUND(POW(n - tot * p, 2) / (tot * p), 9)
+                           AS DECIMAL(28,9)))
+                  OVER (PARTITION BY col_name) AS DOUBLE), 6) AS chi2_total
+FROM terms
+"""
+
+
 QUERIES = {
     "fuzzy_key_join_customers": fuzzy_key_join_customers,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1041,6 +1158,7 @@ QUERIES = {
     "json_events": json_events,
     "json_events_typed": json_events_typed,
     "dq_constraint_audit": dq_constraint_audit,
+    "benford_price_audit": benford_price_audit,
 }
 
 ORACLES = {
@@ -1068,4 +1186,5 @@ ORACLES = {
     "json_events": JSON_SQL,
     "json_events_typed": JSON_TYPED_SQL,
     "dq_constraint_audit": DQ_AUDIT_SQL,
+    "benford_price_audit": BENFORD_SQL,
 }

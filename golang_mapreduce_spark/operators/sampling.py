@@ -662,6 +662,96 @@ LIMIT {RESERVOIR_K}
 """
 
 
+# --- source-level (group) split (round 10) ----------------------------------
+
+
+def source_level_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-level train/val/test split: the hash bucket is
+    keyed on the SOURCE, so every document of a source lands in the same
+    split — the assignment discipline when documents within a group
+    correlate (near-dups, shared boilerplate, same crawl seed) and a
+    doc-level split would leak train text into eval via its siblings
+    (the failure split_leakage_audit measures after the fact; this
+    prevents it by construction).  The manifest is the per-split rollup
+    with the realized doc share against the target — coarse groups make
+    shares drift, which is exactly why the audit column exists.
+
+    Scale shape: one scan, the split is a pure projection of a hash of
+    the source key (no join against a split table), one 3-row
+    aggregate.  Appends are stable: a new source hashes to a fixed
+    split and never reassigns an old one."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash32(F.concat(F.lit("srcsplit:"), F.col("source"))) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    target = (
+        F.when(F.col("split") == "train", TRAIN_PCT / 100.0)
+        .when(F.col("split") == "val", VAL_PCT / 100.0)
+        .otherwise((100 - TRAIN_PCT - VAL_PCT) / 100.0)
+    )
+    agg = (
+        docs.select(split.alias("split"), "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    total = agg.agg(F.sum("n_docs").alias("n_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
+        "split",
+        "n_sources",
+        "n_docs",
+        "total_chars",
+        F.round(F.col("n_docs") / F.col("n_total"), 6).alias("doc_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(F.abs(F.col("n_docs") / F.col("n_total") - target), 6).alias(
+            "abs_dev"
+        ),
+    )
+
+
+SOURCE_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT CASE WHEN bucket < {TRAIN_PCT} THEN 'train'
+              WHEN bucket < {TRAIN_PCT + VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split,
+         source, n_chars
+  FROM (
+    SELECT source, n_chars,
+           {sql_hash32("'srcsplit:' || source")} % 100 AS bucket
+    FROM documents
+  )
+),
+agg AS (
+  SELECT split,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM assigned GROUP BY split
+),
+tot AS (
+  SELECT SUM(n_docs) AS n_total FROM agg
+)
+SELECT split, n_sources, n_docs, total_chars,
+       ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS doc_share,
+       ROUND(CAST(CASE split WHEN 'train' THEN {TRAIN_PCT / 100.0!r}
+                             WHEN 'val' THEN {VAL_PCT / 100.0!r}
+                             ELSE {(100 - TRAIN_PCT - VAL_PCT) / 100.0!r} END
+                  AS DOUBLE), 6) AS target_share,
+       ROUND(ABS(CAST(n_docs AS DOUBLE) / n_total
+                 - CAST(CASE split WHEN 'train' THEN {TRAIN_PCT / 100.0!r}
+                                   WHEN 'val' THEN {VAL_PCT / 100.0!r}
+                                   ELSE {(100 - TRAIN_PCT - VAL_PCT) / 100.0!r} END
+                        AS DOUBLE)), 6) AS abs_dev
+FROM agg, tot
+"""
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "weighted_reservoir_sample": weighted_reservoir_sample,
@@ -673,6 +763,7 @@ QUERIES = {
     "source_budget_select_hist": source_budget_select_hist,
     "topic_balanced_select": topic_balanced_select,
     "split_leakage_audit": split_leakage_audit,
+    "source_level_split": source_level_split,
 }
 
 ORACLES = {
@@ -689,4 +780,5 @@ ORACLES = {
     "topic_balanced_select": _topic_balanced_sql(),
     "temperature_rebalance_sample": TEMPERATURE_REBALANCE_SQL,
     "split_leakage_audit": _split_leakage_sql(),
+    "source_level_split": SOURCE_SPLIT_SQL,
 }

@@ -2939,6 +2939,121 @@ c0 AS (
 
 
 
+# --- per-dim clip calibration via binned CDF (round 10) --------------------
+
+CLIP_LOW_PCT = 1    # clip below the per-dim 1st percentile ...
+CLIP_HIGH_PCT = 99  # ... and above the 99th
+CLIP_BIN_DP = 3     # CDF bins: values rounded to 3 dp
+
+
+def embedding_clip_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension clip bounds for quantization calibration: the
+    [p{CLIP_LOW_PCT}, p{CLIP_HIGH_PCT}] value range of every embedding
+    dimension plus the mass that clipping discards — the table an int8
+    quantizer consumes when min/max calibration (embedding_dim_stats)
+    is too outlier-sensitive; percentile clipping is the standard fix.
+
+    Scale shape: exact per-dim percentiles would sort per dimension
+    (O(N/d) memory per group at 100 TB — the reason this does NOT use
+    percentile()).  Instead values round to {CLIP_BIN_DP} dp and the
+    quantile is read off the binned CDF: the (dim, bin) relation is
+    bounded by dims × value-range·10^{CLIP_BIN_DP} REGARDLESS of
+    collection size, counts partial-aggregate map-side, and the
+    cumulative sum runs per dim over that bounded relation.  The bound
+    is the smallest bin whose cumulative count reaches the target —
+    integer arithmetic (100·cum >= pct·n), no float thresholds.
+    Clipped mass is then one semi-arithmetic pass over the same bins.
+    Bin quantization means bounds are exact at {CLIP_BIN_DP} dp — the
+    honest contract for calibration (a quantizer cannot use more
+    precision than its own grid anyway)."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    bins = (
+        e.select(F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim", F.round("v", CLIP_BIN_DP).alias("v3"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("dim")
+        .orderBy("v3")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy("dim"))
+    )
+    lo = (
+        cdf.where(100 * F.col("cum") >= CLIP_LOW_PCT * F.col("n"))
+        .groupBy("dim")
+        .agg(F.min("v3").alias("q_lo"))
+    )
+    hi = (
+        cdf.where(100 * F.col("cum") >= CLIP_HIGH_PCT * F.col("n"))
+        .groupBy("dim")
+        .agg(F.min("v3").alias("q_hi"))
+    )
+    return (
+        bins.join(lo, "dim")
+        .join(hi, "dim")
+        .groupBy("dim", "q_lo", "q_hi")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("v3") < F.col("q_lo")) | (F.col("v3") > F.col("q_hi")),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_clipped"),
+        )
+        .select(
+            "dim",
+            "n",
+            F.round("q_lo", 6).alias("q_lo"),
+            F.round("q_hi", 6).alias("q_hi"),
+            F.round(F.col("q_hi") - F.col("q_lo"), 6).alias("clip_width"),
+            F.round(F.col("n_clipped") / F.col("n"), 6).alias("clipped_frac"),
+        )
+    )
+
+
+CLIP_CALIBRATION_SQL = f"""
+WITH expl AS (
+  SELECT u.dim - 1 AS dim, CAST(u.v AS DOUBLE) AS v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS dim) u
+),
+bins AS MATERIALIZED (
+  SELECT dim, ROUND(v, {CLIP_BIN_DP}) AS v3, COUNT(*) AS cnt
+  FROM expl GROUP BY dim, ROUND(v, {CLIP_BIN_DP})
+),
+cdf AS MATERIALIZED (
+  SELECT dim, v3, cnt,
+         SUM(cnt) OVER (PARTITION BY dim ORDER BY v3
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY dim) AS n
+  FROM bins
+),
+lo AS (
+  SELECT dim, MIN(v3) AS q_lo FROM cdf
+  WHERE 100 * cum >= {CLIP_LOW_PCT} * n GROUP BY dim
+),
+hi AS (
+  SELECT dim, MIN(v3) AS q_hi FROM cdf
+  WHERE 100 * cum >= {CLIP_HIGH_PCT} * n GROUP BY dim
+)
+SELECT CAST(b.dim AS INT) AS dim,
+       CAST(SUM(cnt) AS BIGINT) AS n,
+       ROUND(q_lo, 6) AS q_lo,
+       ROUND(q_hi, 6) AS q_hi,
+       ROUND(q_hi - q_lo, 6) AS clip_width,
+       ROUND(CAST(SUM(CASE WHEN v3 < q_lo OR v3 > q_hi THEN cnt ELSE 0 END)
+                  AS DOUBLE) / SUM(cnt), 6) AS clipped_frac
+FROM bins b JOIN lo ON b.dim = lo.dim JOIN hi ON b.dim = hi.dim
+GROUP BY b.dim, q_lo, q_hi
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -2957,6 +3072,7 @@ QUERIES = {
     "ivf_int8_topk": ivf_int8_topk,
     "hard_negative_mining": hard_negative_mining,
     "embedding_dim_stats": embedding_dim_stats,
+    "embedding_clip_calibration": embedding_clip_calibration,
     "centroid_drift_by_label": centroid_drift_by_label,
     "embedding_power_iteration": embedding_power_iteration,
     "coreset_kcenter_select": coreset_kcenter_select,
@@ -2990,6 +3106,7 @@ ORACLES = {
     "ivf_int8_topk": IVF_INT8_SQL,
     "hard_negative_mining": HARD_NEGATIVES_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+    "embedding_clip_calibration": CLIP_CALIBRATION_SQL,
     "centroid_drift_by_label": CENTROID_DRIFT_SQL,
     "embedding_power_iteration": POWER_ITERATION_SQL,
     "coreset_kcenter_select": _kcenter_sql(),

@@ -963,6 +963,108 @@ def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRENDING_TOP = 5
+
+
+def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly trending-items log: per-window click counts for the typed
+    ``props.k`` item stream out in watermarked APPEND mode (each
+    finalized (window, item) row emitted exactly once — the
+    tumbling-append metrics-log shape), and the top-{TRENDING_TOP}
+    ranking per window runs BATCH-side over the drained log — exactly
+    how a trending dashboard consumes a metrics store: streaming owns
+    the counting state, the rank is a cheap readout of the emitted log
+    (never streaming state, which would need complete mode's unbounded
+    retention).
+
+    Drain: the sessionize sentinel pattern (two far-future events,
+    maxFilesPerTrigger=2); sentinel rows carry props '{{}}' so their
+    item parses NULL and the pre-aggregation filter drops them.  State
+    is one row per open (window, item) — O(open windows × item vocab),
+    evicted on watermark passage; swap the file source for Kafka and
+    nothing downstream changes."""
+    import os
+
+    src = tempfile.mkdtemp(prefix="gmrs_trend_src_")
+    try:
+        real = os.path.join(src, "00_events.parquet")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
+        ts_type = events_ts_layout(spark, real)
+        nanos = isinstance(ts_type, T.LongType)
+        _write_sentinel(os.path.join(src, "01_sentinel.parquet"), 4_102_444_800, nanos)
+        _write_sentinel(os.path.join(src, "02_sentinel.parquet"), 4_133_980_800, nanos)
+        now = os.path.getmtime(real)
+        for i, f in enumerate(sorted(os.listdir(src))):
+            os.utime(os.path.join(src, f), (now + 10 * i, now + 10 * i))
+
+        stream = normalize_events_ts(
+            spark.readStream.schema(events_stream_schema(ts_type))
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        # NO pre-aggregation row filter: Catalyst pushes filters through
+        # the EventTimeWatermark node, so a click-only filter would drop
+        # the sentinel rows BEFORE they advance the watermark and the
+        # last real window would never finalize (caught by the sf0.01
+        # parity diff — one missing window).  Instead non-click rows
+        # (sentinels included) fold into a NULL-item group per window
+        # and are dropped after the drain.
+        items = stream.withWatermark("ts", "10 minutes").select(
+            "ts",
+            F.when(
+                F.col("event_type") == "click",
+                F.get_json_object("props", "$.k").cast("bigint"),
+            ).alias("item"),
+        )
+        agg = items.groupBy(F.window("ts", "1 hour").alias("w"), "item").agg(
+            F.count("*").alias("n_clicks")
+        )
+        log = run_stream_to_batch(agg, spark, output_mode="append")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    log = log.where(F.col("item").isNotNull())
+    from pyspark.sql.window import Window
+
+    rank_w = Window.partitionBy("wstart").orderBy(
+        F.desc("n_clicks"), F.asc("item")
+    )
+    return (
+        log.select(F.col("w.start").alias("wstart"), "item", "n_clicks")
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= TRENDING_TOP)
+        .select(
+            "wstart",
+            F.col("rank").cast("int").alias("rank"),
+            "item",
+            F.col("n_clicks").cast("bigint").alias("n_clicks"),
+        )
+    )
+
+
+TRENDING_TOPK_SQL = f"""
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS wstart,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+         COUNT(*) AS n_clicks
+  FROM events
+  WHERE event_type = 'click'
+        AND json_extract_string(props, '$.k') IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT wstart,
+       CAST(rank AS INT) AS rank,
+       item,
+       CAST(n_clicks AS BIGINT) AS n_clicks
+FROM (
+  SELECT wstart, item, n_clicks,
+         ROW_NUMBER() OVER (PARTITION BY wstart
+                            ORDER BY n_clicks DESC, item) AS rank
+  FROM counts
+)
+WHERE rank <= {TRENDING_TOP}
+"""
+
+
 def _write_typed_sentinels(path: str, ts_sec: int, nanos_layout: bool) -> None:
     """Watermark-advancing sentinel pair — one far-future 'click' and
     one far-future 'purchase' (user_id = -1) — for jobs whose two
@@ -1411,6 +1513,7 @@ QUERIES = {
     "streaming_tumbling_hourly": streaming_tumbling_hourly,
     "streaming_tumbling_append": streaming_tumbling_append,
     "streaming_session_append": streaming_session_append,
+    "streaming_trending_topk": streaming_trending_topk,
     "stateful_sessionize": stateful_sessionize,
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_unattributed_purchases": streaming_unattributed_purchases,
@@ -1431,6 +1534,9 @@ ORACLES = {
     "streaming_tumbling_append": TUMBLING_SQL,
     # the finalized native-session log equals the batch session table
     "streaming_session_append": SESSION_SQL,
+    # the finalized trending log's batch-side rank equals the same
+    # window-ranked batch table
+    "streaming_trending_topk": TRENDING_TOPK_SQL,
     "stateful_sessionize": STATEFUL_SESSION_SQL,
     "streaming_click_attribution": CLICK_ATTRIBUTION_SQL,
     "streaming_unattributed_purchases": UNATTRIBUTED_PURCHASES_SQL,

@@ -301,6 +301,47 @@ def round9_window() -> list[str]:
     )
 
 
+#: Round-10 parameters.  The head leads with the two round-9 carryovers
+#: (the ONLY registered queries with zero driver rows — VERDICT r9 #1),
+#: then the round-10 additions in landing order.
+ROUND10_NEW: tuple[str, ...] = (
+    *ROUND10_NEW_CARRYOVER,
+    # first batch: the tokenizer-and-distribution census trio
+    "bpe_merge_candidates",
+    "zipf_slope_by_lang",
+    "js_divergence_sources",
+    # second batch: decayed counters, item-item CF, k-core peeling
+    "decayed_event_counts",
+    "item_cooccurrence_similarity",
+    "graph_kcore_membership",
+    # third batch: group-level split, Benford audit, clip calibration,
+    # the streaming trending log
+    "source_level_split",
+    "benford_price_audit",
+    "embedding_clip_calibration",
+    "streaming_trending_topk",
+)
+#: quality_ablation_matrix: output-contract change (grouping_id column,
+#: gid-keyed grand total — ADVICE r9); coreset_kcenter_select:
+#: candidate pool now anti-joins selected centers (ADVICE r9).
+ROUND10_CHANGED: tuple[str, ...] = (
+    "quality_ablation_matrix",
+    "coreset_kcenter_select",
+)
+ROUND10_PINS: tuple[str, ...] = ()
+
+
+def round10_window() -> list[str]:
+    return propose_window(
+        latest_rounds(through_round=9),
+        r1_cohort(),
+        registration_order(),
+        new=ROUND10_NEW,
+        changed=ROUND10_CHANGED,
+        pins=ROUND10_PINS,
+    )
+
+
 def window_for_round(
     round_no: int,
     *,

