@@ -2928,6 +2928,98 @@ FROM skel LEFT JOIN inter
 """
 
 
+# --- per-doc TF-IDF keyword extraction (round 10) ---------------------------
+
+KEYWORDS_K = 3
+
+
+def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{KEYWORDS_K} TF-IDF keywords for EVERY document — the
+    per-doc tagging/indexing readout next to tfidf_top_terms' global
+    vocabulary view: tf is the in-doc count, idf is ln(N/df), ties
+    break lexicographically, and every doc with at least one token
+    gets up to {KEYWORDS_K} rows.
+
+    Scale shape: the (doc, term, tf) relation is linear in token mass;
+    df is one term-keyed partial aggregate joined back on term; the
+    per-doc rank windows on doc_id where each group is one document's
+    vocabulary (bounded by doc length — never a global sort).  N is a
+    1-row broadcast.  idf rounds to 9 dp before the product so the
+    rank key is engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(ws_words("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_rel = tf.groupBy("t").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_rel, "t")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "t",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.round(F.log(F.col("n_docs") / F.col("df")), 9)
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KEYWORDS_K)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("t").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("tfidf", 6).alias("tfidf"),
+        )
+    )
+
+
+DOC_KEYWORDS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+    FROM documents
+  )
+  GROUP BY doc_id, t
+),
+df_rel AS (
+  SELECT t, COUNT(*) AS df FROM tf GROUP BY t
+),
+n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+),
+scored AS (
+  SELECT doc_id, t, tf, df,
+         tf * ROUND(LN(CAST(n_docs AS DOUBLE) / df), 9) AS tfidf
+  FROM tf JOIN df_rel USING (t) CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(rank AS INT) AS rank,
+       t AS term,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df,
+       ROUND(tfidf, 6) AS tfidf
+FROM (
+  SELECT doc_id, t, tf, df, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, t) AS rank
+  FROM scored
+)
+WHERE rank <= {KEYWORDS_K}
+"""
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
@@ -2966,6 +3058,7 @@ QUERIES = {
     "bpe_merge_candidates": bpe_merge_candidates,
     "zipf_slope_by_lang": zipf_slope_by_lang,
     "js_divergence_sources": js_divergence_sources,
+    "doc_keywords_tfidf": doc_keywords_tfidf,
 }
 
 ORACLES = {
@@ -3006,4 +3099,5 @@ ORACLES = {
     "bpe_merge_candidates": BPE_MERGE_SQL,
     "zipf_slope_by_lang": ZIPF_SLOPE_SQL,
     "js_divergence_sources": JS_DIVERGENCE_SQL,
+    "doc_keywords_tfidf": DOC_KEYWORDS_SQL,
 }

@@ -668,6 +668,107 @@ LIMIT 100
 """
 
 
+# --- market-basket association rules over order baskets (round 10) ---------
+
+BASKET_MIN_ORDERS = 5
+
+
+def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules at the brand level: for every
+    pair of part brands co-purchased in the same order, the classic
+    support / confidence / lift triple — lift > 1 marks genuinely
+    associated brands, the table behind "frequently bought together"
+    and assortment planning.  Pairs under {BASKET_MIN_ORDERS} shared
+    orders are pruned before scoring (the standard min-support cut).
+
+    Scale shape: the basket relation is DISTINCT (order, brand) — the
+    brand vocabulary is a curated ~25-value dimension attribute, so
+    per-order fanout in the self-join is bounded by |brands|²/2
+    regardless of order width, the item_cooccurrence cap argument with
+    the cap supplied by the dimension itself.  The part join shuffles
+    on partkey once (broadcastable when the part dim fits); pair and
+    per-brand counts partial-aggregate; the N divisor is a 1-row
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    baskets = li.join(part, "l_partkey").select(
+        F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+    ).distinct()
+    total = baskets.agg(
+        F.countDistinct("okey").alias("n_orders")
+    )
+    per_brand = baskets.groupBy("brand").agg(F.count("*").alias("n_brand"))
+    a = baskets.select("okey", F.col("brand").alias("brand_a"))
+    b = baskets.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .where(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_both"))
+        .where(F.col("n_both") >= BASKET_MIN_ORDERS)
+    )
+    na = per_brand.select(
+        F.col("brand").alias("brand_a"), F.col("n_brand").alias("n_a")
+    )
+    nb = per_brand.select(
+        F.col("brand").alias("brand_b"), F.col("n_brand").alias("n_b")
+    )
+    return (
+        pairs.join(na, "brand_a")
+        .join(nb, "brand_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            F.col("n_both").cast("bigint").alias("n_orders_both"),
+            F.col("n_a").cast("bigint").alias("n_orders_a"),
+            F.col("n_b").cast("bigint").alias("n_orders_b"),
+            F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence_a_to_b"),
+            F.round(
+                F.col("n_orders") * F.col("n_both")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+BRAND_BASKET_SQL = f"""
+WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+n AS (
+  SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets
+),
+per_brand AS (
+  SELECT brand, COUNT(*) AS n_brand FROM baskets GROUP BY brand
+),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_both
+  FROM baskets a JOIN baskets b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+  HAVING COUNT(*) >= {BASKET_MIN_ORDERS}
+)
+SELECT brand_a, brand_b,
+       CAST(n_both AS BIGINT) AS n_orders_both,
+       CAST(na.n_brand AS BIGINT) AS n_orders_a,
+       CAST(nb.n_brand AS BIGINT) AS n_orders_b,
+       ROUND(CAST(n_both AS DOUBLE) / n_orders, 6) AS support,
+       ROUND(CAST(n_both AS DOUBLE) / na.n_brand, 6) AS confidence_a_to_b,
+       ROUND(CAST(n_orders AS DOUBLE) * n_both / (na.n_brand * nb.n_brand), 6)
+         AS lift
+FROM pairs
+JOIN per_brand na ON na.brand = pairs.brand_a
+JOIN per_brand nb ON nb.brand = pairs.brand_b
+CROSS JOIN n
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q7_volume_shipping": q7_volume_shipping,
@@ -683,6 +784,7 @@ QUERIES = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_dormant_rich_customers": q22_dormant_rich_customers,
     "q20_promo_suppliers": q20_promo_suppliers,
+    "brand_basket_lift": brand_basket_lift,
 }
 
 ORACLES = {
@@ -700,4 +802,5 @@ ORACLES = {
     "q21_waiting_suppliers": Q21_SQL,
     "q22_dormant_rich_customers": Q22_SQL,
     "q20_promo_suppliers": Q20_SQL,
+    "brand_basket_lift": BRAND_BASKET_SQL,
 }

@@ -320,6 +320,10 @@ ROUND10_NEW: tuple[str, ...] = (
     "benford_price_audit",
     "embedding_clip_calibration",
     "streaming_trending_topk",
+    # fourth batch: market-basket association rules, per-doc TF-IDF
+    # keyword extraction
+    "brand_basket_lift",
+    "doc_keywords_tfidf",
 )
 #: quality_ablation_matrix: output-contract change (grouping_id column,
 #: gid-keyed grand total — ADVICE r9); coreset_kcenter_select:

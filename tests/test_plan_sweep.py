@@ -107,6 +107,8 @@ BNLJ_OK = {
                                 # own all-NULL row feeds the share divisor)
     "decayed_event_counts",     # 1-row max-timestamp anchor broadcast
     "source_level_split",       # 1-row doc-total broadcast (share divisor)
+    "brand_basket_lift",        # 1-row order-total broadcast (support divisor)
+    "doc_keywords_tfidf",       # 1-row doc-count broadcast (idf divisor)
     "js_divergence_sources",    # |sources|-row pair skeleton on BOTH
                                 # sides (non-equi source_a < source_b
                                 # pairing, the lang_vocab_overlap shape)

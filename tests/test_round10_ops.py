@@ -367,6 +367,78 @@ def test_streaming_trending_ranks_are_dense_and_ordered(spark, sf_dir):
         assert counts == sorted(counts, reverse=True)
 
 
+def test_brand_basket_lift_reconciles(spark, sf_dir):
+    """Association-rule identities: n_both <= min(n_a, n_b); support,
+    confidence, and lift re-derive from the counts and the independent
+    order total; pairs below min-support are absent."""
+    from golang_mapreduce_spark.operators.tpch_extra import (
+        BASKET_MIN_ORDERS,
+        brand_basket_lift,
+    )
+
+    rows = brand_basket_lift(spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    n_orders = (
+        li.join(part, "l_partkey").select("l_orderkey").distinct().count()
+    )
+    for r in rows:
+        assert r["brand_a"] < r["brand_b"]
+        assert r["n_orders_both"] >= BASKET_MIN_ORDERS
+        assert r["n_orders_both"] <= min(r["n_orders_a"], r["n_orders_b"])
+        assert r["support"] == pytest.approx(
+            r["n_orders_both"] / n_orders, abs=2e-6
+        )
+        assert r["confidence_a_to_b"] == pytest.approx(
+            r["n_orders_both"] / r["n_orders_a"], abs=2e-6
+        )
+        assert r["lift"] == pytest.approx(
+            n_orders * r["n_orders_both"] / (r["n_orders_a"] * r["n_orders_b"]),
+            abs=2e-6,
+        )
+
+
+def test_doc_keywords_rank_semantics(spark, tmp_path, sf_dir):
+    """Planted corpus: a term unique to one doc outranks corpus-wide
+    terms (idf 0 when df = N); ranks are dense, scores non-increasing."""
+    from golang_mapreduce_spark.operators.textstats import (
+        KEYWORDS_K,
+        doc_keywords_tfidf,
+    )
+
+    docs = [
+        (0, "common common rare0", "en", "s0", 19),
+        (1, "common uniqword uniqword", "en", "s0", 24),
+        (2, "common filler", "en", "s1", 13),
+    ]
+    d = str(tmp_path / "kw")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    rows = doc_keywords_tfidf(spark, d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 'uniqword' (tf=2, df=1) beats 'common' (idf=0)
+    top1 = min(by_doc[1], key=lambda r: r["rank"])
+    assert top1["term"] == "uniqword" and top1["df"] == 1
+    # 'common' appears in every doc -> idf 0 -> tfidf exactly 0
+    common = [r for r in rows if r["term"] == "common"]
+    assert common and all(r["tfidf"] == 0.0 for r in common)
+    for did, rs in by_doc.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= KEYWORDS_K
+        scores = [r["tfidf"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # real corpus: every doc with tokens emits <= K dense-ranked rows
+    real = doc_keywords_tfidf(spark, sf_dir).groupBy("doc_id").count().collect()
+    assert all(1 <= r["count"] <= KEYWORDS_K for r in real)
+
+
 def test_jsd_real_corpus_bounds(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_sources = docs.select("source").distinct().count()

@@ -108,6 +108,9 @@ FAMILY = [
     # group-level split over the 3-source adversarial corpus (tiny
     # strata: some splits legitimately empty)
     (sampling, "source_level_split"),
+    # per-doc keyword extraction: empty/whitespace docs emit nothing,
+    # the dup trio shares df, idf-0 ties break lexicographically
+    (textstats, "doc_keywords_tfidf"),
 ]
 
 
