@@ -311,11 +311,7 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = {
-    # wave-2 round-10 ops; seeded by the round-close quiet best-of-N run
-    "brand_basket_lift",
-    "doc_keywords_tfidf",
-}
+PENDING_BASELINE_SEED: set[str] = set()
 
 
 def force(df) -> None:
