@@ -249,6 +249,8 @@ EXTRA = [
     "streaming_trending_topk",
     "brand_basket_lift",
     "doc_keywords_tfidf",
+    "heaps_law_fit",
+    "traffic_seasonality_profile",
     # round-10 coverage sweep (VERDICT r9 "what's wrong" #1): the 48
     # registered queries that predate the every-new-op-goes-in-EXTRA
     # convention and had never been benched — folding them in closes
@@ -311,7 +313,11 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = set()
+PENDING_BASELINE_SEED: set[str] = {
+    # wave-3 round-10 ops; seeded by the round-close quiet best-of-N run
+    "heaps_law_fit",
+    "traffic_seasonality_profile",
+}
 
 
 def force(df) -> None:

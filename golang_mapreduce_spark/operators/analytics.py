@@ -868,6 +868,61 @@ GROUP BY event_type
 """
 
 
+# --- traffic seasonality profile (round 10) ---------------------------------
+
+
+def traffic_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (ISO weekday × hour-of-day) traffic heatmap: event count,
+    share of total traffic, and decimal-exact mean value per cell —
+    the capacity-planning / anomaly-baseline profile every event
+    pipeline keeps (hourly_anomalies z-scores the TIMELINE; this is
+    the periodic-structure marginal it normalizes against).
+
+    Cross-engine calendar parity: Spark's ``weekday()`` is 0=Monday,
+    DuckDB's ``isodow`` is 1=Monday — the +1 shift is applied on the
+    Spark side so both emit ISO 1..7.  One scan, one partial-agg'd
+    groupBy over at most 168 cells, a 1-row total broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.select(
+        (F.expr("weekday(ts)") + 1).alias("iso_dow"),
+        F.hour("ts").alias("hod"),
+        "value",
+    ).groupBy("iso_dow", "hod").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.expr(
+            "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)"
+            " / COUNT(*), 6)"
+        ).alias("avg_value"),
+    )
+    total = cells.agg(F.sum("n_events").alias("n_total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        F.col("iso_dow").cast("int").alias("iso_dow"),
+        "hod",
+        "n_events",
+        F.round(F.col("n_events") / F.col("n_total"), 6).alias("traffic_share"),
+        "avg_value",
+    )
+
+
+SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT SUM(n_events) AS n_total FROM cells
+)
+SELECT iso_dow, hod, n_events,
+       ROUND(CAST(n_events AS DOUBLE) / n_total, 6) AS traffic_share,
+       avg_value
+FROM cells, tot
+"""
+
+
 # --- item co-occurrence similarity (round 10) --------------------------------
 
 ITEM_CAP = 50
@@ -998,6 +1053,7 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "decayed_event_counts": decayed_event_counts,
     "item_cooccurrence_similarity": item_cooccurrence_similarity,
+    "traffic_seasonality_profile": traffic_seasonality_profile,
     "event_ngram_patterns": event_ngram_patterns,
     "retention_cohorts": retention_cohorts,
     "window_range_7day_spend": window_range_7day_spend,
@@ -1015,6 +1071,7 @@ ORACLES = {
     "rfm_segments": RFM_SQL,
     "decayed_event_counts": DECAYED_COUNTS_SQL,
     "item_cooccurrence_similarity": ITEM_COOC_SQL,
+    "traffic_seasonality_profile": SEASONALITY_SQL,
     "event_ngram_patterns": EVENT_NGRAM_SQL,
     "retention_cohorts": RETENTION_SQL,
     "window_range_7day_spend": RANGE_7DAY_SQL,

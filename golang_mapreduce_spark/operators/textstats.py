@@ -2928,6 +2928,174 @@ FROM skel LEFT JOIN inter
 """
 
 
+# --- Heaps'-law vocabulary growth fit (round 10) ----------------------------
+
+HEAPS_BUCKETS = 10
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve + Heaps'-law fit: cumulative distinct
+    tokens after each doc_id-ordered decile of the corpus, with the
+    log-log OLS exponent β of V = K·nᵝ (natural text sits near
+    β ≈ 0.5) — Zipf's companion corpus-law audit: a β that climbs
+    toward 1 means the crawl is ingesting unbounded novel junk (random
+    strings, ids); β collapsing toward 0 means it's re-crawling what it
+    already has.
+
+    Scale shape: decile boundaries come from ONE global percentile
+    aggregate over the ids-only relation (a 1-row broadcast — never a
+    global sort/ntile window); each token's FIRST bucket is a min
+    aggregate over the exploded relation; the curve and the OLS then
+    run over exactly {HEAPS_BUCKETS} rows.  Exactness: the OLS reuses
+    the zipf_slope discipline (ln values rounded to 9 dp, order-free
+    DECIMAL sums); boundaries use the engines' shared
+    linear-interpolation percentile."""
+    docs = load_table(spark, sf_dir, "documents")
+    ps = [i / HEAPS_BUCKETS for i in range(1, HEAPS_BUCKETS)]
+    bounds = docs.agg(
+        F.expr(
+            "percentile(doc_id, array(" + ", ".join(repr(p) for p in ps) + "))"
+        ).alias("bs")
+    )
+    bucket = sum(
+        (F.col("doc_id") > F.col("bs")[i]).cast("int") for i in range(len(ps))
+    ) + F.lit(1)
+    bucketed = docs.crossJoin(F.broadcast(bounds)).select(
+        "doc_id", bucket.alias("bucket"), ws_words("text").alias("toks")
+    )
+    docs_per = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum(F.size("toks")), F.lit(0)).alias("n_tokens"),
+    )
+    first_bucket = (
+        bucketed.select("bucket", F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.min("bucket").alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("new_vocab"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        docs_per.join(
+            first_bucket.withColumnRenamed("b", "bucket"), "bucket", "left"
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_vocab", F.lit(0)).alias("new_vocab"),
+        )
+        .select(
+            "bucket",
+            F.sum("n_docs").over(w).alias("cum_docs"),
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            F.sum("new_vocab").over(w).alias("cum_vocab"),
+        )
+    )
+    xy = curve.where((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0)).select(
+        "bucket",
+        "cum_docs",
+        "cum_tokens",
+        "cum_vocab",
+        F.round(F.log(F.col("cum_tokens").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")), 9).alias("y"),
+    )
+    fit = xy.agg(
+        F.count("*").alias("n"),
+        F.expr("SUM(CAST(x AS DECIMAL(19,9)))").alias("sx"),
+        F.expr("SUM(CAST(y AS DECIMAL(19,9)))").alias("sy"),
+        F.expr("SUM(CAST(x * x AS DECIMAL(38,18)))").alias("sxx"),
+        F.expr("SUM(CAST(x * y AS DECIMAL(38,18)))").alias("sxy"),
+    ).select(
+        F.expr(
+            "ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+        ).alias("heaps_beta"),
+        F.expr(
+            "ROUND(EXP((CAST(sy AS DOUBLE)"
+            " - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            "   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "   * CAST(sx AS DOUBLE)) / n), 6)"
+        ).alias("heaps_k"),
+    )
+    return xy.crossJoin(F.broadcast(fit)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("cum_docs").cast("bigint").alias("cum_docs"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("cum_vocab").cast("bigint").alias("cum_vocab"),
+        "heaps_beta",
+        "heaps_k",
+    )
+
+
+def _heaps_sql() -> str:
+    ps = [i / HEAPS_BUCKETS for i in range(1, HEAPS_BUCKETS)]
+    ps_sql = ", ".join(repr(p) for p in ps)
+    bucket = " + ".join(
+        f"(CASE WHEN doc_id > bs[{i + 1}] THEN 1 ELSE 0 END)"
+        for i in range(len(ps))
+    )
+    return f"""
+WITH bounds AS (
+  SELECT quantile_cont(doc_id, [{ps_sql}]) AS bs FROM documents
+),
+bucketed AS MATERIALIZED (
+  SELECT doc_id, {bucket} + 1 AS bucket,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents, bounds
+),
+docs_per AS (
+  SELECT bucket, COUNT(*) AS n_docs,
+         COALESCE(SUM(len(toks)), 0) AS n_tokens
+  FROM bucketed GROUP BY bucket
+),
+first_bucket AS (
+  SELECT b AS bucket, COUNT(*) AS new_vocab FROM (
+    SELECT t, MIN(bucket) AS b
+    FROM (SELECT bucket, unnest(toks) AS t FROM bucketed)
+    GROUP BY t
+  ) GROUP BY b
+),
+curve AS (
+  SELECT d.bucket,
+         SUM(n_docs) OVER (ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS cum_docs,
+         SUM(n_tokens) OVER (ORDER BY d.bucket ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         SUM(COALESCE(new_vocab, 0)) OVER (ORDER BY d.bucket ROWS UNBOUNDED PRECEDING)
+           AS cum_vocab
+  FROM docs_per d LEFT JOIN first_bucket f ON d.bucket = f.bucket
+),
+xy AS MATERIALIZED (
+  SELECT bucket, cum_docs, cum_tokens, cum_vocab,
+         ROUND(LN(CAST(cum_tokens AS DOUBLE)), 9) AS x,
+         ROUND(LN(CAST(cum_vocab AS DOUBLE)), 9) AS y
+  FROM curve WHERE cum_tokens > 0 AND cum_vocab > 0
+),
+fit AS (
+  SELECT ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS heaps_beta,
+         ROUND(EXP((CAST(sy AS DOUBLE)
+                - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE)) / n), 6) AS heaps_k
+  FROM (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(x AS DECIMAL(19,9))) AS sx,
+           SUM(CAST(y AS DECIMAL(19,9))) AS sy,
+           SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx,
+           SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy
+    FROM xy
+  )
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(cum_docs AS BIGINT) AS cum_docs,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(cum_vocab AS BIGINT) AS cum_vocab,
+       heaps_beta, heaps_k
+FROM xy, fit
+"""
+
+
 # --- per-doc TF-IDF keyword extraction (round 10) ---------------------------
 
 KEYWORDS_K = 3
@@ -3059,6 +3227,7 @@ QUERIES = {
     "zipf_slope_by_lang": zipf_slope_by_lang,
     "js_divergence_sources": js_divergence_sources,
     "doc_keywords_tfidf": doc_keywords_tfidf,
+    "heaps_law_fit": heaps_law_fit,
 }
 
 ORACLES = {
@@ -3100,4 +3269,5 @@ ORACLES = {
     "zipf_slope_by_lang": ZIPF_SLOPE_SQL,
     "js_divergence_sources": JS_DIVERGENCE_SQL,
     "doc_keywords_tfidf": DOC_KEYWORDS_SQL,
+    "heaps_law_fit": _heaps_sql(),
 }

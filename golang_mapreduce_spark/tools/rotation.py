@@ -324,6 +324,10 @@ ROUND10_NEW: tuple[str, ...] = (
     # keyword extraction
     "brand_basket_lift",
     "doc_keywords_tfidf",
+    # fifth batch: the Heaps'-law corpus-growth audit, the weekday x
+    # hour traffic heatmap
+    "heaps_law_fit",
+    "traffic_seasonality_profile",
 )
 #: quality_ablation_matrix: output-contract change (grouping_id column,
 #: gid-keyed grand total — ADVICE r9); coreset_kcenter_select:

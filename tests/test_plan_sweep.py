@@ -109,6 +109,8 @@ BNLJ_OK = {
     "source_level_split",       # 1-row doc-total broadcast (share divisor)
     "brand_basket_lift",        # 1-row order-total broadcast (support divisor)
     "doc_keywords_tfidf",       # 1-row doc-count broadcast (idf divisor)
+    "heaps_law_fit",            # 1-row decile-bounds + 1-row fit broadcasts
+    "traffic_seasonality_profile",  # 1-row traffic-total broadcast
     "js_divergence_sources",    # |sources|-row pair skeleton on BOTH
                                 # sides (non-equi source_a < source_b
                                 # pairing, the lang_vocab_overlap shape)

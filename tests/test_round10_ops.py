@@ -439,6 +439,79 @@ def test_doc_keywords_rank_semantics(spark, tmp_path, sf_dir):
     assert all(1 <= r["count"] <= KEYWORDS_K for r in real)
 
 
+def test_heaps_curve_is_monotone_and_conserves_vocab(spark, sf_dir):
+    """Cumulative docs/tokens/vocab are strictly non-decreasing, the
+    final row conserves the corpus totals exactly, and β lands in the
+    open (0, 1) band natural text occupies."""
+    from golang_mapreduce_spark.functions.text import ws_words
+    from golang_mapreduce_spark.operators.textstats import heaps_law_fit
+
+    rows = sorted(
+        heaps_law_fit(spark, sf_dir).collect(), key=lambda r: r["bucket"]
+    )
+    assert rows
+    for a, b in zip(rows, rows[1:]):
+        assert a["cum_docs"] <= b["cum_docs"]
+        assert a["cum_tokens"] <= b["cum_tokens"]
+        assert a["cum_vocab"] <= b["cum_vocab"]
+    docs = load_table(spark, sf_dir, "documents")
+    last = rows[-1]
+    assert last["cum_docs"] == docs.count()
+    tok = docs.select(F.explode(ws_words("text")).alias("t"))
+    assert last["cum_tokens"] == tok.count()
+    assert last["cum_vocab"] == tok.distinct().count()
+    assert len({(r["heaps_beta"], r["heaps_k"]) for r in rows}) == 1
+    # the fixture vocabulary is CLOSED (31 words at every SF —
+    # functions/bpe.py), so it saturates in the first decile and β
+    # reads ~0: the "re-crawling what it already has" end of the band
+    assert 0.0 <= rows[0]["heaps_beta"] < 0.2
+
+
+def test_heaps_beta_direction_on_planted_corpora(spark, tmp_path):
+    """β is direction-sensitive: an open corpus where every doc mints
+    fresh tokens fits β ≈ 1 (vocab ∝ tokens); a one-word corpus reads
+    exactly 0."""
+    from golang_mapreduce_spark.operators.textstats import heaps_law_fit
+
+    open_docs = [
+        (i, " ".join(f"u{i}_{j}" for j in range(10)), "en", "s0", 80)
+        for i in range(100)
+    ]
+    d1 = str(tmp_path / "open")
+    spark.createDataFrame(
+        open_docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d1}/documents.parquet")
+    beta_open = heaps_law_fit(spark, d1).first()["heaps_beta"]
+    assert beta_open == pytest.approx(1.0, abs=1e-6)
+
+    closed_docs = [
+        (i, "same same same", "en", "s0", 14) for i in range(100)
+    ]
+    d2 = str(tmp_path / "closed")
+    spark.createDataFrame(
+        closed_docs,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d2}/documents.parquet")
+    beta_closed = heaps_law_fit(spark, d2).first()["heaps_beta"]
+    assert beta_closed == pytest.approx(0.0, abs=1e-6)
+
+
+def test_seasonality_profile_reconciles(spark, sf_dir):
+    """<=168 cells, ISO weekday in 1..7 / hour in 0..23, counts and
+    shares conserve the corpus."""
+    from golang_mapreduce_spark.operators.analytics import (
+        traffic_seasonality_profile,
+    )
+
+    rows = traffic_seasonality_profile(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 168
+    assert all(1 <= r["iso_dow"] <= 7 and 0 <= r["hod"] <= 23 for r in rows)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    assert abs(sum(r["traffic_share"] for r in rows) - 1.0) < 1e-4
+
+
 def test_jsd_real_corpus_bounds(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n_sources = docs.select("source").distinct().count()

@@ -111,6 +111,9 @@ FAMILY = [
     # per-doc keyword extraction: empty/whitespace docs emit nothing,
     # the dup trio shares df, idf-0 ties break lexicographically
     (textstats, "doc_keywords_tfidf"),
+    # vocabulary growth over a corpus where early deciles may tokenize
+    # to NOTHING (the cum_tokens > 0 guard's only live test)
+    (textstats, "heaps_law_fit"),
 ]
 
 
