@@ -313,11 +313,7 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = {
-    # wave-3 round-10 ops; seeded by the round-close quiet best-of-N run
-    "heaps_law_fit",
-    "traffic_seasonality_profile",
-}
+PENDING_BASELINE_SEED: set[str] = set()  # drained r11 (SCALE.md seeding log)
 
 
 def force(df) -> None:

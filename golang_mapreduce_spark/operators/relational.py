@@ -1024,13 +1024,19 @@ WHERE levenshtein(name_a, name_b) <= 1
 import math as _math
 
 _BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+#: 9-dp feed / 6-dp display forms, computed once in Python and embedded as
+#: identical literals in both engines (shared-constant convention) — the
+#: r11 ulp-immunity fix: every engine-side operation downstream of these
+#: literals is an IEEE basic op (+ − × ÷, all correctly rounded by the
+#: standard) or exact DECIMAL arithmetic; no POW, no raw-double ROUND of a
+#: transcendental (ADVICE r10 / the one hash-mismatch in CORRECTNESS_r10).
+_BENFORD_P9 = {d: round(p, 9) for d, p in _BENFORD_P.items()}
+_BENFORD_P6 = {d: round(p, 6) for d, p in _BENFORD_P.items()}
 
 
-def _benford_case(engine_digit: str) -> str:
-    whens = " ".join(
-        f"WHEN {d} THEN {p!r}" for d, p in sorted(_BENFORD_P.items())
-    )
-    return f"CASE {engine_digit} {whens} END"
+def _benford_case(engine_digit: str, table: dict) -> str:
+    whens = " ".join(f"WHEN {d} THEN {p!r}" for d, p in sorted(table.items()))
+    return f"CAST(CASE {engine_digit} {whens} END AS DOUBLE)"
 
 
 def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1044,8 +1050,13 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the leading digit comes from the integer CENTS string
     (FLOOR(x*100) is exact IEEE in both engines; BIGINT-to-string is
-    engine-identical) — never from double formatting.  Chi-square terms
-    round to 9 dp and sum as DECIMAL over an 18-row relation.
+    engine-identical) — never from double formatting.  The expected
+    share p is a 9-dp Python-rounded literal shared by both engines;
+    every downstream step is an IEEE basic op (no POW — the square is
+    an explicit multiply) rounded to 9 dp, cast to DECIMAL(28,9), and
+    only then rounded to 6 dp in exact decimal space, so a driver-side
+    POW/ROUND ulp difference between DuckDB versions cannot flip a
+    6-dp boundary (the CORRECTNESS_r10 hash-mismatch fix).
 
     Scale shape: two fact scans pruned to one column each, one
     partial-agg'd groupBy(col, digit) whose output is <= 18 rows;
@@ -1071,18 +1082,20 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     w = Window.partitionBy("col_name")
-    p = F.expr(_benford_case("digit"))
+    p9 = F.expr(_benford_case("digit", _BENFORD_P9))
     tot = F.sum("n").over(w)
-    exp_n = tot * p
-    term = F.pow(F.col("n") - exp_n, 2) / exp_n
+    exp9 = F.round(tot * p9, 9)
+    diff = F.col("n") - exp9
+    term9 = F.round(diff * diff / exp9, 9).cast("decimal(28,9)")
+    share9 = F.round(F.col("n") / tot, 9).cast("decimal(28,9)")
     with_terms = counts.select(
         "col_name",
         "digit",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("n") / tot, 6).alias("share"),
-        F.round(p, 6).alias("expected_share"),
-        F.round(term, 6).alias("chi2_term"),
-        F.round(term, 9).alias("_t9"),
+        F.round(share9, 6).cast("double").alias("share"),
+        F.expr(_benford_case("digit", _BENFORD_P6)).alias("expected_share"),
+        F.round(term9, 6).cast("double").alias("chi2_term"),
+        term9.alias("_t9"),
     )
     return with_terms.select(
         "col_name",
@@ -1091,12 +1104,9 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share",
         "expected_share",
         "chi2_term",
-        F.round(
-            F.expr(
-                "CAST(SUM(CAST(_t9 AS DECIMAL(28,9)))"
-                " OVER (PARTITION BY col_name) AS DOUBLE)"
-            ),
-            6,
+        F.expr(
+            "CAST(ROUND(SUM(_t9) OVER (PARTITION BY col_name), 6)"
+            " AS DOUBLE)"
         ).alias("chi2_total"),
     )
 
@@ -1117,19 +1127,30 @@ counts AS (
 ),
 terms AS (
   SELECT col_name, digit, n,
-         SUM(n) OVER (PARTITION BY col_name) AS tot,
-         {_benford_case("digit")} AS p
+         CAST(SUM(n) OVER (PARTITION BY col_name) AS DOUBLE) AS tot,
+         {_benford_case("digit", _BENFORD_P9)} AS p9
   FROM counts
+),
+feeds AS (
+  SELECT col_name, digit, n,
+         CAST(ROUND(CAST(n AS DOUBLE) / tot, 9) AS DECIMAL(28,9)) AS share9,
+         ROUND(tot * p9, 9) AS exp9
+  FROM terms
+),
+t9 AS (
+  SELECT col_name, digit, n, share9,
+         CAST(ROUND((n - exp9) * (n - exp9) / exp9, 9) AS DECIMAL(28,9))
+           AS term9
+  FROM feeds
 )
 SELECT col_name, digit,
        CAST(n AS BIGINT) AS n,
-       ROUND(CAST(n AS DOUBLE) / tot, 6) AS share,
-       ROUND(p, 6) AS expected_share,
-       ROUND(POW(n - tot * p, 2) / (tot * p), 6) AS chi2_term,
-       ROUND(CAST(SUM(CAST(ROUND(POW(n - tot * p, 2) / (tot * p), 9)
-                           AS DECIMAL(28,9)))
-                  OVER (PARTITION BY col_name) AS DOUBLE), 6) AS chi2_total
-FROM terms
+       CAST(ROUND(share9, 6) AS DOUBLE) AS share,
+       {_benford_case("digit", _BENFORD_P6)} AS expected_share,
+       CAST(ROUND(term9, 6) AS DOUBLE) AS chi2_term,
+       CAST(ROUND(SUM(term9) OVER (PARTITION BY col_name), 6) AS DOUBLE)
+         AS chi2_total
+FROM t9
 """
 
 

@@ -2873,7 +2873,13 @@ def coreset_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
-    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    first_rows = emb.orderBy("vec_id").limit(1).collect()
+    if not first_rows:
+        # empty collection: 0-row coreset, same as the oracle's empty c0.
+        return spark.createDataFrame(
+            [], "center_rank int, vec_id long, dist_at_selection double"
+        )
+    first = first_rows[0]
     selected = [(0, int(first["vec_id"]), None, list(first["emb"]))]
     for rank in range(1, KCENTER_K):
         centers = spark.createDataFrame(
@@ -2888,9 +2894,15 @@ def coreset_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "emb")
             .agg(F.min("d").alias("min_d"))
         )
-        nxt = (
-            dists.orderBy(F.desc("min_d"), F.asc("vec_id")).limit(1).collect()[0]
+        nxt_rows = (
+            dists.orderBy(F.desc("min_d"), F.asc("vec_id")).limit(1).collect()
         )
+        if not nxt_rows:
+            # collection smaller than KCENTER_K: the anti-join emptied the
+            # pool — emit the shorter coreset, matching the oracle's
+            # fewer-rows behavior instead of IndexError (ADVICE r10).
+            break
+        nxt = nxt_rows[0]
         selected.append(
             (rank, int(nxt["vec_id"]), float(nxt["min_d"]), list(nxt["emb"]))
         )

@@ -3007,14 +3007,22 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(CAST(x * x AS DECIMAL(38,18)))").alias("sxx"),
         F.expr("SUM(CAST(x * y AS DECIMAL(38,18)))").alias("sxy"),
     ).select(
+        # NULLIF guards the degenerate all-mass-in-one-decile corpus (every
+        # xy row shares one x): Spark's non-ANSI 0/0 is NULL but DuckDB
+        # >=1.1 yields NaN/inf — NULLIF makes both engines emit NULL
+        # (ADVICE r10, the zipf_slope_by_lang n>=3 convention).
         F.expr(
             "ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-            " / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"
+            " / NULLIF(n * CAST(sxx AS DOUBLE)"
+            "          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),"
+            "          CAST(0 AS DOUBLE)), 6)"
         ).alias("heaps_beta"),
         F.expr(
             "ROUND(EXP((CAST(sy AS DOUBLE)"
             " - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
-            "   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+            "   / NULLIF(n * CAST(sxx AS DOUBLE)"
+            "            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),"
+            "            CAST(0 AS DOUBLE))"
             "   * CAST(sx AS DOUBLE)) / n), 6)"
         ).alias("heaps_k"),
     )
@@ -3072,11 +3080,15 @@ xy AS MATERIALIZED (
 ),
 fit AS (
   SELECT ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+               / NULLIF(n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                        CAST(0 AS DOUBLE)), 6)
            AS heaps_beta,
          ROUND(EXP((CAST(sy AS DOUBLE)
                 - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / NULLIF(n * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                           CAST(0 AS DOUBLE))
                   * CAST(sx AS DOUBLE)) / n), 6) AS heaps_k
   FROM (
     SELECT COUNT(*) AS n,

@@ -727,9 +727,13 @@ def brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_b").cast("bigint").alias("n_orders_b"),
             F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
             F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence_a_to_b"),
+            # both products go through DOUBLE (mirrored in the oracle):
+            # a BIGINT n_orders*n_both or n_a*n_b silently overflows at
+            # extreme scale and IEEE multiply is deterministic anyway
+            # (ADVICE r10).
             F.round(
-                F.col("n_orders") * F.col("n_both")
-                / (F.col("n_a") * F.col("n_b")),
+                F.col("n_orders").cast("double") * F.col("n_both")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
                 6,
             ).alias("lift"),
         )
@@ -760,7 +764,8 @@ SELECT brand_a, brand_b,
        CAST(nb.n_brand AS BIGINT) AS n_orders_b,
        ROUND(CAST(n_both AS DOUBLE) / n_orders, 6) AS support,
        ROUND(CAST(n_both AS DOUBLE) / na.n_brand, 6) AS confidence_a_to_b,
-       ROUND(CAST(n_orders AS DOUBLE) * n_both / (na.n_brand * nb.n_brand), 6)
+       ROUND(CAST(n_orders AS DOUBLE) * n_both
+             / (CAST(na.n_brand AS DOUBLE) * nb.n_brand), 6)
          AS lift
 FROM pairs
 JOIN per_brand na ON na.brand = pairs.brand_a
