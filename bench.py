@@ -305,6 +305,16 @@ EXTRA = [
     "percentile_prices",
     "nested_customer_profile",
     "salted_word_count",
+    # round-11 additions
+    "hapax_richness_by_source",
+    "mutual_information_lang_source",
+    "customer_order_trend",
+    "cohort_ltv_curves",
+    "supplier_hhi_by_nation",
+    "kfold_assignment_audit",
+    "rag_chunk_manifest",
+    "chunk_dup_spectrum",
+    "script_mix_audit",
 ]
 
 
@@ -313,7 +323,19 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = set()  # drained r11 (SCALE.md seeding log)
+PENDING_BASELINE_SEED: set[str] = {
+    # round-11 ops awaiting their quiet best-of-N seed (drained at round
+    # close — the wave-3 r10 precedent, SCALE.md seeding log)
+    "hapax_richness_by_source",
+    "mutual_information_lang_source",
+    "customer_order_trend",
+    "cohort_ltv_curves",
+    "supplier_hhi_by_nation",
+    "kfold_assignment_audit",
+    "rag_chunk_manifest",
+    "chunk_dup_spectrum",
+    "script_mix_audit",
+}
 
 
 def force(df) -> None:

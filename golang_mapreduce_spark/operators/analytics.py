@@ -1043,6 +1043,206 @@ JOIN n_users nb ON nb.item = co.item_b
 """
 
 
+# --- Customer trend + cohort LTV (round 11) ---------------------------------
+
+#: Quarter index origin: TPC-H order dates span 1992-1998, so quarters
+#: are indexed from 1992Q1 = 0 — small exact integers in both engines.
+TREND_YEAR0 = 1992
+#: A slope needs >= this many distinct quarters (the zipf_slope n>=3
+#: convention: 2 points fit trivially and say nothing).
+TREND_MIN_QUARTERS = 3
+
+
+def customer_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-frequency trend: OLS slope of quarterly order
+    counts over the quarter index — the churn/growth screen (negative
+    slope = cooling customer, positive = ramping) that a lifecycle
+    pipeline segments on before [[rfm_segments]] snapshots recency.
+
+    Exactness: x (quarter index from {TREND_YEAR0}Q1) and y (order
+    count) are small exact integers, so every OLS moment sum (Σx, Σy,
+    Σx², Σxy) is exact BIGINT arithmetic — order-free with no decimal
+    machinery; the single division happens once at the end, NULLIF-
+    guarded (the heaps_law_fit degeneracy convention), rounded 6 dp.
+
+    Scale shape: one partial-agg'd exchange to (custkey, quarter) —
+    bounded at 28 quarters per customer — then one reduce to custkey.
+    No joins, no windows; both shuffles keyed on custkey-first keys so
+    AQE coalesces them back-to-back."""
+    o = load_table(spark, sf_dir, "orders")
+    per_q = o.select(
+        "o_custkey",
+        (
+            (F.year(F.col("o_orderdate").cast("date")) - TREND_YEAR0) * 4
+            + F.quarter(F.col("o_orderdate").cast("date"))
+            - 1
+        ).alias("x"),
+    ).groupBy("o_custkey", "x").agg(F.count("*").alias("y"))
+    fit = per_q.groupBy("o_custkey").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return (
+        fit.where(F.col("n") >= TREND_MIN_QUARTERS)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("n").cast("int").alias("n_quarters"),
+            F.col("sy").cast("bigint").alias("total_orders"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / F.expr("CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE)"),
+                6,
+            ).alias("slope_orders_per_quarter"),
+        )
+    )
+
+
+CUSTOMER_TREND_SQL = f"""
+WITH per_q AS (
+  SELECT o_custkey,
+         (year(CAST(o_orderdate AS DATE)) - {TREND_YEAR0}) * 4
+           + quarter(CAST(o_orderdate AS DATE)) - 1 AS x,
+         COUNT(*) AS y
+  FROM orders
+  GROUP BY 1, 2
+),
+fit AS (
+  SELECT o_custkey,
+         COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM per_q
+  GROUP BY o_custkey
+)
+SELECT o_custkey AS custkey,
+       CAST(n AS INT) AS n_quarters,
+       CAST(sy AS BIGINT) AS total_orders,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(NULLIF(n * sxx - sx * sx, 0) AS DOUBLE), 6)
+         AS slope_orders_per_quarter
+FROM fit
+WHERE n >= {TREND_MIN_QUARTERS}
+"""
+
+
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers are cohorted by the month
+    of their FIRST order; each (cohort_month, month_offset) cell gets
+    the cohort's order count, revenue, cumulative revenue, and
+    cumulative revenue PER COHORT CUSTOMER — the LTV curve a growth
+    team reads next to [[retention_cohorts]] (that one counts active
+    users; this one accumulates the money).
+
+    Exactness: months are integer indexes (year*12 + month), revenue
+    sums go through the per-row DECIMAL(18,6) cast (the q1 convention)
+    so the cumulative window stays exact; the single LTV division is
+    one IEEE divide rounded 6 dp.
+
+    Scale shape: one groupBy(custkey) for first-month, one
+    hash-partitioned re-join on custkey (both sides keyed, no
+    broadcast needed), one partial-agg'd exchange to the
+    (cohort, offset) cell grid — O(months²) cells regardless of order
+    volume — and a cumulative window over per-cohort cells (<= 84
+    offsets per cohort)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+            - 1
+        ).alias("m"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    cohort_sizes = first.groupBy("cohort_m").agg(
+        F.count("*").alias("cohort_size")
+    )
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            "cohort_m",
+            (F.col("m") - F.col("cohort_m")).cast("int").alias("month_offset"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.expr(f"SUM({_dec('o_totalprice')})").alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(cohort_sizes, "cohort_m")
+        .select(
+            (F.col("cohort_m") / 12).cast("int").alias("cohort_year"),
+            (F.col("cohort_m") % 12 + 1).cast("int").alias("cohort_month"),
+            "month_offset",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("cohort_size").cast("bigint").alias("cohort_size"),
+            F.col("rev").cast("double").alias("revenue"),
+            F.sum("rev").over(w).alias("_cum"),
+        )
+        .select(
+            "cohort_year",
+            "cohort_month",
+            "month_offset",
+            "n_orders",
+            "cohort_size",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(F.col("_cum").cast("double"), 2).alias("cum_revenue"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("cohort_size"), 6
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+COHORT_LTV_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_totalprice,
+         year(CAST(o_orderdate AS DATE)) * 12
+           + month(CAST(o_orderdate AS DATE)) - 1 AS m
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY o_custkey
+),
+sizes AS (
+  SELECT cohort_m, COUNT(*) AS cohort_size FROM first GROUP BY cohort_m
+),
+cells AS (
+  SELECT f.cohort_m,
+         CAST(o.m - f.cohort_m AS INT) AS month_offset,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+  FROM o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_m, month_offset, n_orders, rev,
+         SUM(rev) OVER (PARTITION BY cohort_m ORDER BY month_offset
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev
+  FROM cells
+)
+SELECT CAST(cohort_m // 12 AS INT) AS cohort_year,
+       CAST(cohort_m % 12 + 1 AS INT) AS cohort_month,
+       month_offset,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(cohort_size AS BIGINT) AS cohort_size,
+       ROUND(CAST(rev AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(cum_rev AS DOUBLE), 2) AS cum_revenue,
+       ROUND(CAST(cum_rev AS DOUBLE) / cohort_size, 6) AS ltv_per_customer
+FROM cum JOIN sizes USING (cohort_m)
+"""
+
+
 QUERIES = {
     "hourly_anomalies": hourly_anomalies,
     "event_transition_matrix": event_transition_matrix,
@@ -1059,6 +1259,8 @@ QUERIES = {
     "window_range_7day_spend": window_range_7day_spend,
     "ntile_customer_quartiles": ntile_customer_quartiles,
     "funnel_conversion": funnel_conversion,
+    "customer_order_trend": customer_order_trend,
+    "cohort_ltv_curves": cohort_ltv_curves,
 }
 
 ORACLES = {
@@ -1077,4 +1279,6 @@ ORACLES = {
     "window_range_7day_spend": RANGE_7DAY_SQL,
     "ntile_customer_quartiles": NTILE_SQL,
     "funnel_conversion": FUNNEL_SQL,
+    "customer_order_trend": CUSTOMER_TREND_SQL,
+    "cohort_ltv_curves": COHORT_LTV_SQL,
 }

@@ -959,6 +959,160 @@ GROUP BY source, shard
 
 
 
+# --- RAG chunk manifest (round 11) -------------------------------------------
+
+
+def rag_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sliding-window chunk manifest (window {W} tokens,
+    stride {S}): one row per retrieval chunk with its token offset,
+    length, and a content hash — the ingestion table a RAG indexer
+    embeds and the chunk-level dedup key ([[dedup_exact]] at chunk
+    granularity: boilerplate shared across docs collides on
+    chunk_hash even when the full documents differ).
+    [[sliding_chunk_stats]] prices this plan in closed form without
+    materializing it; this operator EMITS it.
+
+    Scale shape: narrow per-row work end-to-end — tokenize, closed-form
+    chunk count k (minimal with (k-1)*{S} + {W} >= n), explode
+    sequence(0, k-1), slice + hash.  No shuffle at all: the manifest
+    inherits the scan's partitioning, and output volume is
+    token-mass / {S} rows (the overlap factor sliding_chunk_stats
+    reports).  Exactness: pure integer arithmetic plus the md5-derived
+    hash32 — engine-identical by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.coalesce(F.size("toks"), F.lit(0)).cast("bigint").alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            F.expr(
+                f"CASE WHEN n <= {CHUNK_TOKENS} THEN 1L"
+                f" ELSE 1L + (n - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)"
+                f" DIV {CHUNK_STRIDE} END"
+            ).alias("k"),
+        )
+    )
+    return sized.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.expr("sequence(0L, k - 1)")).alias("ci"),
+    ).select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        (F.col("ci") * CHUNK_STRIDE).cast("bigint").alias("token_start"),
+        F.least(
+            F.lit(CHUNK_TOKENS).cast("bigint"),
+            F.col("n") - F.col("ci") * CHUNK_STRIDE,
+        ).alias("chunk_len"),
+        hash32(
+            F.expr(
+                f"concat_ws(' ', slice(toks,"
+                f" CAST(ci * {CHUNK_STRIDE} + 1 AS INT),"
+                f" CAST(LEAST({CHUNK_TOKENS}, n - ci * {CHUNK_STRIDE}) AS INT)))"
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+RAG_CHUNK_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+         CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+              ELSE 1 + (len(toks) - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1)
+                   // {CHUNK_STRIDE} END AS k
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+    FROM documents
+  )
+  WHERE len(toks) > 0
+),
+chunks AS (
+  SELECT doc_id, toks, n, unnest(range(0, k)) AS ci FROM sized
+)
+SELECT doc_id,
+       CAST(ci AS INT) AS chunk_idx,
+       CAST(ci * {CHUNK_STRIDE} AS BIGINT) AS token_start,
+       CAST(LEAST({CHUNK_TOKENS}, n - ci * {CHUNK_STRIDE}) AS BIGINT)
+         AS chunk_len,
+       {sql_hash32(
+           "array_to_string(toks[ci * " + str(CHUNK_STRIDE) + " + 1"
+           " : ci * " + str(CHUNK_STRIDE) + " + LEAST(" + str(CHUNK_TOKENS)
+           + ", n - ci * " + str(CHUNK_STRIDE) + ")], ' ')"
+       )} AS chunk_hash
+FROM chunks
+"""
+
+
+def chunk_dup_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level duplication spectrum: the multiplicity histogram of
+    [[rag_chunk_manifest]] content hashes — how much of the chunk mass
+    a RAG index would store redundantly (multiplicity 1 = unique
+    content; the tail is boilerplate shared across documents that
+    doc-level dedup can NEVER remove because the surrounding documents
+    differ).  chunk_mass_share prices each multiplicity bucket as a
+    fraction of all chunks — the number that says whether chunk-hash
+    dedup is worth a pipeline stage.
+
+    Scale shape: the manifest is shuffle-free; this adds two
+    map-side-combined keyed aggregations (hash -> multiplicity ->
+    spectrum) whose output is bounded by the distinct-multiplicity
+    count (tens of rows), plus a window total over that tiny relation.
+    Exactness: pure integer counts; one IEEE divide rounded 6 dp."""
+    manifest = rag_chunk_manifest(spark, sf_dir)
+    mult = manifest.groupBy("chunk_hash").agg(
+        F.count("*").alias("multiplicity")
+    )
+    spec = mult.groupBy("multiplicity").agg(F.count("*").alias("n_hashes"))
+    wg = Window.partitionBy()
+    return (
+        spec.select(
+            F.col("multiplicity").cast("bigint").alias("multiplicity"),
+            F.col("n_hashes").cast("bigint").alias("n_hashes"),
+            (F.col("multiplicity") * F.col("n_hashes"))
+            .cast("bigint")
+            .alias("n_chunks"),
+        )
+        .select(
+            "multiplicity",
+            "n_hashes",
+            "n_chunks",
+            F.round(
+                F.col("n_chunks").cast("double")
+                / F.sum("n_chunks").over(wg),
+                6,
+            ).alias("chunk_mass_share"),
+        )
+    )
+
+
+_CHUNK_DUP_SPECTRUM_SQL = """
+WITH manifest AS (
+  {MANIFEST}
+),
+mult AS (
+  SELECT chunk_hash, COUNT(*) AS multiplicity FROM manifest GROUP BY chunk_hash
+),
+spec AS (
+  SELECT multiplicity, COUNT(*) AS n_hashes FROM mult GROUP BY multiplicity
+)
+SELECT CAST(multiplicity AS BIGINT) AS multiplicity,
+       CAST(n_hashes AS BIGINT) AS n_hashes,
+       CAST(multiplicity * n_hashes AS BIGINT) AS n_chunks,
+       ROUND(CAST(multiplicity * n_hashes AS DOUBLE)
+             / SUM(multiplicity * n_hashes) OVER (), 6) AS chunk_mass_share
+FROM spec
+"""
+
+
 QUERIES = {
     "packing_efficiency": packing_efficiency,
     "decontaminate_docs": decontaminate_docs,
@@ -973,6 +1127,8 @@ QUERIES = {
     "decontaminate_bloom": decontaminate_bloom,
     "seq_len_bucket_histogram": seq_len_bucket_histogram,
     "token_budget_pack_plan": token_budget_pack_plan,
+    "rag_chunk_manifest": rag_chunk_manifest,
+    "chunk_dup_spectrum": chunk_dup_spectrum,
 }
 
 ORACLES = {
@@ -991,4 +1147,8 @@ ORACLES = {
     "decontaminate_bloom": DECONTAMINATE_SQL,
     "seq_len_bucket_histogram": SEQ_LEN_BUCKET_SQL,
     "token_budget_pack_plan": TOKEN_PACK_PLAN_SQL,
+    "rag_chunk_manifest": RAG_CHUNK_SQL,
+    "chunk_dup_spectrum": _CHUNK_DUP_SPECTRUM_SQL.format(
+        MANIFEST=RAG_CHUNK_SQL.strip()
+    ),
 }

@@ -752,6 +752,68 @@ FROM agg, tot
 """
 
 
+# --- Deterministic k-fold assignment (round 11) -----------------------------
+
+KFOLD_K = 5
+
+
+def kfold_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {k}-fold cross-validation assignment audit: every
+    document's fold is md5('fold:' || doc_id) mod {k} (the standing
+    hash-bucket convention — the same rows land in the same fold on any
+    cluster, any partitioning, any engine), and the audit reports each
+    (fold, lang, source) cell's count plus its share WITHIN the
+    (lang, source) stratum and the deviation from the ideal 1/{k} —
+    the imbalance table an eval harness checks before trusting
+    per-fold metrics.  Fold membership itself is the full-table
+    assignment rule; the audit relation is what ships.
+
+    Scale shape: one map-side-combined groupBy over the
+    (fold, lang, source) grid — k x |langs| x |sources| cells
+    regardless of corpus size — then stratum shares via a window over
+    that tiny relation.  Exactness: counts exact; share and deviation
+    are single IEEE divides rounded 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (hash32(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))) % KFOLD_K)
+    cells = (
+        docs.select(fold.cast("int").alias("fold"), "lang", "source")
+        .groupBy("fold", "lang", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang", "source")
+    share = F.col("n_docs").cast("double") / F.sum("n_docs").over(w)
+    return cells.select(
+        "fold",
+        "lang",
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(share, 6).alias("stratum_share"),
+        F.round(share - 1.0 / KFOLD_K, 6).alias("dev_from_ideal"),
+    )
+
+
+KFOLD_AUDIT_SQL = f"""
+WITH cells AS (
+  SELECT CAST({sql_hash32("'fold:' || CAST(doc_id AS VARCHAR)")} % {KFOLD_K}
+              AS INT) AS fold,
+         lang, source, COUNT(*) AS n_docs
+  FROM documents
+  GROUP BY 1, 2, 3
+)
+SELECT fold, lang, source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY lang, source), 6)
+         AS stratum_share,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY lang, source)
+             - 1.0 / {KFOLD_K}, 6) AS dev_from_ideal
+FROM cells
+"""
+
+
 QUERIES = {
     "hash_sample_docs": hash_sample_docs,
     "weighted_reservoir_sample": weighted_reservoir_sample,
@@ -764,6 +826,7 @@ QUERIES = {
     "topic_balanced_select": topic_balanced_select,
     "split_leakage_audit": split_leakage_audit,
     "source_level_split": source_level_split,
+    "kfold_assignment_audit": kfold_assignment_audit,
 }
 
 ORACLES = {
@@ -781,4 +844,5 @@ ORACLES = {
     "temperature_rebalance_sample": TEMPERATURE_REBALANCE_SQL,
     "split_leakage_audit": _split_leakage_sql(),
     "source_level_split": SOURCE_SPLIT_SQL,
+    "kfold_assignment_audit": KFOLD_AUDIT_SQL,
 }

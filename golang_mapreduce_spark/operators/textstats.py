@@ -3200,6 +3200,286 @@ WHERE rank <= {KEYWORDS_K}
 """
 
 
+# --- Vocabulary richness + lang/source dependence (round 11) ----------------
+
+
+def hapax_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness census per source: total token mass, vocabulary
+    size, hapax legomena (tokens seen exactly once), hapax ratio, and
+    type-token ratio — the complement of [[heaps_law_fit]]: Heaps reads
+    the corpus GROWTH law, this reads each source's steady-state
+    richness.  A boilerplate-heavy source shows a collapsed type-token
+    ratio; a random-id crawl shows hapax_ratio ~ 1.
+
+    Scale shape: explode -> map-side-combined groupBy(source, token)
+    (the vocab relation, Heaps-sublinear in corpus size), then a
+    |sources|-row rollup.  No joins, no windows, two shuffles both
+    keyed and partial-aggregated.  Exactness: counts are exact BIGINTs;
+    the two ratios are single IEEE divides rounded at 6 dp (the
+    standing share convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("source", F.explode(ws_words("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        freq.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_tokens"),
+            F.count("*").cast("bigint").alias("vocab_size"),
+            F.sum((F.col("cnt") == 1).cast("long"))
+            .cast("bigint")
+            .alias("hapax_count"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "vocab_size",
+            "hapax_count",
+            F.round(
+                F.col("hapax_count").cast("double") / F.col("vocab_size"), 6
+            ).alias("hapax_ratio"),
+            F.round(
+                F.col("vocab_size").cast("double") / F.col("total_tokens"), 6
+            ).alias("type_token_ratio"),
+        )
+    )
+
+
+HAPAX_RICHNESS_SQL = """
+WITH freq AS (
+  SELECT source, t, COUNT(*) AS cnt
+  FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+    FROM documents
+  )
+  GROUP BY source, t
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+       ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hapax_ratio,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS type_token_ratio
+FROM freq
+GROUP BY source
+"""
+
+
+def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the lang and source labels over the
+    document census: per-cell pointwise MI plus the corpus MI total —
+    the mixture-design dependence audit.  MI ~ 0 means language mix is
+    uniform across sources (rebalancing one axis leaves the other
+    alone); a large MI means the axes are entangled and
+    [[balance_langs_sample]]-style per-lang rebalancing will silently
+    reshape the source mixture too.
+
+    Scale shape: ONE map-side-combined groupBy(lang, source) count —
+    the contingency table, bounded by |langs| x |sources| regardless of
+    corpus size; marginals are window sums OVER that tiny relation
+    (single-partition by construction, the [[benford_price_audit]]
+    pattern).  Exactness: counts exact; each cell's MI contribution is
+    rounded to 9 dp and summed as DECIMAL (order-free) before the 6-dp
+    display round; PMI itself is one LN of a ratio of exact counts,
+    rounded at 6 dp (the tfidf/JSD LN convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count("*").alias("n_ls"))
+    wl = Window.partitionBy("lang")
+    wsrc = Window.partitionBy("source")
+    wg = Window.partitionBy()
+    enriched = cells.select(
+        "lang",
+        "source",
+        "n_ls",
+        F.sum("n_ls").over(wl).alias("n_l"),
+        F.sum("n_ls").over(wsrc).alias("n_s"),
+        F.sum("n_ls").over(wg).alias("n_tot"),
+    )
+    pmi = F.log(
+        F.col("n_ls").cast("double")
+        * F.col("n_tot")
+        / (F.col("n_l").cast("double") * F.col("n_s"))
+    )
+    c9 = F.round((F.col("n_ls").cast("double") / F.col("n_tot")) * pmi, 9).cast(
+        "decimal(19,9)"
+    )
+    with_terms = enriched.select(
+        "lang",
+        "source",
+        F.col("n_ls").cast("bigint").alias("n_docs"),
+        F.round(pmi, 6).alias("pmi"),
+        F.round(c9, 6).cast("double").alias("mi_contribution"),
+        c9.alias("_c9"),
+    )
+    return with_terms.select(
+        "lang",
+        "source",
+        "n_docs",
+        "pmi",
+        "mi_contribution",
+        F.expr("CAST(ROUND(SUM(_c9) OVER (), 6) AS DOUBLE)").alias("mi_total"),
+    )
+
+
+MUTUAL_INFO_SQL = """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS n_ls FROM documents GROUP BY 1, 2
+),
+enriched AS (
+  SELECT lang, source, n_ls,
+         SUM(n_ls) OVER (PARTITION BY lang) AS n_l,
+         SUM(n_ls) OVER (PARTITION BY source) AS n_s,
+         SUM(n_ls) OVER () AS n_tot
+  FROM cells
+),
+terms AS (
+  SELECT lang, source, n_ls,
+         LN(CAST(n_ls AS DOUBLE) * n_tot
+            / (CAST(n_l AS DOUBLE) * n_s)) AS pmi,
+         CAST(ROUND((CAST(n_ls AS DOUBLE) / n_tot)
+                    * LN(CAST(n_ls AS DOUBLE) * n_tot
+                         / (CAST(n_l AS DOUBLE) * n_s)), 9)
+              AS DECIMAL(19,9)) AS c9
+  FROM enriched
+)
+SELECT lang, source,
+       CAST(n_ls AS BIGINT) AS n_docs,
+       ROUND(pmi, 6) AS pmi,
+       CAST(ROUND(c9, 6) AS DOUBLE) AS mi_contribution,
+       CAST(ROUND(SUM(c9) OVER (), 6) AS DOUBLE) AS mi_total
+FROM terms
+"""
+
+
+# --- Unicode script-mix audit (round 11, batch 2) ---------------------------
+
+#: Shared codepoint classes — explicit ranges only, valid and identical
+#: in BOTH regex dialects (Java for Spark, RE2 for DuckDB): named script
+#: properties spell differently (\p{IsCyrillic} vs \p{Cyrillic}) and
+#: \s itself forks on the vertical tab (Java matches \x0B, RE2 does
+#: not — the documented dialect fork in test_text_fuzz_parity.py), so
+#: every class here is a literal range.
+_SCRIPT_CLASSES = {
+    "latin": r"[A-Za-z]",
+    "digit": r"[0-9]",
+    "cyrillic": r"[\x{0400}-\x{04FF}]",
+    "cjk": r"[\x{4E00}-\x{9FFF}]",
+    "whitespace": r"[ \t\n\f\r]",
+}
+
+
+def script_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script census per language label: corpus-level shares of
+    Latin / digit / Cyrillic / CJK / whitespace / other codepoints,
+    plus the count of MIXED-SCRIPT documents (Latin letters co-occurring
+    with Cyrillic or CJK in one doc) — the mislabeled-lang and
+    script-spoofing screen that complements [[char_coverage_audit]]
+    (that one ranks codepoints for tokenizer coverage; this one reads
+    label consistency).
+
+    Scale shape: per-row regex counting (codepoints in class = length
+    minus length after removing the class), then ONE
+    map-side-combined groupBy(lang) over exact BIGINT sums — no joins,
+    no windows; shares are single IEEE divides over exact integers,
+    NULLIF-guarded for a lang whose every doc is empty, rounded 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def cnt(pat: str):
+        return (
+            F.length("text") - F.length(F.regexp_replace("text", pat, ""))
+        ).cast("bigint")
+
+    per = docs.select(
+        "lang",
+        F.length("text").cast("bigint").alias("n_all"),
+        cnt(_SCRIPT_CLASSES["latin"]).alias("n_latin"),
+        cnt(_SCRIPT_CLASSES["digit"]).alias("n_digit"),
+        cnt(_SCRIPT_CLASSES["cyrillic"]).alias("n_cyr"),
+        cnt(_SCRIPT_CLASSES["cjk"]).alias("n_cjk"),
+        cnt(_SCRIPT_CLASSES["whitespace"]).alias("n_ws"),
+    ).withColumn(
+        "mixed",
+        (
+            (F.col("n_latin") > 0)
+            & ((F.col("n_cyr") > 0) | (F.col("n_cjk") > 0))
+        ).cast("long"),
+    )
+    agg = per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("mixed").cast("bigint").alias("n_mixed_script"),
+        F.sum("n_all").cast("bigint").alias("total_chars"),
+        F.sum("n_latin").alias("t_latin"),
+        F.sum("n_digit").alias("t_digit"),
+        F.sum("n_cyr").alias("t_cyr"),
+        F.sum("n_cjk").alias("t_cjk"),
+        F.sum("n_ws").alias("t_ws"),
+    )
+    denom = F.expr("CAST(NULLIF(total_chars, 0) AS DOUBLE)")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_mixed_script",
+        "total_chars",
+        F.round(F.col("t_latin") / denom, 6).alias("latin_share"),
+        F.round(F.col("t_digit") / denom, 6).alias("digit_share"),
+        F.round(F.col("t_cyr") / denom, 6).alias("cyrillic_share"),
+        F.round(F.col("t_cjk") / denom, 6).alias("cjk_share"),
+        F.round(F.col("t_ws") / denom, 6).alias("whitespace_share"),
+        F.round(
+            (
+                F.col("total_chars")
+                - F.col("t_latin")
+                - F.col("t_digit")
+                - F.col("t_cyr")
+                - F.col("t_cjk")
+                - F.col("t_ws")
+            )
+            / denom,
+            6,
+        ).alias("other_share"),
+    )
+
+
+def _script_mix_sql() -> str:
+    c = _SCRIPT_CLASSES
+    return f"""
+WITH per AS (
+  SELECT lang,
+         CAST(length(text) AS BIGINT) AS n_all,
+         CAST(length(text) - length(regexp_replace(text, '{c["latin"]}', '', 'g')) AS BIGINT) AS n_latin,
+         CAST(length(text) - length(regexp_replace(text, '{c["digit"]}', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(length(text) - length(regexp_replace(text, '{c["cyrillic"]}', '', 'g')) AS BIGINT) AS n_cyr,
+         CAST(length(text) - length(regexp_replace(text, '{c["cjk"]}', '', 'g')) AS BIGINT) AS n_cjk,
+         CAST(length(text) - length(regexp_replace(text, '{c["whitespace"]}', '', 'g')) AS BIGINT) AS n_ws
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CASE WHEN n_latin > 0 AND (n_cyr > 0 OR n_cjk > 0)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed_script,
+         CAST(SUM(n_all) AS BIGINT) AS total_chars,
+         SUM(n_latin) AS t_latin, SUM(n_digit) AS t_digit,
+         SUM(n_cyr) AS t_cyr, SUM(n_cjk) AS t_cjk, SUM(n_ws) AS t_ws
+  FROM per
+  GROUP BY lang
+)
+SELECT lang, n_docs, n_mixed_script, total_chars,
+       ROUND(t_latin / CAST(NULLIF(total_chars, 0) AS DOUBLE), 6) AS latin_share,
+       ROUND(t_digit / CAST(NULLIF(total_chars, 0) AS DOUBLE), 6) AS digit_share,
+       ROUND(t_cyr / CAST(NULLIF(total_chars, 0) AS DOUBLE), 6) AS cyrillic_share,
+       ROUND(t_cjk / CAST(NULLIF(total_chars, 0) AS DOUBLE), 6) AS cjk_share,
+       ROUND(t_ws / CAST(NULLIF(total_chars, 0) AS DOUBLE), 6) AS whitespace_share,
+       ROUND((total_chars - t_latin - t_digit - t_cyr - t_cjk - t_ws)
+             / CAST(NULLIF(total_chars, 0) AS DOUBLE), 6) AS other_share
+FROM agg
+"""
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
@@ -3240,6 +3520,9 @@ QUERIES = {
     "js_divergence_sources": js_divergence_sources,
     "doc_keywords_tfidf": doc_keywords_tfidf,
     "heaps_law_fit": heaps_law_fit,
+    "hapax_richness_by_source": hapax_richness_by_source,
+    "mutual_information_lang_source": mutual_information_lang_source,
+    "script_mix_audit": script_mix_audit,
 }
 
 ORACLES = {
@@ -3282,4 +3565,7 @@ ORACLES = {
     "js_divergence_sources": JS_DIVERGENCE_SQL,
     "doc_keywords_tfidf": DOC_KEYWORDS_SQL,
     "heaps_law_fit": _heaps_sql(),
+    "hapax_richness_by_source": HAPAX_RICHNESS_SQL,
+    "mutual_information_lang_source": MUTUAL_INFO_SQL,
+    "script_mix_audit": _script_mix_sql(),
 }

@@ -774,6 +774,82 @@ CROSS JOIN n
 """
 
 
+# --- Supplier concentration (round 11) --------------------------------------
+
+
+def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supply-concentration index per nation:
+    each supplier's share of its nation's lineitem revenue, squared and
+    summed — the antitrust-style concentration screen (HHI > 0.25 on
+    the 0-1 scale marks a concentrated market; scaled by the customary
+    10,000 in the output).  The procurement twin of
+    [[join_skew_diagnostics]]: that one finds skewed JOIN keys, this
+    prices how skewed the SUPPLY is.
+
+    Scale shape: lineitem is first reduced to one decimal-exact revenue
+    row per suppkey (partial-agg'd, the only big shuffle), then joined
+    to the broadcast supplier dim and rolled up to <= 25 nation rows;
+    shares are computed against a per-nation window over the
+    supplier-count-bounded relation.  Exactness: revenue via the
+    per-row DECIMAL(18,6) cast; each share² feed rounds to 9 dp and
+    sums as DECIMAL before the 6-dp display round (the
+    [[benford_price_audit]] ulp discipline)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.expr(
+            f"SUM({_dec('l_extendedprice * (1 - l_discount)')})"
+        ).alias("rev")
+    )
+    dim = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", "n_name"
+        )
+    )
+    joined = per_supp.join(dim, per_supp.l_suppkey == dim.s_suppkey)
+    w = Window.partitionBy("n_name")
+    share = F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
+    sq9 = F.round(share * share, 9).cast("decimal(19,9)")
+    return (
+        joined.select("n_name", "rev", sq9.alias("sq9"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum("rev").cast("double"), 2).alias("nation_revenue"),
+            F.expr(
+                "CAST(ROUND(SUM(sq9) * 10000, 6) AS DOUBLE)"
+            ).alias("hhi"),
+        )
+        .withColumnRenamed("n_name", "nation")
+    )
+
+
+SUPPLIER_HHI_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS rev
+  FROM lineitem
+  GROUP BY l_suppkey
+),
+joined AS (
+  SELECT n_name, rev,
+         CAST(rev AS DOUBLE)
+           / CAST(SUM(rev) OVER (PARTITION BY n_name) AS DOUBLE) AS share
+  FROM per_supp
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+)
+SELECT n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(rev) AS DOUBLE), 2) AS nation_revenue,
+       CAST(ROUND(SUM(CAST(ROUND(share * share, 9) AS DECIMAL(19,9))) * 10000,
+                  6) AS DOUBLE) AS hhi
+FROM joined
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q7_volume_shipping": q7_volume_shipping,
@@ -790,6 +866,7 @@ QUERIES = {
     "q22_dormant_rich_customers": q22_dormant_rich_customers,
     "q20_promo_suppliers": q20_promo_suppliers,
     "brand_basket_lift": brand_basket_lift,
+    "supplier_hhi_by_nation": supplier_hhi_by_nation,
 }
 
 ORACLES = {
@@ -808,4 +885,5 @@ ORACLES = {
     "q22_dormant_rich_customers": Q22_SQL,
     "q20_promo_suppliers": Q20_SQL,
     "brand_basket_lift": BRAND_BASKET_SQL,
+    "supplier_hhi_by_nation": SUPPLIER_HHI_SQL,
 }

@@ -350,6 +350,59 @@ def round10_window() -> list[str]:
     )
 
 
+#: Round-11 parameters.  The head is deliberately SMALL (2 of the 7
+#: round-11 additions): the verdict's binding ask is draining the
+#: 29-entry r5-stale cohort to zero, and the r1 floor must pull its 15
+#: entries from the r7/r8 tiers (no r5/r6 row is r1-cohort), so every
+#: head slot beyond 6 displaces an r5 drain commitment.  The two
+#: windowed additions are the round's flagship (the RAG chunk manifest)
+#: plus the supply-concentration index; the other five wait as
+#: never-checked carryovers that lead the ROUND12 head (the r8 -> r9 ->
+#: r10 carryover precedent) with the local parity + fuzz suites as
+#: their gate.
+ROUND11_NEW: tuple[str, ...] = (
+    "rag_chunk_manifest",
+    "supplier_hhi_by_nation",
+)
+#: benford_price_audit: chi-square/share feeds re-derived from shared
+#: 9-dp literals with no engine-side POW (ADVICE r10 — the one
+#: CORRECTNESS_r10 hash mismatch); heaps_law_fit: NULLIF degeneracy
+#: guard on the OLS denominator (ADVICE r10); brand_basket_lift: lift
+#: products through DOUBLE on both sides (overflow parity, ADVICE r10);
+#: coreset_kcenter_select: empty-pool break matching the oracle's
+#: fewer-rows behavior (ADVICE r10).
+ROUND11_CHANGED: tuple[str, ...] = (
+    "benford_price_audit",
+    "heaps_law_fit",
+    "brand_basket_lift",
+    "coreset_kcenter_select",
+)
+ROUND11_PINS: tuple[str, ...] = ()
+#: Registered in round 11 but deliberately NOT windowed (see
+#: ROUND11_NEW): never-checked entries that lead the ROUND12 head.
+ROUND12_NEW_CARRYOVER: tuple[str, ...] = (
+    "hapax_richness_by_source",
+    "mutual_information_lang_source",
+    "customer_order_trend",
+    "cohort_ltv_curves",
+    "kfold_assignment_audit",
+    # batch 2 (chunk-level dedup spectrum + script census)
+    "chunk_dup_spectrum",
+    "script_mix_audit",
+)
+
+
+def round11_window() -> list[str]:
+    return propose_window(
+        latest_rounds(through_round=10),
+        r1_cohort(),
+        registration_order(),
+        new=ROUND11_NEW,
+        changed=ROUND11_CHANGED,
+        pins=ROUND11_PINS,
+    )
+
+
 def window_for_round(
     round_no: int,
     *,

@@ -58,6 +58,43 @@ def test_round10_window_matches_ledger():
     assert problems == []
 
 
+def test_round11_window_matches_ledger():
+    problems = rotation.validate_window(
+        entry_mod._ROUND11_WINDOW,
+        rotation.latest_rounds(through_round=10),
+        rotation.r1_cohort(),
+        rotation.registration_order(),
+        new=rotation.ROUND11_NEW,
+        changed=rotation.ROUND11_CHANGED,
+        pins=rotation.ROUND11_PINS,
+    )
+    assert problems == []
+
+
+def test_round11_drains_the_r5_cohort():
+    """VERDICT r10 #1's acceptance: after round 11 lands, no ledger row
+    may be older than r6 — every r5-latest query must be in-window."""
+    latest = rotation.latest_rounds(through_round=10)
+    r5_stale = {n for n, v in latest.items() if v <= 5}
+    assert r5_stale <= set(entry_mod._ROUND11_WINDOW), sorted(
+        r5_stale - set(entry_mod._ROUND11_WINDOW)
+    )
+
+
+def test_round11_carryovers_are_registered_and_oracle_backed():
+    """The five unwindowed round-11 additions must be registered,
+    oracle-backed, and genuinely never-checked — they lead the ROUND12
+    head (the standing carryover contract)."""
+    latest = rotation.latest_rounds(through_round=10)
+    oracles = entry_mod.oracle_sql()
+    queries = entry_mod.queries()
+    for name in rotation.ROUND12_NEW_CARRYOVER:
+        assert name in queries, name
+        assert name in oracles, name
+        assert name not in latest, name
+        assert name not in entry_mod._ROUND11_WINDOW, name
+
+
 def test_round10_drains_the_r4_cohort():
     """VERDICT r9 #1's acceptance: after round 10 lands, no ledger row
     may be older than r5 — every r4-latest query must be in-window."""
@@ -80,12 +117,12 @@ def test_through_round_bounds_the_ledger():
 def test_window_leads_registration():
     """queries() must serve the CURRENT window names first, in order."""
     names = list(entry_mod.queries())
-    assert names[: len(entry_mod._ROUND10_WINDOW)] == entry_mod._ROUND10_WINDOW
+    assert names[: len(entry_mod._ROUND11_WINDOW)] == entry_mod._ROUND11_WINDOW
 
 
 def test_every_window_query_is_oracle_backed():
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in entry_mod._ROUND10_WINDOW if n not in oracles]
+    missing = [n for n in entry_mod._ROUND11_WINDOW if n not in oracles]
     assert missing == []
 
 

@@ -114,6 +114,24 @@ FAMILY = [
     # vocabulary growth over a corpus where early deciles may tokenize
     # to NOTHING (the cum_tokens > 0 guard's only live test)
     (textstats, "heaps_law_fit"),
+    # round-11 additions: richness over sources whose docs tokenize to
+    # nothing (such sources must drop, never divide by zero), the MI
+    # census over the tiny lang x source contingency (empty-text docs
+    # still count — MI reads labels, not text), the k-fold audit over
+    # strata of size 1-2 (shares must still sum to 1 per stratum), and
+    # the chunk manifest over empty/whitespace/one-token docs (n = 0
+    # emits nothing; 1 <= n <= window emits exactly one chunk)
+    (textstats, "hapax_richness_by_source"),
+    (textstats, "mutual_information_lang_source"),
+    (sampling, "kfold_assignment_audit"),
+    (corpus, "rag_chunk_manifest"),
+    # batch 2: the chunk-dup spectrum over the dup trio + "word "*50
+    # (identical windows MUST collide), and the script census over the
+    # CJK/Cyrillic/emoji docs (mixed-script flags live here; the
+    # vertical-tab dialect fork is excluded by the corpus, and the
+    # whitespace class is an explicit range anyway)
+    (corpus, "chunk_dup_spectrum"),
+    (textstats, "script_mix_audit"),
 ]
 
 
