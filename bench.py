@@ -323,19 +323,7 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = {
-    # round-11 ops awaiting their quiet best-of-N seed (drained at round
-    # close — the wave-3 r10 precedent, SCALE.md seeding log)
-    "hapax_richness_by_source",
-    "mutual_information_lang_source",
-    "customer_order_trend",
-    "cohort_ltv_curves",
-    "supplier_hhi_by_nation",
-    "kfold_assignment_audit",
-    "rag_chunk_manifest",
-    "chunk_dup_spectrum",
-    "script_mix_audit",
-}
+PENDING_BASELINE_SEED: set[str] = set()  # r11 seeds landed same-session (SCALE.md)
 
 
 def force(df) -> None:
