@@ -315,6 +315,9 @@ EXTRA = [
     "rag_chunk_manifest",
     "chunk_dup_spectrum",
     "script_mix_audit",
+    "bot_activity_heuristic",
+    "source_keyness_logodds",
+    "context_length_sensitivity",
 ]
 
 

@@ -1243,6 +1243,82 @@ FROM cum JOIN sizes USING (cohort_m)
 """
 
 
+#: Bot screen thresholds — shared literals in both engines.
+BOT_MIN_EVENTS = 20       # users below this volume are not scored
+BOT_BURST_MS = 1000       # a gap <= this is a "burst" interval
+BOT_MEDIAN_GAP_MS = 2000  # median gap <= this flags machine cadence
+BOT_BURST_RATIO = 0.5     # ... or half the gaps being bursts does
+
+
+def bot_activity_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-traffic screen over per-user event cadence: for every user
+    with >= {BOT_MIN_EVENTS} events, the median inter-event gap and the
+    burst ratio (share of gaps <= {BOT_BURST_MS} ms); users with
+    machine cadence (median gap <= {BOT_MEDIAN_GAP_MS} ms) or
+    burst-dominated traffic are flagged — the ingest screen that keeps
+    scripted traffic out of behavioral training data, complementing
+    [[user_activity_power_law]] (volume skew) with TIMING.
+
+    Scale shape: ONE shuffle on user_id for the lag window (gaps), then
+    a keyed aggregate; output bounded by the flagge-able user count.
+    The exact per-user percentile becomes the approx_percentile sketch
+    at 100 TB (the standing perplexity_tail_split contract).
+    Exactness: gaps are exact BIGINT milliseconds (unix_millis /
+    epoch_ms); the median interpolates between integers identically in
+    both engines; burst_ratio is one IEEE divide rounded 6 dp."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("unix_millis(ts)").alias("ms")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    gaps = e.select(
+        "user_id", (F.col("ms") - F.lag("ms").over(w)).alias("gap_ms")
+    ).where(F.col("gap_ms").isNotNull())
+    per = gaps.groupBy("user_id").agg(
+        (F.count("*") + 1).cast("bigint").alias("n_events"),
+        F.round(
+            F.expr("percentile(gap_ms, CAST(0.5 AS DOUBLE))"), 3
+        ).alias("median_gap_ms"),
+        F.round(
+            F.avg((F.col("gap_ms") <= BOT_BURST_MS).cast("double")), 6
+        ).alias("burst_ratio"),
+    )
+    return per.where(F.col("n_events") >= BOT_MIN_EVENTS).select(
+        "user_id",
+        "n_events",
+        "median_gap_ms",
+        "burst_ratio",
+        (
+            (F.col("median_gap_ms") <= BOT_MEDIAN_GAP_MS)
+            | (F.col("burst_ratio") >= BOT_BURST_RATIO)
+        ).alias("is_bot"),
+    )
+
+
+BOT_HEURISTIC_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+           AS gap_ms
+  FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events)
+),
+per AS (
+  SELECT user_id,
+         CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+         ROUND(quantile_cont(gap_ms, CAST(0.5 AS DOUBLE)), 3)
+           AS median_gap_ms,
+         ROUND(AVG(CASE WHEN gap_ms <= {BOT_BURST_MS}
+                        THEN 1.0 ELSE 0.0 END), 6) AS burst_ratio
+  FROM gaps WHERE gap_ms IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_events, median_gap_ms, burst_ratio,
+       (median_gap_ms <= {BOT_MEDIAN_GAP_MS}
+        OR burst_ratio >= {BOT_BURST_RATIO}) AS is_bot
+FROM per
+WHERE n_events >= {BOT_MIN_EVENTS}
+"""
+
+
 QUERIES = {
     "hourly_anomalies": hourly_anomalies,
     "event_transition_matrix": event_transition_matrix,
@@ -1261,6 +1337,7 @@ QUERIES = {
     "funnel_conversion": funnel_conversion,
     "customer_order_trend": customer_order_trend,
     "cohort_ltv_curves": cohort_ltv_curves,
+    "bot_activity_heuristic": bot_activity_heuristic,
 }
 
 ORACLES = {
@@ -1281,4 +1358,5 @@ ORACLES = {
     "funnel_conversion": FUNNEL_SQL,
     "customer_order_trend": CUSTOMER_TREND_SQL,
     "cohort_ltv_curves": COHORT_LTV_SQL,
+    "bot_activity_heuristic": BOT_HEURISTIC_SQL,
 }

@@ -1113,6 +1113,95 @@ FROM spec
 """
 
 
+#: Candidate context lengths for the padding-sensitivity curve.
+CONTEXT_LENGTHS = (32, 64, 128)
+
+
+def context_length_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length sensitivity curve: for each candidate sequence
+    length L, the closed-form cost of NON-overlapping chunk-and-pad
+    sequence construction — total sequences, padded-token share, and
+    fill ratio — the three-row table a pretraining team reads to pick a
+    context length before committing GPU-hours.
+    [[packing_efficiency]] prices greedy BIN-PACKING at one length;
+    this prices the simpler chunk-and-pad ladder ACROSS lengths (the
+    upper bound packing then improves on).
+
+    Scale shape: per-doc token counts once, then one k=|{lengths}|-row
+    explode and a partial-agg'd rollup to exactly |lengths| rows — the
+    per-L arithmetic is a closed form (CEIL(n/L) sequences, k*L - n
+    padding), never a materialized chunk.  Exactness: exact BIGINT
+    sums; two IEEE divides rounded 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        F.coalesce(F.size(ws_words("text")), F.lit(0))
+        .cast("bigint")
+        .alias("n")
+    ).where(F.col("n") > 0)
+    ls = ", ".join(str(x) for x in CONTEXT_LENGTHS)
+    per = base.select(
+        "n", F.explode(F.expr(f"array({ls})")).alias("context_len")
+    ).select(
+        "context_len",
+        "n",
+        F.expr("(n + context_len - 1) DIV context_len").alias("k"),
+    )
+    return (
+        per.groupBy("context_len")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum("k").cast("bigint").alias("total_sequences"),
+            F.sum(F.col("k") * F.col("context_len") - F.col("n"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+        )
+        .select(
+            F.col("context_len").cast("int").alias("context_len"),
+            "n_docs",
+            "total_tokens",
+            "total_sequences",
+            "padded_tokens",
+            F.round(
+                F.col("padded_tokens").cast("double")
+                / (F.col("total_tokens") + F.col("padded_tokens")),
+                6,
+            ).alias("pad_share"),
+            F.round(
+                F.col("total_tokens").cast("double")
+                / (F.col("total_sequences") * F.col("context_len")),
+                6,
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+CONTEXT_LENGTH_SQL = f"""
+WITH base AS (
+  SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+),
+per AS (
+  SELECT context_len, n, (n + context_len - 1) // context_len AS k
+  FROM base, unnest([{", ".join(str(x) for x in CONTEXT_LENGTHS)}])
+       AS u(context_len)
+  WHERE n > 0
+)
+SELECT CAST(context_len AS INT) AS context_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(k) AS BIGINT) AS total_sequences,
+       CAST(SUM(k * context_len - n) AS BIGINT) AS padded_tokens,
+       ROUND(CAST(SUM(k * context_len - n) AS DOUBLE)
+             / (SUM(n) + SUM(k * context_len - n)), 6) AS pad_share,
+       ROUND(CAST(SUM(n) AS DOUBLE)
+             / (SUM(k) * context_len), 6) AS fill_ratio
+FROM per
+GROUP BY context_len
+"""
+
+
 QUERIES = {
     "packing_efficiency": packing_efficiency,
     "decontaminate_docs": decontaminate_docs,
@@ -1129,6 +1218,7 @@ QUERIES = {
     "token_budget_pack_plan": token_budget_pack_plan,
     "rag_chunk_manifest": rag_chunk_manifest,
     "chunk_dup_spectrum": chunk_dup_spectrum,
+    "context_length_sensitivity": context_length_sensitivity,
 }
 
 ORACLES = {
@@ -1151,4 +1241,5 @@ ORACLES = {
     "chunk_dup_spectrum": _CHUNK_DUP_SPECTRUM_SQL.format(
         MANIFEST=RAG_CHUNK_SQL.strip()
     ),
+    "context_length_sensitivity": CONTEXT_LENGTH_SQL,
 }

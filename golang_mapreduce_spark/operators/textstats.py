@@ -3480,6 +3480,127 @@ FROM agg
 """
 
 
+# --- Source keyness (log-odds, round 11 batch 3) ----------------------------
+
+KEYNESS_MIN_COUNT = 5  # corpus-frequency floor before scoring
+KEYNESS_TOP = 5        # keywords kept per source
+
+
+def source_keyness_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keyness: the top-{K} tokens most over-represented in
+    each source versus the REST of the corpus, scored by add-one
+    smoothed log-odds-ratio — the corpus-linguistics keyness statistic
+    (what makes this source's language DISTINCTIVE), complementing
+    [[doc_keywords_tfidf]] (per-doc salience) and [[pmi_bigrams]]
+    (collocation) at the source granularity.
+
+    Scale shape: token counts per (source, t) and per t are both
+    map-side-combined aggregates over the Heaps-sublinear vocab
+    relation; per-source totals are a |sources|-row broadcast join; the
+    top-k is a rank window partitioned by source (the js_divergence
+    precedent).  Exactness: all count arithmetic exact BIGINT; the two
+    LNs take ratios of exact integers and the score rounds to 9 dp
+    BEFORE the rank key (the doc_keywords tie discipline) and 6 dp for
+    display."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("source", F.explode(ws_words("text")).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    c_all = freq.groupBy("t").agg(F.sum("c").alias("c_all")).where(
+        F.col("c_all") >= KEYNESS_MIN_COUNT
+    )
+    tots = freq.groupBy("source").agg(F.sum("c").alias("tot"))
+    grand = tots.agg(F.sum("tot").alias("grand"))
+    scored = (
+        freq.join(c_all, "t")
+        .join(F.broadcast(tots), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "t",
+            "c",
+            (F.col("c_all") - F.col("c")).alias("c_rest"),
+            (F.col("tot") - F.col("c")).alias("n_src"),
+            (F.col("grand") - F.col("tot") - (F.col("c_all") - F.col("c"))).alias(
+                "n_rest"
+            ),
+        )
+        .select(
+            "source",
+            "t",
+            "c",
+            "c_rest",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("n_src") + 1.0))
+                - F.log((F.col("c_rest") + 1.0) / (F.col("n_rest") + 1.0)),
+                9,
+            ).alias("k9"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("k9"), F.asc("t"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KEYNESS_TOP)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("t").alias("term"),
+            F.col("c").cast("bigint").alias("count_in_source"),
+            F.col("c_rest").cast("bigint").alias("count_in_rest"),
+            F.round("k9", 6).alias("log_odds"),
+        )
+    )
+
+
+SOURCE_KEYNESS_SQL = f"""
+WITH freq AS (
+  SELECT source, t, COUNT(*) AS c
+  FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS t
+    FROM documents
+  )
+  GROUP BY source, t
+),
+c_all AS (
+  SELECT t, SUM(c) AS c_all FROM freq GROUP BY t
+  HAVING SUM(c) >= {KEYNESS_MIN_COUNT}
+),
+tots AS (
+  SELECT source, SUM(c) AS tot FROM freq GROUP BY source
+),
+grand AS (
+  SELECT SUM(tot) AS grand FROM tots
+),
+scored AS (
+  SELECT freq.source, freq.t, c,
+         c_all - c AS c_rest,
+         ROUND(LN((c + 1.0) / (tot - c + 1.0))
+               - LN((c_all - c + 1.0)
+                    / (grand - tot - (c_all - c) + 1.0)), 9) AS k9
+  FROM freq
+  JOIN c_all USING (t)
+  JOIN tots ON tots.source = freq.source
+  CROSS JOIN grand
+)
+SELECT source,
+       CAST(rank AS INT) AS rank,
+       t AS term,
+       CAST(c AS BIGINT) AS count_in_source,
+       CAST(c_rest AS BIGINT) AS count_in_rest,
+       ROUND(k9, 6) AS log_odds
+FROM (
+  SELECT source, t, c, c_rest, k9,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY k9 DESC, t) AS rank
+  FROM scored
+)
+WHERE rank <= {KEYNESS_TOP}
+"""
+
+
 QUERIES = {
     "char_trigram_lang_profiles": char_trigram_lang_profiles,
     "vocab_topk": vocab_topk,
@@ -3523,6 +3644,7 @@ QUERIES = {
     "hapax_richness_by_source": hapax_richness_by_source,
     "mutual_information_lang_source": mutual_information_lang_source,
     "script_mix_audit": script_mix_audit,
+    "source_keyness_logodds": source_keyness_logodds,
 }
 
 ORACLES = {
@@ -3568,4 +3690,5 @@ ORACLES = {
     "hapax_richness_by_source": HAPAX_RICHNESS_SQL,
     "mutual_information_lang_source": MUTUAL_INFO_SQL,
     "script_mix_audit": _script_mix_sql(),
+    "source_keyness_logodds": SOURCE_KEYNESS_SQL,
 }

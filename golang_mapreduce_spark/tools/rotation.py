@@ -389,6 +389,10 @@ ROUND12_NEW_CARRYOVER: tuple[str, ...] = (
     # batch 2 (chunk-level dedup spectrum + script census)
     "chunk_dup_spectrum",
     "script_mix_audit",
+    # batch 3 (cadence bot screen, source keyness, context-length curve)
+    "bot_activity_heuristic",
+    "source_keyness_logodds",
+    "context_length_sensitivity",
 )
 
 

@@ -5,11 +5,13 @@ properties their 100 TB docstrings claim, locked as assertions
 from __future__ import annotations
 
 from golang_mapreduce_spark.operators.analytics import (
+    bot_activity_heuristic,
     cohort_ltv_curves,
     customer_order_trend,
 )
 from golang_mapreduce_spark.operators.corpus import (
     chunk_dup_spectrum,
+    context_length_sensitivity,
     rag_chunk_manifest,
 )
 from golang_mapreduce_spark.operators.sampling import kfold_assignment_audit
@@ -17,6 +19,7 @@ from golang_mapreduce_spark.operators.textstats import (
     hapax_richness_by_source,
     mutual_information_lang_source,
     script_mix_audit,
+    source_keyness_logodds,
 )
 from golang_mapreduce_spark.operators.tpch_extra import supplier_hhi_by_nation
 from golang_mapreduce_spark.plans.checks import formatted_plan
@@ -113,6 +116,41 @@ def test_script_mix_reads_lang_and_text_only(spark, sf_dir):
     plan = formatted_plan(script_mix_audit(spark, sf_dir))
     reads = _read_schemas(plan)
     assert len(reads) == 1 and "lang" in reads[0] and "text" in reads[0], plan
+    assert "doc_id" not in reads[0] and "source" not in reads[0], plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert count_nodes(plan, node) == 0, plan
+
+
+def test_bot_heuristic_prunes_and_single_user_shuffle(spark, sf_dir):
+    """One events scan reading only (user_id, event_id, ts) — props and
+    value never load; exactly one Exchange key family (user_id) feeds
+    both the lag window and the aggregate."""
+    plan = formatted_plan(bot_activity_heuristic(spark, sf_dir))
+    reads = _read_schemas(plan)
+    assert len(reads) == 1, plan
+    assert "user_id" in reads[0] and "ts" in reads[0], plan
+    assert "props" not in reads[0] and "value" not in reads[0], plan
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert count_nodes(plan, node) == 0, plan
+
+
+def test_keyness_broadcasts_totals_and_takes_rank(spark, sf_dir):
+    """The per-source totals and the 1-row grand total arrive by
+    broadcast (never a shuffled join against the vocab relation), and
+    no cartesian product sneaks in via the scalar cross join."""
+    plan = formatted_plan(source_keyness_logodds(spark, sf_dir))
+    assert count_nodes(plan, "CartesianProduct") == 0, plan
+    assert count_nodes(plan, "BroadcastExchange") >= 2, plan
+    reads = _read_schemas(plan)
+    assert reads and all("doc_id" not in r and "lang" not in r for r in reads), plan
+
+
+def test_context_length_closed_form_never_materializes_chunks(spark, sf_dir):
+    """One text-only scan, a |lengths|-row explode, one keyed rollup —
+    no joins and no per-chunk relation (the closed-form claim)."""
+    plan = formatted_plan(context_length_sensitivity(spark, sf_dir))
+    reads = _read_schemas(plan)
+    assert len(reads) == 1 and "text" in reads[0], plan
     assert "doc_id" not in reads[0] and "source" not in reads[0], plan
     for node in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert count_nodes(plan, node) == 0, plan

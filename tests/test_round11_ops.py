@@ -211,6 +211,77 @@ def test_supplier_hhi_closed_forms(spark, tmp_path):
     assert rows["DUO"]["hhi"] == pytest.approx(5000.0)
 
 
+def test_bot_heuristic_planted_cadence(spark, tmp_path):
+    """A user firing every 500 ms flags as a bot; a user on a 60 s
+    cadence does not; a low-volume user is not scored at all."""
+    import datetime as dt
+
+    from golang_mapreduce_spark.operators.analytics import BOT_MIN_EVENTS
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(BOT_MIN_EVENTS):  # bot: 500 ms cadence
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(milliseconds=500 * i), 1, "click", 0.0, "{}"))
+    for i in range(BOT_MIN_EVENTS):  # human: 60 s cadence
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(seconds=60 * i), 2, "click", 0.0, "{}"))
+    for i in range(3):  # below the volume floor
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(milliseconds=100 * i), 3, "click", 0.0, "{}"))
+    d = str(tmp_path / "bot")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    from golang_mapreduce_spark.operators.analytics import bot_activity_heuristic
+
+    out = {r["user_id"]: r for r in bot_activity_heuristic(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["is_bot"] and out[1]["median_gap_ms"] == 500.0
+    assert not out[2]["is_bot"] and out[2]["burst_ratio"] == 0.0
+
+
+def test_keyness_prefers_source_exclusive_token(spark, tmp_path):
+    """A token appearing 6 times in s0 and never in s1 tops s0's
+    keyness; the shared filler token never outranks it."""
+    from golang_mapreduce_spark.operators.textstats import source_keyness_logodds
+
+    d = str(tmp_path / "keyness")
+    _docs(
+        spark,
+        d,
+        [
+            (0, "zebra zebra zebra zebra zebra zebra common common", "en", "s0", 1),
+            (1, "common common common common common common", "en", "s1", 1),
+        ],
+    )
+    rows = sorted(
+        source_keyness_logodds(spark, d).collect(),
+        key=lambda r: (r["source"], r["rank"]),
+    )
+    s0 = [r for r in rows if r["source"] == "s0"]
+    assert s0 and s0[0]["term"] == "zebra" and s0[0]["count_in_rest"] == 0
+    assert s0[0]["log_odds"] > 0
+
+
+def test_context_length_closed_forms(spark, tmp_path):
+    """One 50-token doc: L=32 -> 2 sequences, 14 padded; L=64 -> 1
+    sequence, 14 padded; L=128 -> 1 sequence, 78 padded."""
+    from golang_mapreduce_spark.operators.corpus import context_length_sensitivity
+
+    d = str(tmp_path / "ctx")
+    t50 = " ".join(f"w{i}" for i in range(50))
+    _docs(spark, d, [(0, t50, "en", "s0", len(t50))])
+    rows = {r["context_len"]: r for r in context_length_sensitivity(spark, d).collect()}
+    assert rows[32]["total_sequences"] == 2 and rows[32]["padded_tokens"] == 14
+    assert rows[64]["total_sequences"] == 1 and rows[64]["padded_tokens"] == 14
+    assert rows[128]["total_sequences"] == 1 and rows[128]["padded_tokens"] == 78
+    assert rows[64]["fill_ratio"] == pytest.approx(round(50 / 64, 6))
+
+
 def test_kfold_audit_is_md5_recomputation(spark, tmp_path):
     """Fold counts equal a pure-Python md5 recount and each stratum's
     shares sum to 1."""

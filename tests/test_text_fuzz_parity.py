@@ -132,6 +132,12 @@ FAMILY = [
     # whitespace class is an explicit range anyway)
     (corpus, "chunk_dup_spectrum"),
     (textstats, "script_mix_audit"),
+    # batch 3: keyness over a corpus where only the repetition docs
+    # clear the min-count floor (smoothing must keep zero-rest tokens
+    # finite), and the context-length curve over empty/one-token docs
+    # (n = 0 drops; n = 1 pads L-1 tokens at every L)
+    (textstats, "source_keyness_logodds"),
+    (corpus, "context_length_sensitivity"),
 ]
 
 
