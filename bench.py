@@ -414,6 +414,15 @@ BIG_QUERIES = [
     "dedup_normalized",
     "semantic_dedup_keep",
     "topic_balanced_select",
+    # round-11 additions: the shuffle-free chunk manifest + its dup
+    # spectrum (chunk hashes collide k x denser on replicated fixtures,
+    # the standing worst-case note), the scan-bound script census, the
+    # user-keyed cadence screen, and the vocab-relation keyness pass
+    "rag_chunk_manifest",
+    "chunk_dup_spectrum",
+    "script_mix_audit",
+    "bot_activity_heuristic",
+    "source_keyness_logodds",
 ]
 
 
