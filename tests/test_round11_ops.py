@@ -87,6 +87,42 @@ def test_rag_chunk_manifest_closed_form_and_hashes(spark, tmp_path):
     )
 
 
+def test_rag_chunk_tiling_invariants_all_lengths(spark, tmp_path):
+    """For EVERY token count n in 0..200 (one doc per n, one Spark
+    job): the chunk count equals the closed form sliding_chunk_stats
+    prices, chunk starts tile 0/S/2S/..., every chunk except possibly
+    the last is exactly W tokens, the last chunk ends exactly at n, and
+    consecutive chunks overlap by exactly W - S tokens."""
+    from golang_mapreduce_spark.operators.corpus import (
+        CHUNK_STRIDE as S,
+        CHUNK_TOKENS as W,
+    )
+
+    d = str(tmp_path / "tile")
+    _docs(
+        spark,
+        d,
+        [(n, " ".join(f"t{i}" for i in range(n)), "en", "s0", n) for n in range(201)],
+    )
+    rows = rag_chunk_manifest(spark, d).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 0 not in by_doc  # n = 0 emits nothing
+    for n in range(1, 201):
+        cs = sorted(by_doc[n], key=lambda r: r["chunk_idx"])
+        want_k = 1 if n <= W else 1 + -(-(n - W) // S)  # ceil div
+        assert len(cs) == want_k, (n, len(cs), want_k)
+        assert [c["chunk_idx"] for c in cs] == list(range(want_k))
+        for i, c in enumerate(cs):
+            assert c["token_start"] == i * S, (n, i)
+            want_len = min(W, n - i * S)
+            assert c["chunk_len"] == want_len, (n, i)
+        last = cs[-1]
+        assert last["token_start"] + last["chunk_len"] == n, n
+        assert all(c["chunk_len"] >= 1 for c in cs), n
+
+
 def test_hapax_richness_hand_count(spark, tmp_path):
     """'a a b c' -> 4 tokens, vocab 3, hapax {b, c}."""
     d = str(tmp_path / "hapax")
