@@ -50,6 +50,16 @@ _DOCS = [
     ("exact duplicate body", "en"),
     ("exact duplicate body", "fr"),              # same text, other lang
     ("ALL CAPS SHOUTING DOC!!!", "en"),
+    # round-11 widening: a multi-window doc (3+ sliding chunks at
+    # W=32/S=16 — before this, no adversarial doc produced more than
+    # one chunk), a digits-only doc (script census digit class with
+    # zero letters), a Cyrillic-only doc (the mixed-script flag's
+    # negative case: non-Latin WITHOUT Latin), and a genuinely
+    # mixed-script doc (the flag's positive case)
+    (" ".join(f"tok{i}" for i in range(80)), "en"),
+    ("0123 456 789 000 42", "en"),
+    ("только кириллица без латиницы", "ru"),
+    ("mixed латиница and 漢字 inline", "ru"),
 ]
 
 #: every oracle-backed op here reads ONLY the documents table
