@@ -120,6 +120,8 @@ BNLJ_OK = {
                                   # in the sweep because the cartesian
                                   # check on the composed plan is worth
                                   # the loop's sf0.01 cost)
+    "source_keyness_logodds",   # 1-row grand-total broadcast (the
+                                # smoothing denominator)
 }
 
 QUERIES = {
