@@ -1057,7 +1057,7 @@ def customer_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-frequency trend: OLS slope of quarterly order
     counts over the quarter index — the churn/growth screen (negative
     slope = cooling customer, positive = ramping) that a lifecycle
-    pipeline segments on before [[rfm_segments]] snapshots recency.
+    pipeline segments on before rfm_segments snapshots recency.
 
     Exactness: x (quarter index from {TREND_YEAR0}Q1) and y (order
     count) are small exact integers, so every OLS moment sum (Σx, Σy,
@@ -1135,7 +1135,7 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     of their FIRST order; each (cohort_month, month_offset) cell gets
     the cohort's order count, revenue, cumulative revenue, and
     cumulative revenue PER COHORT CUSTOMER — the LTV curve a growth
-    team reads next to [[retention_cohorts]] (that one counts active
+    team reads next to retention_cohorts (that one counts active
     users; this one accumulates the money).
 
     Exactness: months are integer indexes (year*12 + month), revenue
@@ -1257,7 +1257,7 @@ def bot_activity_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     machine cadence (median gap <= {BOT_MEDIAN_GAP_MS} ms) or
     burst-dominated traffic are flagged — the ingest screen that keeps
     scripted traffic out of behavioral training data, complementing
-    [[user_activity_power_law]] (volume skew) with TIMING.
+    user_activity_power_law (volume skew) with TIMING.
 
     Scale shape: ONE shuffle on user_id for the lag window (gaps), then
     a keyed aggregate; output bounded by the flagge-able user count.

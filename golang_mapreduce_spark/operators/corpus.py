@@ -966,10 +966,10 @@ def rag_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized sliding-window chunk manifest (window {W} tokens,
     stride {S}): one row per retrieval chunk with its token offset,
     length, and a content hash — the ingestion table a RAG indexer
-    embeds and the chunk-level dedup key ([[dedup_exact]] at chunk
+    embeds and the chunk-level dedup key (dedup_exact at chunk
     granularity: boilerplate shared across docs collides on
     chunk_hash even when the full documents differ).
-    [[sliding_chunk_stats]] prices this plan in closed form without
+    sliding_chunk_stats prices this plan in closed form without
     materializing it; this operator EMITS it.
 
     Scale shape: narrow per-row work end-to-end — tokenize, closed-form
@@ -1054,7 +1054,7 @@ FROM chunks
 
 def chunk_dup_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-level duplication spectrum: the multiplicity histogram of
-    [[rag_chunk_manifest]] content hashes — how much of the chunk mass
+    rag_chunk_manifest content hashes — how much of the chunk mass
     a RAG index would store redundantly (multiplicity 1 = unique
     content; the tail is boilerplate shared across documents that
     doc-level dedup can NEVER remove because the surrounding documents
@@ -1123,7 +1123,7 @@ def context_length_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence construction — total sequences, padded-token share, and
     fill ratio — the three-row table a pretraining team reads to pick a
     context length before committing GPU-hours.
-    [[packing_efficiency]] prices greedy BIN-PACKING at one length;
+    packing_efficiency prices greedy BIN-PACKING at one length;
     this prices the simpler chunk-and-pad ladder ACROSS lengths (the
     upper bound packing then improves on).
 

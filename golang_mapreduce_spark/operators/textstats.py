@@ -3206,7 +3206,7 @@ WHERE rank <= {KEYWORDS_K}
 def hapax_richness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-richness census per source: total token mass, vocabulary
     size, hapax legomena (tokens seen exactly once), hapax ratio, and
-    type-token ratio — the complement of [[heaps_law_fit]]: Heaps reads
+    type-token ratio — the complement of heaps_law_fit: Heaps reads
     the corpus GROWTH law, this reads each source's steady-state
     richness.  A boilerplate-heavy source shows a collapsed type-token
     ratio; a random-id crawl shows hapax_ratio ~ 1.
@@ -3275,13 +3275,13 @@ def mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFram
     the mixture-design dependence audit.  MI ~ 0 means language mix is
     uniform across sources (rebalancing one axis leaves the other
     alone); a large MI means the axes are entangled and
-    [[balance_langs_sample]]-style per-lang rebalancing will silently
+    balance_langs_sample-style per-lang rebalancing will silently
     reshape the source mixture too.
 
     Scale shape: ONE map-side-combined groupBy(lang, source) count —
     the contingency table, bounded by |langs| x |sources| regardless of
     corpus size; marginals are window sums OVER that tiny relation
-    (single-partition by construction, the [[benford_price_audit]]
+    (single-partition by construction, the benford_price_audit
     pattern).  Exactness: counts exact; each cell's MI contribution is
     rounded to 9 dp and summed as DECIMAL (order-free) before the 6-dp
     display round; PMI itself is one LN of a ratio of exact counts,
@@ -3377,7 +3377,7 @@ def script_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Latin / digit / Cyrillic / CJK / whitespace / other codepoints,
     plus the count of MIXED-SCRIPT documents (Latin letters co-occurring
     with Cyrillic or CJK in one doc) — the mislabeled-lang and
-    script-spoofing screen that complements [[char_coverage_audit]]
+    script-spoofing screen that complements char_coverage_audit
     (that one ranks codepoints for tokenizer coverage; this one reads
     label consistency).
 
@@ -3491,7 +3491,7 @@ def source_keyness_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
     each source versus the REST of the corpus, scored by add-one
     smoothed log-odds-ratio — the corpus-linguistics keyness statistic
     (what makes this source's language DISTINCTIVE), complementing
-    [[doc_keywords_tfidf]] (per-doc salience) and [[pmi_bigrams]]
+    doc_keywords_tfidf (per-doc salience) and pmi_bigrams
     (collocation) at the source granularity.
 
     Scale shape: token counts per (source, t) and per t are both

@@ -783,7 +783,7 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed — the antitrust-style concentration screen (HHI > 0.25 on
     the 0-1 scale marks a concentrated market; scaled by the customary
     10,000 in the output).  The procurement twin of
-    [[join_skew_diagnostics]]: that one finds skewed JOIN keys, this
+    join_skew_diagnostics: that one finds skewed JOIN keys, this
     prices how skewed the SUPPLY is.
 
     Scale shape: lineitem is first reduced to one decimal-exact revenue
@@ -793,7 +793,7 @@ def supplier_hhi_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier-count-bounded relation.  Exactness: revenue via the
     per-row DECIMAL(18,6) cast; each share² feed rounds to 9 dp and
     sums as DECIMAL before the 6-dp display round (the
-    [[benford_price_audit]] ulp discipline)."""
+    benford_price_audit ulp discipline)."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
