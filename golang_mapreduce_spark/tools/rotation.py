@@ -350,16 +350,17 @@ def round10_window() -> list[str]:
     )
 
 
-#: Round-11 parameters.  The head is deliberately SMALL (2 of the 7
+#: Round-11 parameters.  The head is deliberately SMALL (2 of the 12
 #: round-11 additions): the verdict's binding ask is draining the
 #: 29-entry r5-stale cohort to zero, and the r1 floor must pull its 15
 #: entries from the r7/r8 tiers (no r5/r6 row is r1-cohort), so every
 #: head slot beyond 6 displaces an r5 drain commitment.  The two
 #: windowed additions are the round's flagship (the RAG chunk manifest)
-#: plus the supply-concentration index; the other five wait as
+#: plus the supply-concentration index; the other ten wait as
 #: never-checked carryovers that lead the ROUND12 head (the r8 -> r9 ->
 #: r10 carryover precedent) with the local parity + fuzz suites as
-#: their gate.
+#: their gate.  (Counts updated per ADVICE r11: the round ultimately
+#: landed 12 additions in three batches.)
 ROUND11_NEW: tuple[str, ...] = (
     "rag_chunk_manifest",
     "supplier_hhi_by_nation",

@@ -82,7 +82,7 @@ def test_round11_drains_the_r5_cohort():
 
 
 def test_round11_carryovers_are_registered_and_oracle_backed():
-    """The five unwindowed round-11 additions must be registered,
+    """The ten unwindowed round-11 additions must be registered,
     oracle-backed, and genuinely never-checked — they lead the ROUND12
     head (the standing carryover contract)."""
     latest = rotation.latest_rounds(through_round=10)

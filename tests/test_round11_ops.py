@@ -337,3 +337,71 @@ def test_kfold_audit_is_md5_recomputation(spark, tmp_path):
         strata.setdefault((r["lang"], r["source"]), []).append(r["stratum_share"])
     for shares in strata.values():
         assert sum(shares) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_bot_heuristic_even_gap_interpolation_both_engines(spark, tmp_path):
+    """ADVICE r11: engine/oracle parity for the median hinges on Spark
+    percentile() and DuckDB quantile_cont() agreeing on LINEAR
+    INTERPOLATION when the middle order statistics differ — the planted
+    cadences above use constant gaps, which never exercises that path.
+    Plant two users whose sorted gaps have an even count with DISTINCT
+    middle values (user 1: 20 distinct gaps 1000..20000 ms -> median
+    10500.0; user 2: gaps cycling 1000/2000/3000/4000 ms x5 -> median
+    2500.0, the ADVICE example scaled to the volume floor), run the
+    Spark operator AND the DuckDB oracle on the SAME parquet, and hold
+    them to the driver's own compare (rows + schema kinds + values)."""
+    import datetime as dt
+
+    import duckdb
+
+    from golang_mapreduce_spark.operators.analytics import (
+        BOT_HEURISTIC_SQL,
+        BOT_MIN_EVENTS,
+        bot_activity_heuristic,
+    )
+    from tests.oracle import compare
+
+    assert BOT_MIN_EVENTS <= 21  # both fixtures must clear the floor
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+
+    def _user(uid, gaps_ms):
+        nonlocal eid
+        ts, cum = t0, 0
+        eid += 1
+        rows.append((eid, ts, uid, "click", 0.0, "{}"))
+        for g in gaps_ms:
+            cum += g
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(milliseconds=cum), uid, "click", 0.0, "{}")
+            )
+
+    _user(1, [1000 * (i + 1) for i in range(20)])  # distinct ascending
+    _user(2, [1000, 2000, 3000, 4000] * 5)  # the ADVICE 1,2,3,4 shape
+    d = str(tmp_path / "bot_even")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+
+    out = {r["user_id"]: r for r in bot_activity_heuristic(spark, d).collect()}
+    assert out[1]["median_gap_ms"] == 10500.0  # (10000 + 11000) / 2
+    assert out[2]["median_gap_ms"] == 2500.0  # (2000 + 3000) / 2
+
+    con = duckdb.connect()
+    try:
+        # Spark writes a parquet DIRECTORY; DuckDB wants the part glob
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+        )
+        compare(
+            bot_activity_heuristic(spark, d),
+            con,
+            BOT_HEURISTIC_SQL,
+            name="bot_even_gaps",
+        )
+    finally:
+        con.close()
