@@ -318,6 +318,9 @@ EXTRA = [
     "bot_activity_heuristic",
     "source_keyness_logodds",
     "context_length_sensitivity",
+    # round-12 additions
+    "shard_dup_manifest",
+    "crossencoder_rerank_audit",
 ]
 
 
@@ -326,7 +329,12 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = set()  # r11 seeds landed same-session (SCALE.md)
+PENDING_BASELINE_SEED: set[str] = {
+    # round-12 additions awaiting their quiet best-of-N seed run —
+    # drained same-session (the r11 precedent; see SCALE.md)
+    "shard_dup_manifest",
+    "crossencoder_rerank_audit",
+}
 
 
 def force(df) -> None:

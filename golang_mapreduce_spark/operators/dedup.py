@@ -3060,6 +3060,117 @@ FROM (
 """
 
 
+#: Writer-shard count the exact-dup manifest audits — stands in for the
+#: output partition count of a distributed writer; the manifest is
+#: MANIFEST_SHARDS rows regardless of corpus size.
+MANIFEST_SHARDS = 8
+
+
+def shard_dup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup manifest at the WRITER-SHARD level — the table a dedup
+    planner reads to decide whether shard-local dedup suffices or a
+    global shuffle is required (VERDICT r11 #3's second candidate;
+    composes dedup_exact's hash with the standing md5 bucket rule).
+    Every document is assigned to one of {MANIFEST_SHARDS} shards by
+    md5('shard:' || doc_id); per shard the manifest reports, over
+    dedup_exact's text-hash groups:
+
+      n_docs / n_groups        — shard size and distinct-text count
+      dup_docs                 — docs whose group has >1 copy ANYWHERE
+      local_excess             — docs a shard-LOCAL keep-one pass drops
+      global_excess            — docs a GLOBAL keep-min-doc_id pass
+                                 drops from this shard (group keepers
+                                 attributed to the shard holding the
+                                 group's min doc_id)
+      cross_shard_dup_docs     — dup docs whose group spans >=2 shards:
+                                 exactly the mass shard-local dedup
+                                 cannot see
+
+    cross_shard_dup_docs ~ 0 means each shard can dedup independently
+    (a map-side pass, no global exchange); the gap between local_excess
+    and global_excess is the exact row budget that exchange buys back.
+    Identity: sum(global_excess) - sum(local_excess) over shards =
+    cross-shard groups' extra copies (tests pin this).
+
+    Scale shape: two keyed aggregations — (text_hash, shard) cells,
+    then text_hash groups — whose shuffles carry constant bytes per row
+    (a 32-char hash + counters, never the text), a hash-keyed join of
+    two relations co-partitioned by construction, then a
+    {MANIFEST_SHARDS}-row rollup.  At 100 TB this is dedup_exact's
+    certified shuffle shape run twice; output stays {MANIFEST_SHARDS}
+    rows.  Exactness: integer counts end-to-end; cross-engine because
+    both the text hash and the shard bucket are md5-derived
+    (functions/hashing.py parity)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("text_hash"),
+        (
+            hash32(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+            % MANIFEST_SHARDS
+        ).cast("int").alias("shard"),
+    )
+    cell = docs.groupBy("text_hash", "shard").agg(
+        F.count("*").alias("n_local"), F.min("doc_id").alias("cell_min")
+    )
+    grp = cell.groupBy("text_hash").agg(
+        F.sum("n_local").alias("n_copies"),
+        F.count("*").alias("n_shards"),
+        F.min("cell_min").alias("keep_id"),
+    )
+    j = cell.join(grp, "text_hash")
+    return j.groupBy("shard").agg(
+        F.sum("n_local").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(
+            F.when(F.col("n_copies") > 1, F.col("n_local")).otherwise(0)
+        ).cast("bigint").alias("dup_docs"),
+        F.sum(
+            F.when(F.col("n_local") > 1, F.col("n_local") - 1).otherwise(0)
+        ).cast("bigint").alias("local_excess"),
+        F.sum(
+            F.col("n_local")
+            - F.when(F.col("cell_min") == F.col("keep_id"), 1).otherwise(0)
+        ).cast("bigint").alias("global_excess"),
+        F.sum(
+            F.when(F.col("n_shards") > 1, F.col("n_local")).otherwise(0)
+        ).cast("bigint").alias("cross_shard_dup_docs"),
+    )
+
+
+SHARD_DUP_MANIFEST_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         md5(lower(trim(text))) AS text_hash,
+         CAST({sql_hash32("'shard:' || CAST(doc_id AS VARCHAR)")}
+              % {MANIFEST_SHARDS} AS INT) AS shard
+  FROM documents
+),
+cell AS (
+  SELECT text_hash, shard, COUNT(*) AS n_local, MIN(doc_id) AS cell_min
+  FROM docs GROUP BY 1, 2
+),
+grp AS (
+  SELECT text_hash, SUM(n_local) AS n_copies, COUNT(*) AS n_shards,
+         MIN(cell_min) AS keep_id
+  FROM cell GROUP BY 1
+)
+SELECT c.shard,
+       CAST(SUM(c.n_local) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN g.n_copies > 1 THEN c.n_local ELSE 0 END)
+            AS BIGINT) AS dup_docs,
+       CAST(SUM(CASE WHEN c.n_local > 1 THEN c.n_local - 1 ELSE 0 END)
+            AS BIGINT) AS local_excess,
+       CAST(SUM(c.n_local - CASE WHEN c.cell_min = g.keep_id
+                                 THEN 1 ELSE 0 END)
+            AS BIGINT) AS global_excess,
+       CAST(SUM(CASE WHEN g.n_shards > 1 THEN c.n_local ELSE 0 END)
+            AS BIGINT) AS cross_shard_dup_docs
+FROM cell c JOIN grp g USING (text_hash)
+GROUP BY c.shard
+"""
+
+
 QUERIES = {
     "dup_cluster_histogram": dup_cluster_histogram,
     "neardup_method_agreement": neardup_method_agreement,
@@ -3095,6 +3206,7 @@ QUERIES = {
     "graph_kcore_membership": graph_kcore_membership,
     "rare_ngram_uniqueness": rare_ngram_uniqueness,
     "normalization_ladder": normalization_ladder,
+    "shard_dup_manifest": shard_dup_manifest,
 }
 
 ORACLES = {
@@ -3134,4 +3246,5 @@ ORACLES = {
     "graph_kcore_membership": _kcore_sql(),
     "rare_ngram_uniqueness": RARE_NGRAM_UNIQUENESS_SQL,
     "normalization_ladder": NORMALIZATION_LADDER_SQL,
+    "shard_dup_manifest": SHARD_DUP_MANIFEST_SQL,
 }

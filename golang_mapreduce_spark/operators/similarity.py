@@ -3066,6 +3066,150 @@ GROUP BY b.dim, q_lo, q_hi
 """
 
 
+#: Candidate-pool depth the pair-joint reranker rescores per query —
+#: 4x TOP_K, the classic retrieve-wide / rerank-narrow ratio.
+RERANK_POOL = 20
+
+
+def crossencoder_rerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-RERANK audit with a PAIR-JOINT scorer —
+    the cross-encoder serving shape (VERDICT r11 #3's first candidate):
+    stage 1 is the certified bi-encoder retriever (exact cosine, the
+    knn_bruteforce dataflow) taking the top {RERANK_POOL} candidates
+    per query; stage 2 rescores ONLY those pairs with a scorer that is
+    a function of the (query, doc) pair jointly and cannot be
+    factorized into two independent vector encodings — here a signed
+    soft-Jaccard over dimensions, sum(min(|q_j|,|d_j|) where signs
+    agree) / sum(max(|q_j|,|d_j|)) — the sandbox stand-in for a
+    cross-encoder forward pass (deterministic, engine-mirrorable; a
+    real model slots in behind the same queries x pool contract).  The
+    audit row per query is what a retrieval team reads to size the
+    reranker's effect: pool footrule (total |bi_rank - ce_rank|
+    displacement), top-{TOP_K} overlap between the two orderings, how
+    many docs the reranker promoted into the top {TOP_K} from below,
+    and where the reranker's #1 sat in the bi-encoder order.
+
+    Scale shape: stage 1 is the retriever's documented story (brute
+    force here; IVF/PQ at 100 TB — any certified top-k op yields the
+    pool); stage 2 touches exactly queries x {RERANK_POOL} pairs — the
+    expensive scorer never sees the collection — and the audit is a
+    per-query aggregate over those {RERANK_POOL} rows.  This is why
+    cross-encoders are deployable at all: the pair cost is bounded by
+    the pool, not the corpus.
+
+    Determinism: both orderings rank on 6-dp-rounded scores with
+    neighbor_id tie-breaks (the family convention); the ce score's
+    fold order over dims 1..{EMB_DIM} is identical in both engines;
+    footrule/overlap/promotion are integer-exact."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+        )
+    )
+    scored = emb.join(q, F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "q_emb",
+        "emb",
+        _cos("q_emb", "emb").alias("bi_sim"),
+    )
+    bw = Window.partitionBy("query_id").orderBy(
+        F.desc("bi_sim"), F.asc("neighbor_id")
+    )
+    pool = scored.withColumn("bi_rank", F.row_number().over(bw)).where(
+        F.col("bi_rank") <= RERANK_POOL
+    )
+    num = F.expr(
+        "aggregate(zip_with(q_emb, emb, (x, y) -> "
+        "CASE WHEN (x >= CAST(0.0 AS DOUBLE)) = (y >= CAST(0.0 AS DOUBLE)) "
+        "THEN least(abs(x), abs(y)) ELSE CAST(0.0 AS DOUBLE) END), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    den = F.expr(
+        "aggregate(zip_with(q_emb, emb, (x, y) -> greatest(abs(x), abs(y))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    ce = pool.select(
+        "query_id",
+        "neighbor_id",
+        "bi_rank",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("ce_score"),
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("ce_score"), F.asc("neighbor_id")
+    )
+    rr = ce.withColumn("ce_rank", F.row_number().over(rw))
+    k = F.lit(TOP_K)
+    return rr.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("pool_n"),
+        F.sum(F.abs(F.col("bi_rank") - F.col("ce_rank")))
+        .cast("bigint")
+        .alias("footrule"),
+        F.sum(((F.col("bi_rank") <= k) & (F.col("ce_rank") <= k)).cast("int"))
+        .cast("bigint")
+        .alias("overlap_at_k"),
+        F.sum(((F.col("bi_rank") > k) & (F.col("ce_rank") <= k)).cast("int"))
+        .cast("bigint")
+        .alias("promoted_into_k"),
+        F.max(F.when(F.col("ce_rank") == 1, F.col("bi_rank")))
+        .cast("int")
+        .alias("top1_bi_rank"),
+    )
+
+
+CE_RERANK_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM emb
+  WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.q_emb, e.emb,
+         ROUND(list_cosine_similarity(q.q_emb, e.emb), 6) AS bi_sim
+  FROM q JOIN emb e ON e.vec_id <> q.query_id
+),
+pool AS (
+  SELECT query_id, neighbor_id, q_emb, emb,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bi_sim DESC, neighbor_id) AS bi_rank
+  FROM scored
+),
+ce AS (
+  SELECT query_id, neighbor_id, bi_rank,
+         ROUND(
+           list_sum(list_transform(range(1, {EMB_DIM} + 1),
+             j -> CASE WHEN (q_emb[j] >= CAST(0.0 AS DOUBLE))
+                         = (emb[j] >= CAST(0.0 AS DOUBLE))
+                  THEN LEAST(abs(q_emb[j]), abs(emb[j]))
+                  ELSE CAST(0.0 AS DOUBLE) END))
+           / NULLIF(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+             j -> GREATEST(abs(q_emb[j]), abs(emb[j])))),
+             CAST(0.0 AS DOUBLE)), 6) AS ce_score
+  FROM pool WHERE bi_rank <= {RERANK_POOL}
+),
+rr AS (
+  SELECT query_id, neighbor_id, bi_rank,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ce_score DESC, neighbor_id) AS ce_rank
+  FROM ce
+)
+SELECT query_id,
+       CAST(COUNT(*) AS BIGINT) AS pool_n,
+       CAST(SUM(abs(bi_rank - ce_rank)) AS BIGINT) AS footrule,
+       CAST(SUM(CASE WHEN bi_rank <= {TOP_K} AND ce_rank <= {TOP_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS overlap_at_k,
+       CAST(SUM(CASE WHEN bi_rank > {TOP_K} AND ce_rank <= {TOP_K}
+                THEN 1 ELSE 0 END) AS BIGINT) AS promoted_into_k,
+       CAST(MAX(CASE WHEN ce_rank = 1 THEN bi_rank END) AS INT)
+         AS top1_bi_rank
+FROM rr
+GROUP BY query_id
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -3098,6 +3242,7 @@ QUERIES = {
     "ann_rank_quality": ann_rank_quality,
     "kmeans_refine_centroids": kmeans_refine_centroids,
     "bitext_margin_pairs": bitext_margin_pairs,
+    "crossencoder_rerank_audit": crossencoder_rerank_audit,
 }
 
 ORACLES = {
@@ -3132,4 +3277,5 @@ ORACLES = {
     "ann_rank_quality": ANN_RANK_QUALITY_SQL,
     "kmeans_refine_centroids": KMEANS_REFINE_SQL,
     "bitext_margin_pairs": BITEXT_MARGIN_SQL,
+    "crossencoder_rerank_audit": CE_RERANK_SQL,
 }

@@ -408,6 +408,47 @@ def round11_window() -> list[str]:
     )
 
 
+#: Round-12 parameters.  The head is EXACTLY the ten round-11
+#: carryovers (VERDICT r11 #1: the only registered queries with zero
+#: driver rows) and nothing else — no new-op head, no changed list (the
+#: two ADVICE-r11 items were a test addition and docstring count fixes,
+#: neither a code-path change), no pins.  The fill then drains the
+#: 32-entry r6-stale cohort (VERDICT r11 #2); with the 15-entry r1
+#: floor pulling from the r8/r9 tiers (no r6 row is r1-cohort), only
+#: 25 of the 32 fit, so the floor displaces the SEVEN newest-registered
+#: non-r1 r6 entries: approx_distinct_users, approx_percentile_prices,
+#: hotkey_salted_join_revenue, perplexity_tail_split,
+#: quality_drift_by_batch, salted_join_revenue, salted_word_count.
+#: Each keeps an in-window family mate (the prose is in the
+#: ``__spark_entry__`` window comment) and all seven lead the r13
+#: stale fill — the deferral path VERDICT r11 #2 sanctioned ("defer r6
+#: rows with in-window family mates and annotate, as rounds 9–11 did").
+ROUND12_NEW: tuple[str, ...] = ROUND12_NEW_CARRYOVER
+ROUND12_CHANGED: tuple[str, ...] = ()
+ROUND12_PINS: tuple[str, ...] = ()
+#: Registered in round 12 but deliberately NOT windowed (VERDICT r11
+#: #3: new ops are window-neutral while staleness drains): the
+#: shard-level exact-dup manifest and the pair-joint reranker audit
+#: wait as never-checked entries that lead the ROUND13 head, gated
+#: locally by the parity + plan suites.  The SEVEN r6 deferrals listed
+#: above lead the r13 stale fill right after them.
+ROUND13_NEW_CARRYOVER: tuple[str, ...] = (
+    "shard_dup_manifest",
+    "crossencoder_rerank_audit",
+)
+
+
+def round12_window() -> list[str]:
+    return propose_window(
+        latest_rounds(through_round=11),
+        r1_cohort(),
+        registration_order(),
+        new=ROUND12_NEW,
+        changed=ROUND12_CHANGED,
+        pins=ROUND12_PINS,
+    )
+
+
 def window_for_round(
     round_no: int,
     *,

@@ -113,6 +113,11 @@ FAMILY = [
     "embedding_outliers",
     "knn_label_vote",
     "matryoshka_recall",
+    # round-12 addition: the pair-joint reranker audit — the duplicate
+    # group (cos exactly 1) and the one-hot echoes force bi-rank ties
+    # that only the neighbor_id tie-break orders, and the negated copy
+    # exercises the sign-agreement gate of the ce score
+    "crossencoder_rerank_audit",
 ]
 
 

@@ -71,6 +71,70 @@ def test_round11_window_matches_ledger():
     assert problems == []
 
 
+def test_round12_window_matches_ledger():
+    problems = rotation.validate_window(
+        entry_mod._ROUND12_WINDOW,
+        rotation.latest_rounds(through_round=11),
+        rotation.r1_cohort(),
+        rotation.registration_order(),
+        new=rotation.ROUND12_NEW,
+        changed=rotation.ROUND12_CHANGED,
+        pins=rotation.ROUND12_PINS,
+    )
+    assert problems == []
+
+
+def test_round12_head_is_exactly_the_carryovers():
+    """VERDICT r11 #1: the ten round-11 carryovers — the only registered
+    queries with zero driver rows — lead the window, and nothing else
+    joins the head (near-zero new-op head, the r11 arithmetic)."""
+    assert entry_mod._ROUND12_WINDOW[:10] == list(rotation.ROUND12_NEW_CARRYOVER)
+    assert rotation.ROUND12_NEW == rotation.ROUND12_NEW_CARRYOVER
+    assert rotation.ROUND12_CHANGED == ()
+    assert rotation.ROUND12_PINS == ()
+
+
+#: The seven r6 rows the r1 floor displaced from the round-12 fill —
+#: each annotated with an in-window family mate in the __spark_entry__
+#: window comment (the deferral path VERDICT r11 #2 sanctioned); they
+#: lead the r13 stale fill.
+ROUND12_DEFERRED_R6 = {
+    "approx_distinct_users",
+    "approx_percentile_prices",
+    "hotkey_salted_join_revenue",
+    "perplexity_tail_split",
+    "quality_drift_by_batch",
+    "salted_join_revenue",
+    "salted_word_count",
+}
+
+
+def test_round12_drains_the_r6_cohort_except_the_annotated_seven():
+    """VERDICT r11 #2's acceptance with its sanctioned fallback: every
+    r6-latest query is in-window EXCEPT exactly the seven the floor
+    displaced — no silent growth of the deferred set."""
+    latest = rotation.latest_rounds(through_round=11)
+    r6_stale = {n for n, v in latest.items() if v <= 6}
+    deferred = r6_stale - set(entry_mod._ROUND12_WINDOW)
+    assert deferred == ROUND12_DEFERRED_R6, sorted(
+        deferred ^ ROUND12_DEFERRED_R6
+    )
+
+
+def test_round12_carryovers_are_registered_and_oracle_backed():
+    """The two round-12 additions must be registered, oracle-backed,
+    and genuinely never driver-checked — they lead the ROUND13 head
+    (the standing carryover contract, VERDICT r11 #3)."""
+    latest = rotation.latest_rounds(through_round=11)
+    oracles = entry_mod.oracle_sql()
+    queries = entry_mod.queries()
+    for name in rotation.ROUND13_NEW_CARRYOVER:
+        assert name in queries, name
+        assert name in oracles, name
+        assert name not in latest, name
+        assert name not in entry_mod._ROUND12_WINDOW, name
+
+
 def test_round11_drains_the_r5_cohort():
     """VERDICT r10 #1's acceptance: after round 11 lands, no ledger row
     may be older than r6 — every r5-latest query must be in-window."""
@@ -117,12 +181,12 @@ def test_through_round_bounds_the_ledger():
 def test_window_leads_registration():
     """queries() must serve the CURRENT window names first, in order."""
     names = list(entry_mod.queries())
-    assert names[: len(entry_mod._ROUND11_WINDOW)] == entry_mod._ROUND11_WINDOW
+    assert names[: len(entry_mod._ROUND12_WINDOW)] == entry_mod._ROUND12_WINDOW
 
 
 def test_every_window_query_is_oracle_backed():
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in entry_mod._ROUND11_WINDOW if n not in oracles]
+    missing = [n for n in entry_mod._ROUND12_WINDOW if n not in oracles]
     assert missing == []
 
 

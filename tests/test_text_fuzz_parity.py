@@ -148,6 +148,11 @@ FAMILY = [
     # (n = 0 drops; n = 1 pads L-1 tokens at every L)
     (textstats, "source_keyness_logodds"),
     (corpus, "context_length_sensitivity"),
+    # round-12 addition: the shard-level dup manifest over the dup trio
+    # (the only groups that can span shards) plus empty/whitespace docs
+    # (trim-normalized: "" and "   " collide into ONE hash group — the
+    # cross-shard path's densest case in this corpus)
+    (dedup, "shard_dup_manifest"),
 ]
 
 
