@@ -329,12 +329,7 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = {
-    # round-12 additions awaiting their quiet best-of-N seed run —
-    # drained same-session (the r11 precedent; see SCALE.md)
-    "shard_dup_manifest",
-    "crossencoder_rerank_audit",
-}
+PENDING_BASELINE_SEED: set[str] = set()  # r12 seeds landed same-session (SCALE.md)
 
 
 def force(df) -> None:

@@ -3092,14 +3092,15 @@ def shard_dup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Identity: sum(global_excess) - sum(local_excess) over shards =
     cross-shard groups' extra copies (tests pin this).
 
-    Scale shape: two keyed aggregations — (text_hash, shard) cells,
-    then text_hash groups — whose shuffles carry constant bytes per row
-    (a 32-char hash + counters, never the text), a hash-keyed join of
-    two relations co-partitioned by construction, then a
-    {MANIFEST_SHARDS}-row rollup.  At 100 TB this is dedup_exact's
-    certified shuffle shape run twice; output stays {MANIFEST_SHARDS}
-    rows.  Exactness: integer counts end-to-end; cross-engine because
-    both the text hash and the shard bucket are md5-derived
+    Scale shape: ONE (doc_id, text) scan into a (text_hash, shard)
+    keyed aggregation (shuffle rows carry a 32-char hash + counters,
+    never the text), group totals via a text_hash window OVER THE CELL
+    RELATION (cells ≤ docs; no self-join, no second scan — the
+    windowed form replaced a cell⋈group join that re-scanned the
+    corpus), then a {MANIFEST_SHARDS}-row rollup.  At 100 TB this is
+    dedup_exact's certified shuffle shape plus one hash-keyed window.
+    Exactness: integer counts end-to-end; cross-engine because both
+    the text hash and the shard bucket are md5-derived
     (functions/hashing.py parity)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -3112,12 +3113,15 @@ def shard_dup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = docs.groupBy("text_hash", "shard").agg(
         F.count("*").alias("n_local"), F.min("doc_id").alias("cell_min")
     )
-    grp = cell.groupBy("text_hash").agg(
-        F.sum("n_local").alias("n_copies"),
-        F.count("*").alias("n_shards"),
-        F.min("cell_min").alias("keep_id"),
+    w = Window.partitionBy("text_hash")
+    j = cell.select(
+        "shard",
+        "n_local",
+        "cell_min",
+        F.sum("n_local").over(w).alias("n_copies"),
+        F.count("*").over(w).alias("n_shards"),
+        F.min("cell_min").over(w).alias("keep_id"),
     )
-    j = cell.join(grp, "text_hash")
     return j.groupBy("shard").agg(
         F.sum("n_local").cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_groups"),

@@ -122,6 +122,8 @@ BNLJ_OK = {
                                   # the loop's sf0.01 cost)
     "source_keyness_logodds",   # 1-row grand-total broadcast (the
                                 # smoothing denominator)
+    "crossencoder_rerank_audit",  # 8-row query set (non-equi join, the
+                                  # knn_bruteforce shape feeding the pool)
 }
 
 QUERIES = {
