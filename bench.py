@@ -426,6 +426,12 @@ BIG_QUERIES = [
     "script_mix_audit",
     "bot_activity_heuristic",
     "source_keyness_logodds",
+    # round-12 additions: the hash-shuffle shard manifest (dup groups
+    # collide k x denser on replicated fixtures, the standing
+    # worst-case note) and the broadcast-pool reranker audit (stage-2
+    # pair cost constant; only the stage-1 scan scales)
+    "shard_dup_manifest",
+    "crossencoder_rerank_audit",
 ]
 
 
