@@ -3153,25 +3153,31 @@ cell AS (
   SELECT text_hash, shard, COUNT(*) AS n_local, MIN(doc_id) AS cell_min
   FROM docs GROUP BY 1, 2
 ),
-grp AS (
-  SELECT text_hash, SUM(n_local) AS n_copies, COUNT(*) AS n_shards,
-         MIN(cell_min) AS keep_id
-  FROM cell GROUP BY 1
+j AS (
+  -- group totals via a text_hash WINDOW, mirroring the engine: a
+  -- cell-vs-rollup equi-join would DROP the NULL-text group (NULL
+  -- never equi-joins), while PARTITION BY groups NULLs together in
+  -- both engines — exactly like the GROUP BY that built the cells
+  SELECT shard, n_local, cell_min,
+         SUM(n_local) OVER (PARTITION BY text_hash) AS n_copies,
+         COUNT(*) OVER (PARTITION BY text_hash) AS n_shards,
+         MIN(cell_min) OVER (PARTITION BY text_hash) AS keep_id
+  FROM cell
 )
-SELECT c.shard,
-       CAST(SUM(c.n_local) AS BIGINT) AS n_docs,
+SELECT shard,
+       CAST(SUM(n_local) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_groups,
-       CAST(SUM(CASE WHEN g.n_copies > 1 THEN c.n_local ELSE 0 END)
+       CAST(SUM(CASE WHEN n_copies > 1 THEN n_local ELSE 0 END)
             AS BIGINT) AS dup_docs,
-       CAST(SUM(CASE WHEN c.n_local > 1 THEN c.n_local - 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN n_local > 1 THEN n_local - 1 ELSE 0 END)
             AS BIGINT) AS local_excess,
-       CAST(SUM(c.n_local - CASE WHEN c.cell_min = g.keep_id
-                                 THEN 1 ELSE 0 END)
+       CAST(SUM(n_local - CASE WHEN cell_min = keep_id
+                               THEN 1 ELSE 0 END)
             AS BIGINT) AS global_excess,
-       CAST(SUM(CASE WHEN g.n_shards > 1 THEN c.n_local ELSE 0 END)
+       CAST(SUM(CASE WHEN n_shards > 1 THEN n_local ELSE 0 END)
             AS BIGINT) AS cross_shard_dup_docs
-FROM cell c JOIN grp g USING (text_hash)
-GROUP BY c.shard
+FROM j
+GROUP BY shard
 """
 
 

@@ -3073,7 +3073,9 @@ RERANK_POOL = 20
 
 def crossencoder_rerank_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage retrieve-then-RERANK audit with a PAIR-JOINT scorer —
-    the cross-encoder serving shape (VERDICT r11 #3's first candidate):
+    the cross-encoder serving shape (Nogueira & Cho 2019, "Passage
+    Re-ranking with BERT": bi-encoder retrieval feeding a pairwise
+    reranker over a bounded pool; VERDICT r11 #3's first candidate):
     stage 1 is the certified bi-encoder retriever (exact cosine, the
     knn_bruteforce dataflow) taking the top {RERANK_POOL} candidates
     per query; stage 2 rescores ONLY those pairs with a scorer that is

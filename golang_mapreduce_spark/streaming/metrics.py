@@ -58,6 +58,9 @@ class ProgressCollector(StreamingQueryListener):
         self.peak_state_bytes: dict[str, int] = {}
 
     # StreamingQueryListener interface -----------------------------------
+    # The abstract base requires all four lifecycle callbacks; only
+    # onQueryProgress carries the metrics this collector exists for, so
+    # the other three are deliberate no-ops, not missing implementations.
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
 

@@ -1,9 +1,10 @@
 """The driver window is generated, not narrated (VERDICT r7 #5).
 
-``_ROUND9_WINDOW`` in ``__spark_entry__.py`` must equal the output of
-``tools/rotation.round9_window()`` exactly, and satisfy the standing
-invariants (size 50, unique, registered, ≥15 r1-cohort entries).  No
-Spark session needed — pure ledger math over CORRECTNESS_r0*.json.
+Each ``_ROUND{N}_WINDOW`` literal in ``__spark_entry__.py`` must equal
+the output of ``tools/rotation.round{N}_window()`` exactly, and satisfy
+the standing invariants (size 50, unique, registered, ≥15 r1-cohort
+entries).  No Spark session needed — pure ledger math over
+CORRECTNESS_r0*.json.
 
 Each round-N pin binds ``through_round=N-1`` (VERDICT r8 #1): the
 window was generated from the rounds-1..N-1 ledger, and the driver's
