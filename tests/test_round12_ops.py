@@ -249,3 +249,33 @@ def test_rerank_audit_caps_the_pool_and_matches_python_mirror(spark):
     }
     assert got == want
     assert all(v[0] == RERANK_POOL for v in got.values())
+
+
+def test_shard_manifest_null_texts_form_one_group(spark, tmp_path):
+    """NULL texts hash to NULL and form ONE dup group (PARTITION BY
+    groups NULLs together, matching the GROUP BY that builds the
+    cells) — the semantics the edge-corpus suite caught the first
+    oracle draft violating (its equi-join dropped the NULL group).
+    Three NULL-text docs + two distinct real docs: the NULL group has
+    n_copies 3, so all three count as dup_docs, global dedup keeps the
+    min doc_id, and the group spans however many shards the ids hash
+    to."""
+    rows = [
+        (0, None, "en", "s0", 0),
+        (1, None, "en", "s0", 0),
+        (2, None, "en", "s0", 0),
+        (3, "real one", "en", "s0", 8),
+        (4, "real two", "en", "s0", 8),
+    ]
+    d = str(tmp_path / "nulls")
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(
+        f"{d}/documents.parquet"
+    )
+    out = shard_dup_manifest(spark, d).collect()
+    assert sum(r["n_docs"] for r in out) == 5
+    assert sum(r["dup_docs"] for r in out) == 3  # exactly the NULL trio
+    # global keep-one drops 2 of the 3 NULL docs, none of the real ones
+    assert sum(r["global_excess"] for r in out) == 2
+    null_shards = {_shard(i) for i in (0, 1, 2)}
+    want_cross = 3 if len(null_shards) > 1 else 0
+    assert sum(r["cross_shard_dup_docs"] for r in out) == want_cross
