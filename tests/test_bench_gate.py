@@ -115,3 +115,22 @@ def test_missing_baseline_is_soft(tmp_path, monkeypatch):
     )
     gate = bench.regression_check({"wc": 1.0})
     assert gate == {"checked": False, "flagged": {}}
+
+
+def test_every_big_query_has_a_big_baseline():
+    """The 10x section's gate coverage mirror of the sf0.1 pin above:
+    every BIG_QUERIES member must have a recorded big: best_sec (round
+    12 closed the last two gaps), so a future big-list addition that
+    skips its quiet seed run fails CI instead of leaving the 10x gate
+    blind to it.  BIG_QUERIES must also name only registered queries."""
+    import json as _json
+
+    import __spark_entry__ as entry_mod
+
+    names = set(entry_mod.queries())
+    assert set(bench.BIG_QUERIES) <= names, sorted(
+        set(bench.BIG_QUERIES) - names
+    )
+    best = _json.load(open("bench_baseline.json"))["best_sec"]
+    missing = [n for n in bench.BIG_QUERIES if f"big:{n}" not in best]
+    assert missing == [], missing
