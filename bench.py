@@ -321,6 +321,8 @@ EXTRA = [
     # round-12 additions
     "shard_dup_manifest",
     "crossencoder_rerank_audit",
+    # round-13 addition (IVF retrieve -> cross-encoder rerank, composed)
+    "ivf_ce_retrieval",
 ]
 
 
@@ -329,7 +331,7 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = set()  # r12 seeds landed same-session (SCALE.md)
+PENDING_BASELINE_SEED: set[str] = set()  # r13 seeds landed same-session (SCALE.md)
 
 
 def force(df) -> None:
@@ -432,6 +434,10 @@ BIG_QUERIES = [
     # pair cost constant; only the stage-1 scan scales)
     "shard_dup_manifest",
     "crossencoder_rerank_audit",
+    # round-13 composed retrieval: stage 1 scans P/C of the collection
+    # per query (the IVF story); stage 2's pair cost is pool-bounded —
+    # only the probe/assignment passes scale with N
+    "ivf_ce_retrieval",
 ]
 
 

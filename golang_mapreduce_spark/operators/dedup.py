@@ -3089,8 +3089,9 @@ def shard_dup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross_shard_dup_docs ~ 0 means each shard can dedup independently
     (a map-side pass, no global exchange); the gap between local_excess
     and global_excess is the exact row budget that exchange buys back.
-    Identity: sum(global_excess) - sum(local_excess) over shards =
-    cross-shard groups' extra copies (tests pin this).
+    Identity: sum(global_excess) - sum(local_excess) over shards = one
+    surviving copy per extra shard a group spans, i.e. sum(n_shards - 1)
+    over cross-shard groups (tests pin this; ADVICE r12 reword).
 
     Scale shape: ONE (doc_id, text) scan into a (text_hash, shard)
     keyed aggregation (shuffle rows carry a 32-char hash + counters,

@@ -3212,6 +3212,162 @@ GROUP BY query_id
 """
 
 
+def ivf_ce_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end two-stage retrieval: the IVF retriever feeds the
+    pair-joint reranker and the op returns the DEPLOYABLE result table
+    — final top-{TOP_K} per query under the reranker's order, with
+    both stages' scores and ranks on every row (VERDICT r12 #3's
+    second candidate: "an IVF+rerank composed retrieval op closing the
+    loop between ann_ivf_topk and crossencoder_rerank_audit").
+
+    Stage 1 is ann_ivf_topk's certified dataflow widened from top-5 to
+    a top-{RERANK_POOL} candidate pool: the adaptive ~sqrt(N) centroid
+    family (centroid_step), the BLAS assignment pass, ~10% of
+    centroids probed per query, candidates scored only inside probed
+    clusters.  Stage 2 is crossencoder_rerank_audit's pair-joint
+    scorer (signed soft-Jaccard over dims — the cross-encoder
+    stand-in; a real model slots in behind the same queries × pool
+    contract) over EXACTLY those pool rows.  Unlike the audit op,
+    which aggregates rank displacement per query, this emits the
+    ranked rows a serving layer returns: (query, neighbor, bi_sim,
+    bi_rank, ce_score, ce_rank ≤ {TOP_K}).
+
+    Scale shape: stage 1 reads P/C of the collection per query
+    (partition-pruned at 100 TB with `cluster` as a partition column);
+    stage 2 touches queries × min({RERANK_POOL}, pool) pairs — the
+    expensive scorer is bounded by the pool, never the corpus; the
+    final cut is a window over those same rows.  The pool can be
+    SMALLER than {RERANK_POOL} when the probed clusters hold fewer
+    candidates — exactly IVF's recall trade — so pool exhaustion
+    surfaces here as ce_rank rows < {TOP_K}, not as silent padding.
+
+    Determinism: both ranks order on 6-dp-rounded scores with
+    neighbor_id tie-breaks; centroids/probes/assignment are the
+    certified ann_ivf_topk machinery (similarity.py:244); the ce fold
+    order is dim 1..{EMB_DIM} in both engines."""
+    emb = _emb(spark, sf_dir)
+    cent = _centroids(emb)
+    assign = _ivf_assign(emb, cent)
+    n_probe = ivf_n_probe(cent.count())
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        q.join(cent)
+        .select("query_id", "q_emb", "cid", _cos("q_emb", "c_emb").alias("csim"))
+        .withColumn("prn", F.row_number().over(pw))
+        .where(F.col("prn") <= n_probe)
+        .select("query_id", "q_emb", F.col("cid").alias("cluster"))
+    )
+    # the probe relation is queries x n_probe rows (bounded by the
+    # query batch, never the collection) — broadcast it so the big
+    # assigned-collection side streams through a hash join with no
+    # shuffle/sort of its own (the one plan improvement over composing
+    # ann_ivf_topk verbatim, which leaves this join to AQE)
+    scored = (
+        F.broadcast(probes).join(assign, "cluster")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "q_emb",
+            "emb",
+            _cos("q_emb", "emb").alias("bi_sim"),
+        )
+    )
+    bw = Window.partitionBy("query_id").orderBy(
+        F.desc("bi_sim"), F.asc("neighbor_id")
+    )
+    pool = scored.withColumn("bi_rank", F.row_number().over(bw)).where(
+        F.col("bi_rank") <= RERANK_POOL
+    )
+    num = F.expr(
+        "aggregate(zip_with(q_emb, emb, (x, y) -> "
+        "CASE WHEN (x >= CAST(0.0 AS DOUBLE)) = (y >= CAST(0.0 AS DOUBLE)) "
+        "THEN least(abs(x), abs(y)) ELSE CAST(0.0 AS DOUBLE) END), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    den = F.expr(
+        "aggregate(zip_with(q_emb, emb, (x, y) -> greatest(abs(x), abs(y))), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    ce = pool.select(
+        "query_id",
+        "neighbor_id",
+        "bi_sim",
+        "bi_rank",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("ce_score"),
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("ce_score"), F.asc("neighbor_id")
+    )
+    return (
+        ce.withColumn("ce_rank", F.row_number().over(rw))
+        .where(F.col("ce_rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "bi_sim", "bi_rank", "ce_score", "ce_rank")
+    )
+
+
+IVF_CE_RETRIEVAL_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+{_CENT_CTES},
+assign AS (
+  SELECT vec_id, emb, cid AS cluster FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS arn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE arn = 1
+),
+probes AS (
+  SELECT query_id, q_emb, cid AS cluster FROM (
+    SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(q.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS prn
+    FROM emb q CROSS JOIN cent c
+    WHERE q.vec_id < {N_QUERIES}
+  ) WHERE prn <= {_N_PROBE_SQL}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.q_emb, a.emb,
+         ROUND(list_cosine_similarity(p.q_emb, a.emb), 6) AS bi_sim
+  FROM probes p JOIN assign a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+),
+pool AS (
+  SELECT query_id, neighbor_id, q_emb, emb, bi_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY bi_sim DESC, neighbor_id) AS bi_rank
+  FROM scored
+),
+ce AS (
+  SELECT query_id, neighbor_id, bi_sim, bi_rank,
+         ROUND(
+           list_sum(list_transform(range(1, {EMB_DIM} + 1),
+             j -> CASE WHEN (q_emb[j] >= CAST(0.0 AS DOUBLE))
+                         = (emb[j] >= CAST(0.0 AS DOUBLE))
+                  THEN LEAST(abs(q_emb[j]), abs(emb[j]))
+                  ELSE CAST(0.0 AS DOUBLE) END))
+           / NULLIF(list_sum(list_transform(range(1, {EMB_DIM} + 1),
+             j -> GREATEST(abs(q_emb[j]), abs(emb[j])))),
+             CAST(0.0 AS DOUBLE)), 6) AS ce_score
+  FROM pool WHERE bi_rank <= {RERANK_POOL}
+)
+SELECT query_id, neighbor_id, bi_sim, bi_rank, ce_score, ce_rank FROM (
+  SELECT query_id, neighbor_id, bi_sim, bi_rank, ce_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ce_score DESC, neighbor_id) AS ce_rank
+  FROM ce
+)
+WHERE ce_rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -3245,6 +3401,7 @@ QUERIES = {
     "kmeans_refine_centroids": kmeans_refine_centroids,
     "bitext_margin_pairs": bitext_margin_pairs,
     "crossencoder_rerank_audit": crossencoder_rerank_audit,
+    "ivf_ce_retrieval": ivf_ce_retrieval,
 }
 
 ORACLES = {
@@ -3280,4 +3437,5 @@ ORACLES = {
     "kmeans_refine_centroids": KMEANS_REFINE_SQL,
     "bitext_margin_pairs": BITEXT_MARGIN_SQL,
     "crossencoder_rerank_audit": CE_RERANK_SQL,
+    "ivf_ce_retrieval": IVF_CE_RETRIEVAL_SQL,
 }

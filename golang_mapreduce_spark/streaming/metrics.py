@@ -62,7 +62,7 @@ class ProgressCollector(StreamingQueryListener):
     # onQueryProgress carries the metrics this collector exists for, so
     # the other three are deliberate no-ops, not missing implementations.
     def onQueryStarted(self, event) -> None:  # noqa: N802
-        pass
+        pass  # intentional no-op: lifecycle hook carries no metrics
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
@@ -97,7 +97,7 @@ class ProgressCollector(StreamingQueryListener):
                             agg[k] = v
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
-        pass
+        pass  # intentional no-op: lifecycle hook carries no metrics
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
-        pass
+        pass  # intentional no-op: lifecycle hook carries no metrics

@@ -449,6 +449,58 @@ def round12_window() -> list[str]:
     )
 
 
+#: Round-13 parameters.  Head (2): exactly the two round-12 carryovers —
+#: the only registered queries with zero driver rows (VERDICT r12 #1) —
+#: no changed list (the three ADVICE-r12 items were a test assertion, a
+#: CLI default, and a docstring reword, none a query code path) and no
+#: pins.  Fill: the seven twice-waiting r6 deferrals lead (their second
+#: exposure window — VERDICT r12 #1: "they must not defer twice"), then
+#: the r7-stale cohort.  VERDICT r12's "2 + 7 + 34 = 43" arithmetic
+#: omitted the standing 15-entry r1 floor (2 + 7 + 34 + 15 = 58 > 50,
+#: and no r6/r7 row is r1-cohort), so the floor displaces the EIGHT
+#: newest-registered non-r1 r7 entries — the same sanctioned family-mate
+#: deferral path rounds 9–12 used; the mates are prose in the
+#: ``__spark_entry__`` window comment and all eight lead the r14 stale
+#: fill.
+ROUND13_NEW: tuple[str, ...] = ROUND13_NEW_CARRYOVER
+ROUND13_CHANGED: tuple[str, ...] = ()
+ROUND13_PINS: tuple[str, ...] = ()
+#: Registered in round 13 but deliberately NOT windowed (VERDICT r12
+#: #3: new ops are window-neutral while staleness drains): the
+#: IVF-retrieve → cross-encoder-rerank composed retrieval op (VERDICT
+#: r12 #3's named candidate) waits as a never-checked entry that leads
+#: the ROUND14 head, gated locally by the parity + plan suites.  The
+#: EIGHT r7 deferrals (see ROUND13_NEW docstring) lead the r14 stale
+#: fill right after it.
+ROUND14_NEW_CARRYOVER: tuple[str, ...] = (
+    "ivf_ce_retrieval",
+)
+
+
+def round13_window() -> list[str]:
+    return propose_window(
+        latest_rounds(through_round=12),
+        r1_cohort(),
+        registration_order(),
+        new=ROUND13_NEW,
+        changed=ROUND13_CHANGED,
+        pins=ROUND13_PINS,
+    )
+
+
+#: Every committed round binding, newest last — the CLI's no-flag
+#: default is ALWAYS the newest entry here, so the help text and the
+#: default can no longer go stale when a new round lands (ADVICE r12).
+COMMITTED_WINDOWS: dict[int, object] = {
+    8: round8_window,
+    9: round9_window,
+    10: round10_window,
+    11: round11_window,
+    12: round12_window,
+    13: round13_window,
+}
+
+
 def window_for_round(
     round_no: int,
     *,
@@ -472,10 +524,11 @@ def window_for_round(
 def main() -> None:  # pragma: no cover - CLI convenience
     import argparse
 
+    newest = max(COMMITTED_WINDOWS)
     ap = argparse.ArgumentParser(
         description="Generate a driver-window proposal from the "
-        "CORRECTNESS ledger.  With no flags, prints the CURRENT round's "
-        "committed window (round 9)."
+        "CORRECTNESS ledger.  With no flags, prints the NEWEST committed "
+        f"round's window (currently round {newest})."
     )
     ap.add_argument("--round", type=int, default=None,
                     help="round number N; ledger bound = N-1")
@@ -489,7 +542,7 @@ def main() -> None:  # pragma: no cover - CLI convenience
         return tuple(x for x in v.split(",") if x)
 
     if args.round is None:
-        round_no, window = 9, round9_window()
+        round_no, window = newest, COMMITTED_WINDOWS[newest]()
     else:
         round_no = args.round
         window = window_for_round(

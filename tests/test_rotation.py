@@ -85,6 +85,77 @@ def test_round12_window_matches_ledger():
     assert problems == []
 
 
+def test_round13_window_matches_ledger():
+    problems = rotation.validate_window(
+        entry_mod._ROUND13_WINDOW,
+        rotation.latest_rounds(through_round=12),
+        rotation.r1_cohort(),
+        rotation.registration_order(),
+        new=rotation.ROUND13_NEW,
+        changed=rotation.ROUND13_CHANGED,
+        pins=rotation.ROUND13_PINS,
+    )
+    assert problems == []
+
+
+def test_round13_head_is_exactly_the_carryovers():
+    """VERDICT r12 #1: the two round-12 carryovers — the only registered
+    queries with zero driver rows — lead the window, and nothing else
+    joins the head; the seven twice-waiting r6 deferrals drain
+    immediately after (they must not defer twice)."""
+    assert entry_mod._ROUND13_WINDOW[:2] == list(rotation.ROUND13_NEW_CARRYOVER)
+    assert rotation.ROUND13_NEW == rotation.ROUND13_NEW_CARRYOVER
+    assert rotation.ROUND13_CHANGED == ()
+    assert rotation.ROUND13_PINS == ()
+    assert set(entry_mod._ROUND13_WINDOW[2:9]) == ROUND12_DEFERRED_R6
+
+
+#: The eight r7 rows the r1 floor displaced from the round-13 fill —
+#: each annotated with an in-window family mate in the __spark_entry__
+#: window comment (the deferral path rounds 9–12 sanctioned); they lead
+#: the r14 stale fill.
+ROUND13_DEFERRED_R7 = {
+    "nested_customer_profile",
+    "percentile_prices",
+    "pivot_segment_revenue",
+    "sliding_chunk_stats",
+    "source_mixture_sample",
+    "stats_summary",
+    "tfidf_top_terms",
+    "window_order_gaps",
+}
+
+
+def test_round13_drains_r6_fully_and_r7_except_the_annotated_eight():
+    """VERDICT r12 #1's acceptance with the standing floor fallback:
+    after round 13 no ledger row may be older than r7, and every
+    r7-latest query is in-window EXCEPT exactly the eight the floor
+    displaced — no silent growth of the deferred set."""
+    latest = rotation.latest_rounds(through_round=12)
+    window = set(entry_mod._ROUND13_WINDOW)
+    r6_stale = {n for n, v in latest.items() if v <= 6}
+    assert r6_stale <= window, sorted(r6_stale - window)
+    r7_stale = {n for n, v in latest.items() if v == 7}
+    deferred = r7_stale - window
+    assert deferred == ROUND13_DEFERRED_R7, sorted(
+        deferred ^ ROUND13_DEFERRED_R7
+    )
+
+
+def test_round13_carryovers_are_registered_and_oracle_backed():
+    """The round-13 addition must be registered, oracle-backed, and
+    genuinely never driver-checked — it leads the ROUND14 head (the
+    standing carryover contract, VERDICT r12 #3)."""
+    latest = rotation.latest_rounds(through_round=12)
+    oracles = entry_mod.oracle_sql()
+    queries = entry_mod.queries()
+    for name in rotation.ROUND14_NEW_CARRYOVER:
+        assert name in queries, name
+        assert name in oracles, name
+        assert name not in latest, name
+        assert name not in entry_mod._ROUND13_WINDOW, name
+
+
 def test_round12_head_is_exactly_the_carryovers():
     """VERDICT r11 #1: the ten round-11 carryovers — the only registered
     queries with zero driver rows — lead the window, and nothing else
@@ -182,13 +253,21 @@ def test_through_round_bounds_the_ledger():
 def test_window_leads_registration():
     """queries() must serve the CURRENT window names first, in order."""
     names = list(entry_mod.queries())
-    assert names[: len(entry_mod._ROUND12_WINDOW)] == entry_mod._ROUND12_WINDOW
+    assert names[: len(entry_mod._ROUND13_WINDOW)] == entry_mod._ROUND13_WINDOW
 
 
 def test_every_window_query_is_oracle_backed():
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in entry_mod._ROUND12_WINDOW if n not in oracles]
+    missing = [n for n in entry_mod._ROUND13_WINDOW if n not in oracles]
     assert missing == []
+
+
+def test_cli_default_round_is_the_newest_binding():
+    """ADVICE r12: the CLI's no-flag default must track the newest
+    committed round binding so it cannot go stale again."""
+    newest = max(rotation.COMMITTED_WINDOWS)
+    assert newest == 13
+    assert rotation.COMMITTED_WINDOWS[newest] is rotation.round13_window
 
 
 def test_floor_enforcement_is_deterministic():

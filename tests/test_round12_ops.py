@@ -164,9 +164,13 @@ def test_rerank_audit_reorders_the_planted_pool(spark):
     # bi top-3 is A(8), B(9), C(10); ce promotes B to #1 and A sinks
     assert q0["top1_bi_rank"] == 2  # ce #1 (B) sat at bi rank 2
     assert q0["footrule"] > 0
-    # with pool < TOP_K*2 everything stays "in k"; overlap counts the
-    # members ranked <= TOP_K under BOTH orders
-    assert q0["overlap_at_k"] <= TOP_K
+    # exact overlap pin (ADVICE r12 — the old <= TOP_K bound was true
+    # by construction): bi top-5 is {A, B, C, e1, e2} and ce top-5 is
+    # {B, C, A, e1, e2} — the zero-score tail ties break by vec_id in
+    # BOTH orders, so the two top-k sets coincide exactly and the
+    # planted inversion reorders WITHIN k without promotion
+    assert q0["overlap_at_k"] == TOP_K
+    assert q0["promoted_into_k"] == 0
 
 
 def test_rerank_audit_caps_the_pool_and_matches_python_mirror(spark):
