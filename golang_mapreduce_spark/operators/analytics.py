@@ -493,11 +493,18 @@ def user_activity_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile join_skew_diagnostics flags on the TPC-H side, measured
     here on the behavioral axis.
 
-    Scale shape: one partial-agg'd groupBy(user) for counts, then the
-    bucket rollup is |buckets| rows (≈ log2 of the max user).  The
-    bucket id is the count's BIT LENGTH (length of the base-2 string —
-    exact integer arithmetic in both engines, no float log2 whose
-    half-ulp could flip a boundary); shares divide exact BIGINTs."""
+    Scale shape: ONE events scan into one partial-agg'd groupBy(user)
+    for counts, then the bucket rollup is |buckets| rows (≈ log2 of
+    the max user) and BOTH divisors come from windows over that tiny
+    relation — the grand total is an unpartitioned-window SUM fused
+    into the same single-partition Window stage as the cumulative
+    share (round-13 plan fix: the original form derived the total via
+    ev.agg(...) + crossJoin, which re-computed the whole ev subtree —
+    a second events scan and a second user_id exchange that the
+    BENCH_r12 flag on this query paid for twice per run).  The bucket
+    id is the count's BIT LENGTH (length of the base-2 string — exact
+    integer arithmetic in both engines, no float log2 whose half-ulp
+    could flip a boundary); shares divide exact BIGINTs."""
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
@@ -508,21 +515,20 @@ def user_activity_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("bucket").agg(
         F.count("*").alias("n_users"), F.sum("n").alias("n_events")
     )
-    tot = ev.agg(F.sum("n_events").alias("tot")).select("tot")
     w = Window.orderBy(F.desc("bucket")).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return (
-        ev.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("bucket").cast("int").alias("bucket"),
-            F.col("n_users").cast("bigint").alias("n_users"),
-            F.col("n_events").cast("bigint").alias("n_events"),
-            F.round(F.col("n_events") / F.col("tot"), 6).alias("event_share"),
-            F.round(
-                F.sum("n_events").over(w) / F.col("tot"), 6
-            ).alias("cum_share_from_top"),
-        )
+    wt = Window.partitionBy()  # grand total over the ~log2(max) rows
+    return ev.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(
+            F.col("n_events") / F.sum("n_events").over(wt), 6
+        ).alias("event_share"),
+        F.round(
+            F.sum("n_events").over(w) / F.sum("n_events").over(wt), 6
+        ).alias("cum_share_from_top"),
     )
 
 

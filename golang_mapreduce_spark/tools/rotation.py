@@ -449,21 +449,26 @@ def round12_window() -> list[str]:
     )
 
 
-#: Round-13 parameters.  Head (2): exactly the two round-12 carryovers —
+#: Round-13 parameters.  Head (3): exactly the two round-12 carryovers —
 #: the only registered queries with zero driver rows (VERDICT r12 #1) —
-#: no changed list (the three ADVICE-r12 items were a test assertion, a
-#: CLI default, and a docstring reword, none a query code path) and no
-#: pins.  Fill: the seven twice-waiting r6 deferrals lead (their second
-#: exposure window — VERDICT r12 #1: "they must not defer twice"), then
-#: the r7-stale cohort.  VERDICT r12's "2 + 7 + 34 = 43" arithmetic
+#: then the round's ONE code-path change: user_activity_power_law's
+#: single-scan rewrite (the BENCH_r12 flag sweep found its grand-total
+#: ev.agg + crossJoin recomputed the whole events->per_user->bucket
+#: subtree — two scans, six exchanges; now one scan, three exchanges,
+#: total via an unpartitioned window over the ~log2(max) bucket rows).
+#: The three ADVICE-r12 items were a test assertion, a CLI default,
+#: and a docstring reword — none a query code path.  No pins.  Fill:
+#: the seven twice-waiting r6 deferrals lead (their second exposure
+#: window — VERDICT r12 #1: "they must not defer twice"), then the
+#: r7-stale cohort.  VERDICT r12's "2 + 7 + 34 = 43" arithmetic
 #: omitted the standing 15-entry r1 floor (2 + 7 + 34 + 15 = 58 > 50,
-#: and no r6/r7 row is r1-cohort), so the floor displaces the EIGHT
-#: newest-registered non-r1 r7 entries — the same sanctioned family-mate
-#: deferral path rounds 9–12 used; the mates are prose in the
-#: ``__spark_entry__`` window comment and all eight lead the r14 stale
-#: fill.
+#: and no r6/r7 row is r1-cohort), so the floor displaces the NINE
+#: newest-registered non-r1 r7 entries — the same sanctioned
+#: family-mate deferral path rounds 9–12 used; the mates are prose in
+#: the ``__spark_entry__`` window comment and all nine lead the r14
+#: stale fill.
 ROUND13_NEW: tuple[str, ...] = ROUND13_NEW_CARRYOVER
-ROUND13_CHANGED: tuple[str, ...] = ()
+ROUND13_CHANGED: tuple[str, ...] = ("user_activity_power_law",)
 ROUND13_PINS: tuple[str, ...] = ()
 #: Registered in round 13 but deliberately NOT windowed (VERDICT r12
 #: #3: new ops are window-neutral while staleness drains): the

@@ -102,7 +102,6 @@ BNLJ_OK = {
                                 # sides (non-equi lang_a < lang_b pairing,
                                 # the source_minhash_similarity shape)
     "embedding_power_iteration",  # 1-row norm broadcast
-    "user_activity_power_law",    # 1-row event-total broadcast
     "quality_ablation_matrix",  # 1-row grand-total broadcast (the cube's
                                 # own all-NULL row feeds the share divisor)
     "decayed_event_counts",     # 1-row max-timestamp anchor broadcast
@@ -124,6 +123,12 @@ BNLJ_OK = {
                                 # smoothing denominator)
     "crossencoder_rerank_audit",  # 8-row query set (non-equi join, the
                                   # knn_bruteforce shape feeding the pool)
+    "ivf_ce_retrieval",         # ~sqrt(N)-row centroid table (the
+                                # ann_ivf_topk probe shape feeding the
+                                # broadcast pool rerank)
+    # user_activity_power_law left this set in round 13: its grand
+    # total is now a window over the bucket rollup, not a 1-row
+    # broadcast cross join (the BENCH_r12 flag sweep's plan fix)
 }
 
 QUERIES = {

@@ -98,22 +98,24 @@ def test_round13_window_matches_ledger():
     assert problems == []
 
 
-def test_round13_head_is_exactly_the_carryovers():
+def test_round13_head_is_carryovers_then_the_one_changed_path():
     """VERDICT r12 #1: the two round-12 carryovers — the only registered
-    queries with zero driver rows — lead the window, and nothing else
-    joins the head; the seven twice-waiting r6 deferrals drain
-    immediately after (they must not defer twice)."""
+    queries with zero driver rows — lead the window; the single
+    changed-path entry (user_activity_power_law's flag-sweep plan fix)
+    follows; the seven twice-waiting r6 deferrals drain immediately
+    after (they must not defer twice)."""
     assert entry_mod._ROUND13_WINDOW[:2] == list(rotation.ROUND13_NEW_CARRYOVER)
     assert rotation.ROUND13_NEW == rotation.ROUND13_NEW_CARRYOVER
-    assert rotation.ROUND13_CHANGED == ()
+    assert rotation.ROUND13_CHANGED == ("user_activity_power_law",)
+    assert entry_mod._ROUND13_WINDOW[2] == "user_activity_power_law"
     assert rotation.ROUND13_PINS == ()
-    assert set(entry_mod._ROUND13_WINDOW[2:9]) == ROUND12_DEFERRED_R6
+    assert set(entry_mod._ROUND13_WINDOW[3:10]) == ROUND12_DEFERRED_R6
 
 
-#: The eight r7 rows the r1 floor displaced from the round-13 fill —
-#: each annotated with an in-window family mate in the __spark_entry__
-#: window comment (the deferral path rounds 9–12 sanctioned); they lead
-#: the r14 stale fill.
+#: The nine r7 rows the r1 floor (plus the one-slot changed-path head
+#: growth) displaced from the round-13 fill — each annotated with an
+#: in-window family mate in the __spark_entry__ window comment (the
+#: deferral path rounds 9–12 sanctioned); they lead the r14 stale fill.
 ROUND13_DEFERRED_R7 = {
     "nested_customer_profile",
     "percentile_prices",
@@ -123,14 +125,15 @@ ROUND13_DEFERRED_R7 = {
     "stats_summary",
     "tfidf_top_terms",
     "window_order_gaps",
+    "video_frame_sample",
 }
 
 
-def test_round13_drains_r6_fully_and_r7_except_the_annotated_eight():
+def test_round13_drains_r6_fully_and_r7_except_the_annotated_nine():
     """VERDICT r12 #1's acceptance with the standing floor fallback:
     after round 13 no ledger row may be older than r7, and every
-    r7-latest query is in-window EXCEPT exactly the eight the floor
-    displaced — no silent growth of the deferred set."""
+    r7-latest query is in-window EXCEPT exactly the nine the floor and
+    head displaced — no silent growth of the deferred set."""
     latest = rotation.latest_rounds(through_round=12)
     window = set(entry_mod._ROUND13_WINDOW)
     r6_stale = {n for n, v in latest.items() if v <= 6}
