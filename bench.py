@@ -321,8 +321,10 @@ EXTRA = [
     # round-12 additions
     "shard_dup_manifest",
     "crossencoder_rerank_audit",
-    # round-13 addition (IVF retrieve -> cross-encoder rerank, composed)
+    # round-13 additions (IVF retrieve -> cross-encoder rerank composed;
+    # dedup-aware training-shard balance audit)
     "ivf_ce_retrieval",
+    "training_shard_balance_audit",
 ]
 
 
@@ -438,6 +440,10 @@ BIG_QUERIES = [
     # per query (the IVF story); stage 2's pair cost is pool-bounded —
     # only the probe/assignment passes scale with N
     "ivf_ce_retrieval",
+    # round-13 writer audit: dedup_exact's certified shuffle shape (hash
+    # + two ints per row) plus a constant 8-row rollup — dup groups
+    # collide k x denser on replicated fixtures, the standing worst case
+    "training_shard_balance_audit",
 ]
 
 

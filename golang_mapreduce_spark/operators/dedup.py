@@ -3182,6 +3182,113 @@ GROUP BY shard
 """
 
 
+#: Equal-width hash32 range per training shard (2^32 / MANIFEST_SHARDS,
+#: exact): the deterministic planner view of the range partitioning
+#: ``sources/layout.py write_training_shards`` asks Spark to sample.
+SHARD_RANGE_WIDTH = (1 << 32) // MANIFEST_SHARDS
+
+
+def training_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware balance audit of the training-shard WRITER layout
+    (VERDICT r12 #3's first candidate: pair shard_dup_manifest with
+    ``sources/layout.py write_training_shards``): the writer orders
+    rows by hash32(doc_id) and range-partitions that key space into
+    shards, so this op assigns every document to its deterministic
+    equal-width hash range — shard = key DIV {SHARD_RANGE_WIDTH}, the
+    ideal split Spark's sampled repartitionByRange approximates — and
+    reports per shard what the epoch files will look like BEFORE and
+    AFTER global exact dedup:
+
+      n_docs           — rows the writer sends to this shard
+      n_kept           — rows surviving the global keep-min-doc_id
+                         pass (dedup_exact's rule, NULL texts one
+                         group via the window form)
+      kept_frac        — shard-local survival rate
+      load_factor      — n_docs x {MANIFEST_SHARDS} / total: 1.0 is a
+                         perfectly balanced layout; the md5 key space
+                         makes this ~1 regardless of doc_id skew
+      kept_load_factor — same, over the deduped epoch: whether dedup
+                         UNBALANCES the shards (dup groups are not
+                         hash-uniform — they concentrate wherever the
+                         copies' doc_ids landed)
+
+    A kept_load_factor spread wider than load_factor's is the signal
+    to re-shard AFTER dedup rather than reuse the raw layout — the
+    decision this table prices without writing a single shard file.
+
+    Scale shape: ONE (doc_id, text) scan projected to (text_hash,
+    doc_id, shard) — the shuffle rows carry a 32-char hash + two ints,
+    never text; keeper marking is a text_hash window (the manifest's
+    certified shape); then a {MANIFEST_SHARDS}-row rollup whose grand
+    totals are unpartitioned-window sums over those rows (the
+    round-13 user_activity_power_law lesson: never re-aggregate the
+    source for a divisor).  Exactness: integer counts; md5-derived key
+    and hash both sides (functions/hashing.py parity); DIV on
+    non-negative operands truncates identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("text_hash"),
+        hash32(F.col("doc_id").cast("string")).alias("skey"),
+    ).select(
+        "doc_id",
+        "text_hash",
+        F.expr(f"skey DIV {SHARD_RANGE_WIDTH}").cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("text_hash")
+    marked = docs.select(
+        "shard",
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int").alias("kept"),
+    )
+    per = marked.groupBy("shard").agg(
+        F.count("*").alias("n_docs"), F.sum("kept").alias("n_kept")
+    )
+    wt = Window.partitionBy()  # grand totals over the shard rows
+    return per.select(
+        F.col("shard").cast("int").alias("shard"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("kept_frac"),
+        F.round(
+            F.col("n_docs") * MANIFEST_SHARDS / F.sum("n_docs").over(wt), 6
+        ).alias("load_factor"),
+        F.round(
+            F.col("n_kept") * MANIFEST_SHARDS / F.sum("n_kept").over(wt), 6
+        ).alias("kept_load_factor"),
+    )
+
+
+TRAINING_SHARD_BALANCE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         md5(lower(trim(text))) AS text_hash,
+         CAST({sql_hash32("CAST(doc_id AS VARCHAR)")}
+              // {SHARD_RANGE_WIDTH} AS INT) AS shard
+  FROM documents
+),
+k AS (
+  -- keeper marking via a text_hash WINDOW (the NULL-text group rule:
+  -- PARTITION BY groups NULLs together; an equi-join would drop them)
+  SELECT shard,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text_hash)
+              THEN 1 ELSE 0 END AS kept
+  FROM d
+),
+per AS (
+  SELECT shard, COUNT(*) AS n_docs, SUM(kept) AS n_kept
+  FROM k GROUP BY shard
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       ROUND(CAST(n_kept AS DOUBLE) / n_docs, 6) AS kept_frac,
+       ROUND(CAST(n_docs AS DOUBLE) * {MANIFEST_SHARDS}
+             / SUM(n_docs) OVER (), 6) AS load_factor,
+       ROUND(CAST(n_kept AS DOUBLE) * {MANIFEST_SHARDS}
+             / SUM(n_kept) OVER (), 6) AS kept_load_factor
+FROM per
+"""
+
+
 QUERIES = {
     "dup_cluster_histogram": dup_cluster_histogram,
     "neardup_method_agreement": neardup_method_agreement,
@@ -3218,6 +3325,7 @@ QUERIES = {
     "rare_ngram_uniqueness": rare_ngram_uniqueness,
     "normalization_ladder": normalization_ladder,
     "shard_dup_manifest": shard_dup_manifest,
+    "training_shard_balance_audit": training_shard_balance_audit,
 }
 
 ORACLES = {
@@ -3258,4 +3366,5 @@ ORACLES = {
     "rare_ngram_uniqueness": RARE_NGRAM_UNIQUENESS_SQL,
     "normalization_ladder": NORMALIZATION_LADDER_SQL,
     "shard_dup_manifest": SHARD_DUP_MANIFEST_SQL,
+    "training_shard_balance_audit": TRAINING_SHARD_BALANCE_SQL,
 }

@@ -472,13 +472,15 @@ ROUND13_CHANGED: tuple[str, ...] = ("user_activity_power_law",)
 ROUND13_PINS: tuple[str, ...] = ()
 #: Registered in round 13 but deliberately NOT windowed (VERDICT r12
 #: #3: new ops are window-neutral while staleness drains): the
-#: IVF-retrieve → cross-encoder-rerank composed retrieval op (VERDICT
-#: r12 #3's named candidate) waits as a never-checked entry that leads
-#: the ROUND14 head, gated locally by the parity + plan suites.  The
-#: EIGHT r7 deferrals (see ROUND13_NEW docstring) lead the r14 stale
-#: fill right after it.
+#: IVF-retrieve → cross-encoder-rerank composed retrieval op and the
+#: dedup-aware training-shard balance audit (VERDICT r12 #3's two
+#: named candidates) wait as never-checked entries that lead the
+#: ROUND14 head, gated locally by the parity + plan suites.  The NINE
+#: r7 deferrals (see ROUND13_NEW docstring) lead the r14 stale fill
+#: right after them.
 ROUND14_NEW_CARRYOVER: tuple[str, ...] = (
     "ivf_ce_retrieval",
+    "training_shard_balance_audit",
 )
 
 

@@ -1,13 +1,21 @@
-"""Structural invariants for the round-13 operator — oracle parity is
-covered by tests/test_oracle_parity.py and the adversarial corpora by
-tests/test_emb_fuzz_parity.py; these pin what parity alone can't see:
-the composed IVF→CE pipeline serves the RERANKER's order (a planted
+"""Structural invariants for the round-13 operator batch — oracle
+parity is covered by tests/test_oracle_parity.py and the adversarial
+corpora by the fuzz suites; these pin what parity alone can't see: the
+composed IVF→CE pipeline serves the RERANKER's order (a planted
 cosine-vs-pair-score inversion must reach the final rows), stage 1's
-cluster pruning decides pool membership, and the output is a valid
-per-query top-k under (ce_score DESC, neighbor_id)."""
+cluster pruning decides pool membership, and the shard balance audit
+is a pure md5 recount obeying the layout/dedup conservation
+identities."""
 
 from __future__ import annotations
 
+import hashlib
+
+from golang_mapreduce_spark.operators.dedup import (
+    MANIFEST_SHARDS,
+    SHARD_RANGE_WIDTH,
+    training_shard_balance_audit,
+)
 from golang_mapreduce_spark.operators.similarity import (
     N_QUERIES,
     TOP_K,
@@ -15,7 +23,7 @@ from golang_mapreduce_spark.operators.similarity import (
     ivf_ce_retrieval,
     ivf_n_probe,
 )
-from tests.test_round12_ops import _basis, _emb_fixture
+from tests.test_round12_ops import _basis, _docs, _emb_fixture
 
 
 def test_planted_inversion_reaches_the_served_rows(spark):
@@ -87,3 +95,70 @@ def test_pool_exhaustion_surfaces_as_short_results(spark):
     assert rows[0]["neighbor_id"] == 3
     assert rows[0]["ce_rank"] == 1 and rows[0]["bi_rank"] == 1
     assert rows[0]["ce_score"] == 0.0 and rows[0]["bi_sim"] == 0.0
+
+
+def _range_shard(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) // SHARD_RANGE_WIDTH
+
+
+def test_shard_balance_audit_is_md5_recount(spark, tmp_path):
+    """The audit equals a pure-Python recount over the writer's exact
+    key rule (hash32 of the bare doc_id string — write_training_shards'
+    key, NOT the manifest's 'shard:'-prefixed bucket) and dedup_exact's
+    keep-min rule: 160 docs, every fourth a copy of 'dup-{i%5}'."""
+    docs = []
+    for i in range(160):
+        text = f"dup-{i % 5}" if i % 4 == 0 else f"unique text {i}"
+        docs.append((i, text, "en", "s0", len(text)))
+    d = str(tmp_path / "balaudit")
+    _docs(spark, d, docs)
+
+    keep: dict[str, int] = {}
+    for i, text, *_ in docs:
+        h = hashlib.md5(text.lower().strip().encode()).hexdigest()
+        keep[h] = min(keep.get(h, i), i)
+    keepers = set(keep.values())
+    n_docs: dict[int, int] = {}
+    n_kept: dict[int, int] = {}
+    for i, *_ in docs:
+        s = _range_shard(i)
+        n_docs[s] = n_docs.get(s, 0) + 1
+        n_kept[s] = n_kept.get(s, 0) + (1 if i in keepers else 0)
+
+    out = {r["shard"]: r for r in training_shard_balance_audit(spark, d).collect()}
+    assert set(out) == set(n_docs)
+    tot_docs, tot_kept = sum(n_docs.values()), sum(n_kept.values())
+    for s, r in out.items():
+        assert r["n_docs"] == n_docs[s], s
+        assert r["n_kept"] == n_kept[s], s
+        assert r["kept_frac"] == round(n_kept[s] / n_docs[s], 6), s
+        assert r["load_factor"] == round(
+            n_docs[s] * MANIFEST_SHARDS / tot_docs, 6
+        ), s
+        assert r["kept_load_factor"] == round(
+            n_kept[s] * MANIFEST_SHARDS / tot_kept, 6
+        ), s
+    # conservation: shards partition the corpus and the deduped epoch
+    assert sum(r["n_docs"] for r in out.values()) == 160
+    assert sum(r["n_kept"] for r in out.values()) == len(keepers) == 5 + 120
+
+
+def test_shard_balance_audit_null_texts_one_group(spark, tmp_path):
+    """NULL texts hash to NULL and form ONE dup group under the window
+    form (the r12 lesson: an equi-join oracle would drop them): three
+    NULL-text docs keep exactly one survivor — the min doc_id."""
+    rows = [
+        (0, None, "en", "s0", 0),
+        (1, None, "en", "s0", 0),
+        (2, None, "en", "s0", 0),
+        (3, "real", "en", "s0", 4),
+    ]
+    d = str(tmp_path / "balnull")
+    _docs(spark, d, rows)
+    out = training_shard_balance_audit(spark, d).collect()
+    assert sum(r["n_docs"] for r in out) == 4
+    assert sum(r["n_kept"] for r in out) == 2  # one NULL keeper + 'real'
+    keeper_shard = _range_shard(0)
+    null_kept = {r["shard"]: r["n_kept"] for r in out}
+    # the NULL group's survivor sits in doc 0's shard
+    assert null_kept.get(keeper_shard, 0) >= 1
