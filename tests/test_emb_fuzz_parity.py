@@ -118,6 +118,11 @@ FAMILY = [
     # that only the neighbor_id tie-break orders, and the negated copy
     # exercises the sign-agreement gate of the ce score
     "crossencoder_rerank_audit",
+    # round-13 addition: the composed IVF->CE serving pipeline — the
+    # same adversarial ties now have to survive centroid assignment
+    # and probe selection BEFORE the rerank sees them (rounded-csim
+    # ties at the probe cut are the composed op's own edge)
+    "ivf_ce_retrieval",
 ]
 
 

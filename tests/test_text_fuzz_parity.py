@@ -153,6 +153,12 @@ FAMILY = [
     # (trim-normalized: "" and "   " collide into ONE hash group — the
     # cross-shard path's densest case in this corpus)
     (dedup, "shard_dup_manifest"),
+    # round-13 addition: the writer-layout balance audit over the same
+    # corpus — the ""/"   " collision and the dup trio are the only
+    # keep-one survivors that differ from raw counts, and the tiny doc
+    # set leaves some hash ranges legitimately EMPTY (absent rows, not
+    # zero rows, in both engines)
+    (dedup, "training_shard_balance_audit"),
 ]
 
 
