@@ -520,11 +520,24 @@ def regression_check(timings: dict[str, float]) -> dict:
         for k, r in ratios.items()
         if r / env_factor > REGRESSION_THRESHOLD
     }
-    return {
+    out = {
         "checked": True,
         "env_factor": round(env_factor, 3),
         "flagged": flagged,
     }
+    # A real plan regression moves ONE query against the suite; a median
+    # env under-estimate (shuffle-light queries degrade more than the
+    # median query under load) moves a COHORT just past the threshold
+    # together.  The round-13 closing gate flagged 8 queries inside a
+    # 0.04-wide normalized band — every one adjudicated spurious by the
+    # quiet best-of-5 — so when >= 4 flags sit within a 0.1 band just
+    # above the line, say so on the gate itself instead of making the
+    # reader re-derive it from BENCH_DETAIL.
+    if len(flagged) >= 4:
+        norm = [v["normalized_ratio"] for v in flagged.values()]
+        if max(norm) - min(norm) < 0.1:
+            out["uniform_band_suspect"] = True
+    return out
 
 
 #: Hard budget for the single driver-visible JSON line.  The driver's

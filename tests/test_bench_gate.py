@@ -61,6 +61,25 @@ def test_single_query_regression_flagged_through_drift():
     gate = bench.regression_check(timings)
     assert list(gate["flagged"]) == [victim]
     assert gate["flagged"][victim]["normalized_ratio"] > 1.9
+    # one genuine outlier is NOT a band
+    assert "uniform_band_suspect" not in gate
+
+
+def test_uniform_flag_band_is_called_out():
+    """The round-13 closing-gate shape: most of the suite drifts 1.25x
+    but a shuffle-light cohort degrades ~1.95x together — all six land
+    just past the threshold inside a narrow normalized band.  The gate
+    must mark the cohort as an env-suspect band (every member of the
+    r13 band adjudicated spurious by quiet best-of-5), while a lone
+    genuine regression (above) stays unmarked."""
+    best = json.load(open("bench_baseline.json"))["best_sec"]
+    timings = {k: v * 1.25 for k, v in best.items()}
+    cohort = sorted(best)[:6]
+    for name in cohort:
+        timings[name] = best[name] * 1.25 * 1.56
+    gate = bench.regression_check(timings)
+    assert sorted(gate["flagged"]) == cohort
+    assert gate.get("uniform_band_suspect") is True
 
 
 def test_final_line_fits_driver_tail_budget():
