@@ -529,14 +529,19 @@ def regression_check(timings: dict[str, float]) -> dict:
     # env under-estimate (shuffle-light queries degrade more than the
     # median query under load) moves a COHORT just past the threshold
     # together.  The round-13 closing gate flagged 8 queries inside a
-    # 0.04-wide normalized band — every one adjudicated spurious by the
-    # quiet best-of-5 — so when >= 4 flags sit within a 0.1 band just
-    # above the line, say so on the gate itself instead of making the
-    # reader re-derive it from BENCH_DETAIL.
-    if len(flagged) >= 4:
-        norm = [v["normalized_ratio"] for v in flagged.values()]
-        if max(norm) - min(norm) < 0.1:
+    # 0.04-wide normalized band (all adjudicated spurious by the quiet
+    # best-of-5), and the DRIVER's r13 gate flagged exactly 3 inside a
+    # 0.028 band — the case the original >=4-flag global-spread form
+    # missed (VERDICT r13 #3).  So: >= 3 flags whose normalized ratios
+    # sit within any single 0.1-wide band => annotate.  Clustering (a
+    # sorted sliding window) instead of global max-min also keeps one
+    # genuine ~2.5x regression co-occurring with a noise band from
+    # suppressing the annotation (ADVICE r13).
+    norm = sorted(v["normalized_ratio"] for v in flagged.values())
+    for i in range(len(norm) - 2):
+        if norm[i + 2] - norm[i] < 0.1:
             out["uniform_band_suspect"] = True
+            break
     return out
 
 

@@ -3185,6 +3185,15 @@ GROUP BY shard
 #: Equal-width hash32 range per training shard (2^32 / MANIFEST_SHARDS,
 #: exact): the deterministic planner view of the range partitioning
 #: ``sources/layout.py write_training_shards`` asks Spark to sample.
+#: The "exact" claim requires MANIFEST_SHARDS | 2^32 (i.e. a power of
+#: two): with a non-divisor, keys in the remainder band near 2^32 would
+#: map to shard id == MANIFEST_SHARDS — an extra phantom shard — in
+#: BOTH engines, silently skewing the load_factor math (ADVICE r13).
+assert (1 << 32) % MANIFEST_SHARDS == 0, (
+    "MANIFEST_SHARDS must divide 2^32 exactly (power of two); the "
+    "shard = key DIV width split in training_shard_balance_audit and "
+    "its oracle assumes no remainder band"
+)
 SHARD_RANGE_WIDTH = (1 << 32) // MANIFEST_SHARDS
 
 

@@ -484,6 +484,50 @@ ROUND14_NEW_CARRYOVER: tuple[str, ...] = (
 )
 
 
+#: Round-14 parameters.  Head (8): the two round-13 carryovers — the
+#: only registered queries with zero driver rows (VERDICT r13 #1) —
+#: then the round's FIVE code-path changes, then one pin.  Changed:
+#: the IVF broadcast retrofit (VERDICT r13 #1: F.broadcast(probes)
+#: into ann_ivf_topk / ann_ivf_adaptive / ivf_int8_topk — 2 SMJs
+#: survived AQE pre-retrofit; 0 / 0 / 1-residual after, pinned in
+#: tests/test_plan_quality_round14.py) and the recall-audit subtree
+#: reuse (VERDICT r13 #4: ann_rank_quality / quant_tier_recall now
+#: persist the shared emb projection once — 17 parquet scans → 1,
+#: wall 13.4 s → 4.2 s at sf0.1; both were r8-stale fill entries
+#: anyway, so marking them changed reorders the window without
+#: displacing anyone).  Pin: pmi_bigrams — one of the three BENCH_r13
+#: driver-gate flags (all adjudicated spurious, SCALE.md r14), r8-
+#: stale, so it needs a fresh driver row (VERDICT r13 #3); the other
+#: two flagged names are kmeans_refine_centroids (in the fill as r8-
+#: stale) and lang_doc_stats (r11-fresh).  Fill: the NINE twice-
+#: deferred r7 rows lead (VERDICT r13 #2: "they must not defer
+#: twice"), then 20 of the r8 tier; the 15-entry r1 floor pulls from
+#: the r10/r11 tiers.  The pin displaces ONE r8 entry,
+#: doc_repetition_scores — family mate doc_perplexity_bigram stays
+#: in-window (both per-doc text-statistics scores over documents) —
+#: which leads the r15 stale fill with the other eleven r8 deferrals.
+ROUND14_NEW: tuple[str, ...] = ROUND14_NEW_CARRYOVER
+ROUND14_CHANGED: tuple[str, ...] = (
+    "ann_ivf_topk",
+    "ann_ivf_adaptive",
+    "ivf_int8_topk",
+    "ann_rank_quality",
+    "quant_tier_recall",
+)
+ROUND14_PINS: tuple[str, ...] = ("pmi_bigrams",)
+
+
+def round14_window() -> list[str]:
+    return propose_window(
+        latest_rounds(through_round=13),
+        r1_cohort(),
+        registration_order(),
+        new=ROUND14_NEW,
+        changed=ROUND14_CHANGED,
+        pins=ROUND14_PINS,
+    )
+
+
 def round13_window() -> list[str]:
     return propose_window(
         latest_rounds(through_round=12),
@@ -505,6 +549,7 @@ COMMITTED_WINDOWS: dict[int, object] = {
     11: round11_window,
     12: round12_window,
     13: round13_window,
+    14: round14_window,
 }
 
 

@@ -82,6 +82,38 @@ def test_uniform_flag_band_is_called_out():
     assert gate.get("uniform_band_suspect") is True
 
 
+def test_three_flag_band_is_called_out():
+    """The DRIVER's round-13 gate shape (VERDICT r13 #3): exactly THREE
+    queries flagged inside a 0.028-wide normalized band — the original
+    >=4-flag threshold missed the very case the detector was built for.
+    Three co-moving flags are already the uniform-env signature."""
+    best = json.load(open("bench_baseline.json"))["best_sec"]
+    timings = {k: v * 1.25 for k, v in best.items()}
+    cohort = sorted(best)[:3]
+    for i, name in enumerate(cohort):
+        timings[name] = best[name] * 1.25 * (1.505 + 0.01 * i)
+    gate = bench.regression_check(timings)
+    assert sorted(gate["flagged"]) == sorted(cohort)
+    assert gate.get("uniform_band_suspect") is True
+
+
+def test_band_detection_survives_cooccurring_genuine_regression():
+    """ADVICE r13: the old global max-min spread let ONE genuine ~2.5x
+    regression co-occurring with a noise band widen the spread past 0.1
+    and suppress the annotation exactly when it is most useful.  The
+    sorted-sliding-window clustering must still mark the band."""
+    best = json.load(open("bench_baseline.json"))["best_sec"]
+    timings = {k: v * 1.25 for k, v in best.items()}
+    names = sorted(best)
+    for i, name in enumerate(names[:4]):  # the noise band
+        timings[name] = best[name] * 1.25 * (1.52 + 0.01 * i)
+    victim = names[4]  # the genuine regression
+    timings[victim] = best[victim] * 1.25 * 2.5
+    gate = bench.regression_check(timings)
+    assert victim in gate["flagged"]
+    assert gate.get("uniform_band_suspect") is True
+
+
 def test_final_line_fits_driver_tail_budget():
     """BENCH_r03 was recorded "parsed": null because the full-detail
     line outgrew the driver's tail capture; the compact line must stay

@@ -1,0 +1,85 @@
+"""Plan-quality gates for the round-14 IVF broadcast retrofit
+(VERDICT r13 #1): the probe relation — queries × n_probe rows, bounded
+by the query batch, never the collection — must BROADCAST into the
+probed-cluster join in every member of the IVF family, so the big
+assigned-collection side streams through a BroadcastHashJoin instead
+of the SortMergeJoin AQE picked pre-retrofit (2 SMJs survived the AQE
+final plan in ann_ivf_topk at sf0.1; at 100× that sorts the entire
+assigned collection per query batch).  ivf_ce_retrieval proved the
+broadcast form (similarity.py:3269, pinned in
+tests/test_plan_quality_round13.py); these pins lock the retrofit."""
+
+from __future__ import annotations
+
+from golang_mapreduce_spark.operators.similarity import (
+    ann_ivf_adaptive,
+    ann_ivf_topk,
+    ivf_int8_topk,
+)
+from golang_mapreduce_spark.plans.checks import formatted_plan
+from tests.test_plan_quality import count_nodes
+
+
+def test_ann_ivf_topk_broadcasts_probes_no_smj(spark, sf_dir):
+    """Zero SortMergeJoins: the only equi-joins are probes⋈assign
+    (probes broadcast) — the collection side is never sorted.  The
+    query×centroid probe scoring is a BroadcastNestedLoopJoin over
+    queries × ~sqrt(N) rows, bounded by construction."""
+    plan = formatted_plan(ann_ivf_topk(spark, sf_dir))
+    assert count_nodes(plan, "SortMergeJoin") == 0, plan
+    assert count_nodes(plan, "CartesianProduct") == 0, plan
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+    assert count_nodes(plan, "MapInPandas") == 1, plan
+
+
+def test_ann_ivf_adaptive_broadcasts_probes_no_smj(spark, sf_dir):
+    """Same pin for the mass-adaptive variant: its probe walk adds
+    broadcast joins for sizes/total but must introduce no SMJ."""
+    plan = formatted_plan(ann_ivf_adaptive(spark, sf_dir))
+    assert count_nodes(plan, "SortMergeJoin") == 0, plan
+    assert count_nodes(plan, "CartesianProduct") == 0, plan
+    assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan
+
+
+def test_recall_audits_share_one_emb_scan(spark, sf_dir):
+    """VERDICT r13 #4: ann_rank_quality / quant_tier_recall used to
+    re-derive the (vec_id, emb, label) projection per tier — 17
+    parquet scans, ReusedExchange 0 at sf0.1.  Each op now persists
+    the shared projection once and the cache manager substitutes the
+    InMemoryRelation into all five tier subtrees: measured 17 scans →
+    1 and wall 13.4 s → 4.2 s at sf0.1, oracle parity unchanged.  The
+    plan must show the in-memory substitution and at most ONE parquet
+    read of embeddings; cache is cleared after so no other test's
+    plan pins see the cached relation."""
+    from golang_mapreduce_spark.operators.similarity import (
+        ann_rank_quality,
+        quant_tier_recall,
+    )
+
+    spark.catalog.clearCache()  # attribute cache effects to THIS op
+    try:
+        for fn in (quant_tier_recall, ann_rank_quality):
+            df = fn(spark, sf_dir)
+            df._gmrs_shared_caches[0].count()  # populate the cache
+            plan = formatted_plan(df)
+            assert "InMemoryTableScan" in plan, plan
+            scans = plan.count("ReadSchema: ")
+            assert scans <= 1, f"{fn.__name__}: {scans} parquet scans\n{plan}"
+            spark.catalog.clearCache()
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_ivf_int8_topk_single_residual_smj(spark, sf_dir):
+    """The int8 composition keeps AT MOST one SortMergeJoin —
+    assign⋈coded on vec_id (N⋈N; at 100 TB cluster and codes are
+    written side by side at ingest so it is co-partitioned, never a
+    sort of the serving path; at the tiny test SF AQE broadcasts even
+    this join, hence <= 1 not == 1 — it is 1 at sf0.1).  The probes
+    join and the query-code join are both broadcast; pre-retrofit the
+    probes join was a second SMJ that sorted the whole coded
+    collection."""
+    plan = formatted_plan(ivf_int8_topk(spark, sf_dir))
+    assert count_nodes(plan, "SortMergeJoin") <= 1, plan
+    assert count_nodes(plan, "CartesianProduct") == 0, plan
+    assert count_nodes(plan, "BroadcastHashJoin") >= 2, plan

@@ -85,6 +85,77 @@ def test_round12_window_matches_ledger():
     assert problems == []
 
 
+def test_round14_window_matches_ledger():
+    problems = rotation.validate_window(
+        entry_mod._ROUND14_WINDOW,
+        rotation.latest_rounds(through_round=13),
+        rotation.r1_cohort(),
+        rotation.registration_order(),
+        new=rotation.ROUND14_NEW,
+        changed=rotation.ROUND14_CHANGED,
+        pins=rotation.ROUND14_PINS,
+    )
+    assert problems == []
+
+
+def test_round14_head_is_carryovers_then_changed_then_pin():
+    """VERDICT r13 #1: the two round-13 carryovers — the only
+    registered queries with zero driver rows — lead; then the five
+    changed paths (the IVF broadcast retrofit trio + the two
+    persist-fixed recall audits); then the pinned r8-stale adjudicated
+    flag; then the nine twice-deferred r7 rows drain immediately (they
+    must not defer twice)."""
+    assert entry_mod._ROUND14_WINDOW[:2] == list(rotation.ROUND14_NEW_CARRYOVER)
+    assert rotation.ROUND14_NEW == rotation.ROUND14_NEW_CARRYOVER
+    assert rotation.ROUND14_CHANGED == (
+        "ann_ivf_topk",
+        "ann_ivf_adaptive",
+        "ivf_int8_topk",
+        "ann_rank_quality",
+        "quant_tier_recall",
+    )
+    assert entry_mod._ROUND14_WINDOW[2:7] == list(rotation.ROUND14_CHANGED)
+    assert rotation.ROUND14_PINS == ("pmi_bigrams",)
+    assert entry_mod._ROUND14_WINDOW[7] == "pmi_bigrams"
+    assert set(entry_mod._ROUND14_WINDOW[8:17]) == ROUND13_DEFERRED_R7
+
+
+#: The twelve r8 rows the r1 floor plus the pmi_bigrams pin displaced
+#: from the round-14 fill — each annotated with an in-window family
+#: mate in the __spark_entry__ window comment (the deferral path
+#: rounds 9–13 sanctioned); they lead the r15 stale fill.
+ROUND14_DEFERRED_R8 = {
+    "boilerplate_ngrams",
+    "decontaminate_bloom",
+    "decontaminate_docs",
+    "doc_perplexity",
+    "doc_repetition_scores",
+    "image_resize",
+    "lang_stopword_quality",
+    "merge_upsert_orders",
+    "packed_sequences",
+    "pmi_bigrams",  # pinned into the head, so not a fill displacement
+    "seq_len_bucket_histogram",
+    "snapshot_diff",
+}
+
+
+def test_round14_drains_r7_fully_and_r8_except_the_annotated_twelve():
+    """VERDICT r13 #2's acceptance: after round 14 no ledger row may be
+    older than r8, and every r8-latest query is in-window EXCEPT
+    exactly the eleven the floor/pin displaced (pmi_bigrams itself
+    rides the head pin) — no silent growth of the deferred set."""
+    latest = rotation.latest_rounds(through_round=13)
+    window = set(entry_mod._ROUND14_WINDOW)
+    r7_stale = {n for n, v in latest.items() if v <= 7}
+    assert r7_stale <= window, sorted(r7_stale - window)
+    r8_stale = {n for n, v in latest.items() if v == 8}
+    deferred = r8_stale - window
+    assert deferred == ROUND14_DEFERRED_R8 - {"pmi_bigrams"}, sorted(
+        deferred ^ (ROUND14_DEFERRED_R8 - {"pmi_bigrams"})
+    )
+
+
 def test_round13_window_matches_ledger():
     problems = rotation.validate_window(
         entry_mod._ROUND13_WINDOW,
@@ -256,12 +327,12 @@ def test_through_round_bounds_the_ledger():
 def test_window_leads_registration():
     """queries() must serve the CURRENT window names first, in order."""
     names = list(entry_mod.queries())
-    assert names[: len(entry_mod._ROUND13_WINDOW)] == entry_mod._ROUND13_WINDOW
+    assert names[: len(entry_mod._ROUND14_WINDOW)] == entry_mod._ROUND14_WINDOW
 
 
 def test_every_window_query_is_oracle_backed():
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in entry_mod._ROUND13_WINDOW if n not in oracles]
+    missing = [n for n in entry_mod._ROUND14_WINDOW if n not in oracles]
     assert missing == []
 
 
@@ -269,8 +340,8 @@ def test_cli_default_round_is_the_newest_binding():
     """ADVICE r12: the CLI's no-flag default must track the newest
     committed round binding so it cannot go stale again."""
     newest = max(rotation.COMMITTED_WINDOWS)
-    assert newest == 13
-    assert rotation.COMMITTED_WINDOWS[newest] is rotation.round13_window
+    assert newest == 14
+    assert rotation.COMMITTED_WINDOWS[newest] is rotation.round14_window
 
 
 def test_floor_enforcement_is_deterministic():
