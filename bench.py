@@ -325,6 +325,10 @@ EXTRA = [
     # dedup-aware training-shard balance audit)
     "ivf_ce_retrieval",
     "training_shard_balance_audit",
+    # round-14 additions (the two tuning tables: IVF probe-budget
+    # recall/scan curve; LSH est-threshold precision/recall sweep)
+    "ivf_probe_recall_curve",
+    "lsh_threshold_sweep",
 ]
 
 
@@ -333,7 +337,7 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = set()  # r13 seeds landed same-session (SCALE.md)
+PENDING_BASELINE_SEED: set[str] = set()  # r14 seeds landed same-session (SCALE.md)
 
 
 def force(df) -> None:
@@ -444,6 +448,13 @@ BIG_QUERIES = [
     # + two ints per row) plus a constant 8-row rollup — dup groups
     # collide k x denser on replicated fixtures, the standing worst case
     "training_shard_balance_audit",
+    # round-14 tuning tables: the probe curve's heavy passes are the
+    # truth scan + ONE cached BLAS assignment (curve math is C rows);
+    # the threshold sweep rides minhash_calibration's banded-collision
+    # relation (collisions densify k x on replicated fixtures — the
+    # standing LSH worst case — but the 16-row grid stays constant)
+    "ivf_probe_recall_curve",
+    "lsh_threshold_sweep",
 ]
 
 

@@ -3298,6 +3298,114 @@ FROM per
 """
 
 
+#: lsh_threshold_sweep: grid step and bounds — thresholds t =
+#: (i + 5)/20 for i = 0..15, i.e. 0.25 (MINHASH_EST_THRESHOLD, the
+#: floor below which minhash_pairs emits nothing) through 1.00 in
+#: 0.05 steps.  Built from INTEGER arithmetic then one IEEE double
+#: division so Spark and DuckDB compute bit-identical grid values —
+#: a float accumulation (0.25 + i*0.05) would put grid points a few
+#: ULPs off the exact k/16 estimate values and flip >= comparisons at
+#: the 0.25/0.50/0.75/1.00 boundaries.
+SWEEP_GRID_N = 16
+#: A selected pair counts as a TRUE near-duplicate when its exact
+#: 3-gram Jaccard (minhash_calibration's truth column) clears 0.5 —
+#: the same midpoint PRUNED_THRESHOLD uses for the exact 3-gram pair
+#: query, so the sweep's precision is measured against the corpus
+#: relation users already query.
+SWEEP_TRUE_JACCARD = 0.5
+
+
+def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MINHASH_EST_THRESHOLD tuning table: for every candidate
+    threshold t on the 16-point grid, how many LSH candidate pairs the
+    detector would keep at est_jaccard >= t, how many of those are
+    true near-duplicates (exact 3-gram Jaccard >= {SWEEP_TRUE_JACCARD}),
+    the resulting precision, and the recall CONDITIONAL on LSH
+    candidacy (the banding layer's own recall is audited separately by
+    minhash_band_stats; this sweep tunes the threshold applied AFTER
+    banding).  The table a platform team reads before moving the
+    production threshold — the LSH twin of ivf_probe_recall_curve's
+    probe-budget table (similarity.py).
+
+    Composes only certified machinery: minhash_calibration's
+    est-vs-exact pair relation (dedup.py:377 — banded LSH collisions
+    only, candidate-anchored exact intersections).  The sweep itself
+    is a broadcast 16-row grid theta-joined against that bounded pair
+    relation (each pair fans out to the <= 16 thresholds it clears —
+    constant factor, never all-pairs), then one aggregation; the
+    conditional-recall denominator is FIRST_VALUE over the
+    threshold-ordered 16-row result (t = 0.25 keeps every candidate by
+    construction), never an agg + crossJoin re-derivation.
+
+    Determinism: est_jaccard is k/16 (exact binary doubles),
+    exact_jaccard is 6-dp-rounded in both engines, grid values are
+    integer/20 divisions — every comparison is over bit-identical
+    doubles; NULLIF guards the empty-selection divisions."""
+    cal = minhash_calibration(spark, sf_dir).select("est_jaccard", "exact_jaccard")
+    grid = F.broadcast(
+        spark.range(SWEEP_GRID_N).select(
+            ((F.col("id") + 5).cast("double") / F.lit(20.0)).alias("threshold")
+        )
+    )
+    swept = grid.join(cal, cal.est_jaccard >= F.col("threshold"), "left")
+    agg = swept.groupBy("threshold").agg(
+        F.count("est_jaccard").alias("n_selected"),
+        F.sum(
+            F.when(F.col("exact_jaccard") >= SWEEP_TRUE_JACCARD, 1).otherwise(0)
+        ).alias("n_true"),
+    )
+    tw = Window.orderBy("threshold")  # 16 rows — single tiny partition
+    out = (
+        agg.withColumn("n_true_all", F.first("n_true").over(tw))
+        .select(
+            F.round("threshold", 2).alias("threshold"),
+            F.col("n_selected").cast("bigint").alias("n_selected"),
+            F.col("n_true").cast("bigint").alias("n_true_dups"),
+            F.round(
+                F.col("n_true").cast("double")
+                / F.nullif(F.col("n_selected").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("precision_at_t"),
+            F.round(
+                F.col("n_true").cast("double")
+                / F.nullif(F.col("n_true_all").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("cond_recall"),
+        )
+    )
+    out._gmrs_shared_caches = getattr(cal, "_gmrs_shared_caches", ())
+    return out
+
+
+LSH_THRESHOLD_SWEEP_SQL = f"""
+WITH cal AS (
+  {MINHASH_CALIBRATION_SQL.strip()}
+),
+grid AS (
+  SELECT CAST(i + 5 AS DOUBLE) / 20.0 AS threshold
+  FROM UNNEST(generate_series(0, {SWEEP_GRID_N - 1})) AS g(i)
+),
+agg AS (
+  SELECT g.threshold,
+         COUNT(c.est_jaccard) AS n_selected,
+         SUM(CASE WHEN c.exact_jaccard >= {SWEEP_TRUE_JACCARD}
+                  THEN 1 ELSE 0 END) AS n_true
+  FROM grid g
+  LEFT JOIN cal c ON c.est_jaccard >= g.threshold
+  GROUP BY g.threshold
+)
+SELECT ROUND(threshold, 2) AS threshold,
+       CAST(n_selected AS BIGINT) AS n_selected,
+       CAST(n_true AS BIGINT) AS n_true_dups,
+       ROUND(CAST(n_true AS DOUBLE)
+             / NULLIF(CAST(n_selected AS DOUBLE), 0.0), 6) AS precision_at_t,
+       ROUND(CAST(n_true AS DOUBLE)
+             / NULLIF(CAST(FIRST_VALUE(n_true) OVER (ORDER BY threshold)
+                           AS DOUBLE), 0.0), 6) AS cond_recall
+FROM agg
+"""
+
+
 QUERIES = {
     "dup_cluster_histogram": dup_cluster_histogram,
     "neardup_method_agreement": neardup_method_agreement,
@@ -3335,6 +3443,7 @@ QUERIES = {
     "normalization_ladder": normalization_ladder,
     "shard_dup_manifest": shard_dup_manifest,
     "training_shard_balance_audit": training_shard_balance_audit,
+    "lsh_threshold_sweep": lsh_threshold_sweep,
 }
 
 ORACLES = {
@@ -3376,4 +3485,5 @@ ORACLES = {
     "normalization_ladder": NORMALIZATION_LADDER_SQL,
     "shard_dup_manifest": SHARD_DUP_MANIFEST_SQL,
     "training_shard_balance_audit": TRAINING_SHARD_BALANCE_SQL,
+    "lsh_threshold_sweep": LSH_THRESHOLD_SWEEP_SQL,
 }

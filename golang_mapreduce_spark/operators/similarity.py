@@ -3405,6 +3405,176 @@ WHERE ce_rank <= {TOP_K}
 """
 
 
+def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe-budget tuning table for the IVF family: for EVERY
+    possible probe count n_probe = 1..C, the recall@{TOP_K} the index
+    would achieve against exact brute-force truth and the average
+    fraction of the collection a query would scan — the
+    latency/recall trade curve a serving team reads to pick n_probe
+    BEFORE committing to the ivf_n_probe default (which is marked on
+    its row).  Composes only certified machinery: knn_bruteforce's
+    truth (similarity.py:101), the ~sqrt(N) centroid family
+    (_centroids), and the BLAS assignment pass (_ivf_assign).
+
+    The trick that makes the WHOLE curve one pass instead of C
+    re-searches: a true neighbor n of query q enters the probed set
+    exactly when n_probe reaches the probe rank of n's assigned
+    cluster in q's centroid walk — so the full curve is the cumulative
+    distribution of that "needed probe rank" over truth pairs, and the
+    scan cost is the cumulative cluster-size sum over the same walk.
+    Both cumulations are windows over the queries × C walk relation
+    (bounded: C ≈ sqrt(N)); both grand totals are unpartitioned-window
+    sums over C-row relations, never an agg + crossJoin back against
+    the collection (the user_activity_power_law discipline,
+    analytics.py:485).
+
+    Scale shape: two collection-scale passes only — the brute-force
+    truth scan (the oracle the curve is measured against; at 100 TB a
+    sampled query batch bounds it) and ONE BLAS assignment pass: the
+    ints-only (vec_id, cluster) relation is persisted so its two
+    consumers (the size census and the truth join) share a single
+    MapInPandas execution (at ingest, `cluster` is a partition
+    column and this relation is free).  truth (queries × {TOP_K}
+    rows), the walk, the C-row size census, and the C-row hit
+    histogram are all explicitly broadcast, so NO join in the plan
+    sorts anything — the collection side streams BroadcastHashJoin,
+    exactly the retrofitted probes⋈assign shape; everything
+    downstream is queries × C rows.
+
+    Determinism: the walk orders by (6-dp-rounded csim DESC, cid ASC)
+    — the certified probe ordering; recall divides by the exact truth
+    size {N_QUERIES}×{TOP_K}; fractions round to 6 dp."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir)
+    cent = _centroids(emb)
+    # ints-only assignment, persisted: two consumers below, one BLAS pass
+    assign_ids = (
+        _ivf_assign(emb, cent)
+        .select("vec_id", "cluster")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_probe_default = ivf_n_probe(cent.count())
+    truth = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    walk = (
+        q.join(cent)
+        .select("query_id", "cid", _cos("q_emb", "c_emb").alias("csim"))
+        .withColumn("pr", F.row_number().over(pw))
+        .select("query_id", "cid", "pr")
+    )
+    sizes = assign_ids.groupBy("cluster").agg(F.count("*").alias("csize"))
+    # rows a query pays at probe rank pr, summed over queries: the
+    # C-row skeleton every curve row hangs off (each query walks every
+    # centroid, so pr = 1..C is complete by construction)
+    skel = (
+        walk.join(F.broadcast(sizes), walk.cid == sizes.cluster, "left")
+        .select("pr", F.coalesce("csize", F.lit(0)).alias("csz"))
+        .groupBy("pr")
+        .agg(F.sum("csz").alias("rows_at_pr"))
+    )
+    # needed probe rank per truth pair: broadcast the queries × TOP_K
+    # truth into the assignment join (collection streams), then attach
+    # the walk rank of the neighbor's cluster
+    needed = (
+        F.broadcast(truth)
+        .join(assign_ids, truth.neighbor_id == F.col("vec_id"))
+        .join(
+            F.broadcast(walk),
+            (truth.query_id == walk.query_id) & (F.col("cluster") == walk.cid),
+        )
+        .select("pr")
+    )
+    hits = needed.groupBy("pr").agg(F.count("*").alias("n_hits"))
+    cw = Window.orderBy("pr")  # single partition over C rows — bounded
+    tw = Window.partitionBy()
+    curve = (
+        skel.join(F.broadcast(hits), "pr", "left")
+        .select("pr", "rows_at_pr", F.coalesce("n_hits", F.lit(0)).alias("nh"))
+        .withColumn("hits_cum", F.sum("nh").over(cw))
+        .withColumn("rows_cum", F.sum("rows_at_pr").over(cw))
+        .withColumn("rows_total", F.sum("rows_at_pr").over(tw))
+    )
+    out = curve.select(
+        F.col("pr").alias("n_probe"),
+        F.col("hits_cum").cast("bigint").alias("hits_cum"),
+        F.round(
+            F.col("hits_cum").cast("double") / F.lit(float(N_QUERIES * TOP_K)), 6
+        ).alias("recall_at_k"),
+        F.round(
+            F.col("rows_cum").cast("double") / F.col("rows_total").cast("double"), 6
+        ).alias("avg_scan_frac"),
+        (F.col("pr") == F.lit(n_probe_default)).alias("is_engine_default"),
+    )
+    out._gmrs_shared_caches = (assign_ids,)
+    return out
+
+
+IVF_PROBE_RECALL_CURVE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+{_CENT_CTES},
+assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS arn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE arn = 1
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    {KNN_SQL.strip()}
+  )
+),
+walk AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY ROUND(list_cosine_similarity(q.emb, c.c_emb), 6) DESC,
+                                     c.cid) AS pr
+  FROM emb q CROSS JOIN cent c
+  WHERE q.vec_id < {N_QUERIES}
+),
+sizes AS (
+  SELECT cluster, COUNT(*) AS csize FROM assign GROUP BY cluster
+),
+skel AS (
+  SELECT w.pr, SUM(COALESCE(s.csize, 0)) AS rows_at_pr
+  FROM walk w LEFT JOIN sizes s ON s.cluster = w.cid
+  GROUP BY w.pr
+),
+needed AS (
+  SELECT w.pr
+  FROM truth t
+  JOIN assign a ON a.vec_id = t.neighbor_id
+  JOIN walk w ON w.query_id = t.query_id AND w.cid = a.cluster
+),
+hits AS (
+  SELECT pr, COUNT(*) AS n_hits FROM needed GROUP BY pr
+),
+curve AS (
+  SELECT sk.pr,
+         SUM(COALESCE(h.n_hits, 0)) OVER (ORDER BY sk.pr) AS hits_cum,
+         SUM(sk.rows_at_pr) OVER (ORDER BY sk.pr) AS rows_cum,
+         SUM(sk.rows_at_pr) OVER () AS rows_total
+  FROM skel sk LEFT JOIN hits h ON h.pr = sk.pr
+)
+SELECT pr AS n_probe,
+       CAST(hits_cum AS BIGINT) AS hits_cum,
+       ROUND(CAST(hits_cum AS DOUBLE) / {float(N_QUERIES * TOP_K)!r}, 6)
+         AS recall_at_k,
+       ROUND(CAST(rows_cum AS DOUBLE) / CAST(rows_total AS DOUBLE), 6)
+         AS avg_scan_frac,
+       pr = {_N_PROBE_SQL} AS is_engine_default
+FROM curve
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -3439,6 +3609,7 @@ QUERIES = {
     "bitext_margin_pairs": bitext_margin_pairs,
     "crossencoder_rerank_audit": crossencoder_rerank_audit,
     "ivf_ce_retrieval": ivf_ce_retrieval,
+    "ivf_probe_recall_curve": ivf_probe_recall_curve,
 }
 
 ORACLES = {
@@ -3475,4 +3646,5 @@ ORACLES = {
     "bitext_margin_pairs": BITEXT_MARGIN_SQL,
     "crossencoder_rerank_audit": CE_RERANK_SQL,
     "ivf_ce_retrieval": IVF_CE_RETRIEVAL_SQL,
+    "ivf_probe_recall_curve": IVF_PROBE_RECALL_CURVE_SQL,
 }

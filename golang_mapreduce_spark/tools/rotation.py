@@ -515,6 +515,22 @@ ROUND14_CHANGED: tuple[str, ...] = (
     "quant_tier_recall",
 )
 ROUND14_PINS: tuple[str, ...] = ("pmi_bigrams",)
+#: Registered in round 14 but deliberately NOT windowed (VERDICT r13
+#: #5: new ops are window-neutral while staleness drains): the two
+#: tuning-table compositions — the IVF probe-budget recall/scan curve
+#: (ivf_probe_recall_curve, the full n_probe=1..C trade table from one
+#: pass over the certified walk/assignment machinery) and the LSH
+#: est-threshold precision/recall sweep (lsh_threshold_sweep, a
+#: broadcast 16-row grid over minhash_calibration's bounded pair
+#: relation) — wait as never-checked entries that lead the ROUND15
+#: head, gated locally by the parity + plan suites.  The ELEVEN
+#: fill-displaced r8 deferrals (see the __spark_entry__ window
+#: comment; pmi_bigrams itself rides the r14 head pin) lead the r15
+#: stale fill right after them.
+ROUND15_NEW_CARRYOVER: tuple[str, ...] = (
+    "ivf_probe_recall_curve",
+    "lsh_threshold_sweep",
+)
 
 
 def round14_window() -> list[str]:

@@ -41,6 +41,51 @@ def test_ann_ivf_adaptive_broadcasts_probes_no_smj(spark, sf_dir):
     assert count_nodes(plan, "BroadcastHashJoin") >= 1, plan
 
 
+def test_ivf_probe_recall_curve_no_smj(spark, sf_dir):
+    """The round-14 probe-budget tuning table: truth (queries × k),
+    the walk, the C-row size census, and the C-row hit histogram are
+    all broadcast, and the ints-only assignment relation is persisted
+    for its two consumers — NO join in the plan sorts anything and the
+    BLAS assignment pass executes once (both consumers read the
+    InMemoryRelation once the cache is populated)."""
+    from golang_mapreduce_spark.operators.similarity import (
+        ivf_probe_recall_curve,
+    )
+
+    spark.catalog.clearCache()
+    try:
+        df = ivf_probe_recall_curve(spark, sf_dir)
+        df._gmrs_shared_caches[0].count()  # populate the assign cache
+        plan = formatted_plan(df)
+        assert count_nodes(plan, "SortMergeJoin") == 0, plan
+        assert count_nodes(plan, "CartesianProduct") == 0, plan
+        assert count_nodes(plan, "BroadcastHashJoin") >= 3, plan
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_lsh_threshold_sweep_grid_is_broadcast(spark, sf_dir):
+    """The 16-row threshold grid must broadcast into the theta join
+    against the bounded calibration pair relation (BNLJ over a
+    broadcast build side — constant 16× fan-out, never a shuffle of
+    the pairs for the grid), and the sweep adds no sort-merge work
+    beyond what the certified calibration subtree already plans."""
+    from golang_mapreduce_spark.operators.dedup import lsh_threshold_sweep
+
+    spark.catalog.clearCache()
+    try:
+        plan = formatted_plan(lsh_threshold_sweep(spark, sf_dir))
+        assert count_nodes(plan, "BroadcastNestedLoopJoin") >= 1, plan
+        assert count_nodes(plan, "CartesianProduct") == 0, plan
+        # calibration's inherited shape only — the sweep itself joins
+        # nothing merge-sorted (1 SMJ at sf0.1 comes from the certified
+        # est⋈exact pair join inside minhash_calibration)
+        assert count_nodes(plan, "SortMergeJoin") <= 1, plan
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_recall_audits_share_one_emb_scan(spark, sf_dir):
     """VERDICT r13 #4: ann_rank_quality / quant_tier_recall used to
     re-derive the (vec_id, emb, label) projection per tier — 17

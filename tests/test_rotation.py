@@ -156,6 +156,20 @@ def test_round14_drains_r7_fully_and_r8_except_the_annotated_twelve():
     )
 
 
+def test_round14_carryovers_are_registered_and_oracle_backed():
+    """The round-14 additions must be registered, oracle-backed, and
+    genuinely never driver-checked — they lead the ROUND15 head (the
+    standing carryover contract, VERDICT r13 #5)."""
+    latest = rotation.latest_rounds(through_round=13)
+    oracles = entry_mod.oracle_sql()
+    queries = entry_mod.queries()
+    for name in rotation.ROUND15_NEW_CARRYOVER:
+        assert name in queries, name
+        assert name in oracles, name
+        assert name not in latest, name
+        assert name not in entry_mod._ROUND14_WINDOW, name
+
+
 def test_round13_window_matches_ledger():
     problems = rotation.validate_window(
         entry_mod._ROUND13_WINDOW,
