@@ -416,7 +416,15 @@ def pipeline_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined on doc_id (the text is scanned by the quality/signature/
     decon passes exactly as in the flagship run — no new text scan);
     the final aggregate is one partial-agg'd exchange on a
-    (8 × |sources|)-row key."""
+    (8 × |sources|)-row key.  The quality-score and exact-dup-keeper
+    marker relations each feed TWO consumers (the survivor filter
+    chain and the final attribution join), so both are persisted once
+    — ids + one score/flag per row, never text — instead of re-running
+    the quality tokenization and the md5 keeper grouping per branch
+    (the round-14 subtree-reuse discipline; ``_gmrs_shared_caches``
+    lifecycle, harness-owned clearCache)."""
+    from pyspark.storagelevel import StorageLevel
+
     from golang_mapreduce_spark.operators.corpus import (
         DECON_MOD,
         decontaminate_docs,
@@ -424,13 +432,18 @@ def pipeline_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from golang_mapreduce_spark.operators.sampling import temp_rates
 
     docs = load_table(spark, sf_dir, "documents")
-    q = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    q = (
+        quality_scores(spark, sf_dir)
+        .select("doc_id", "quality_score")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     good = q.where(F.col("quality_score") >= QUALITY_MIN).select("doc_id")
     docs_f = docs.join(good, "doc_id")
     keepers = (
         docs_f.groupBy(F.md5(F.lower(F.trim("text"))).alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(1).alias("is_keeper"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     docs_d = docs_f.join(keepers.select("doc_id"), "doc_id")
     pairs = minhash_pairs_from(docs_d.select("doc_id", "text")).select(
@@ -462,11 +475,13 @@ def pipeline_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(~_temp_keep_col(), "temperature")
         .otherwise("kept")
     )
-    return (
+    out = (
         d.select(stage.alias("stage"), "source")
         .groupBy("stage", "source")
         .agg(F.count("*").alias("n_docs"))
     )
+    out._gmrs_shared_caches = (q, keepers)
+    return out
 
 
 def _pipeline_drop_attribution_sql() -> str:

@@ -358,10 +358,16 @@ def ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is identical to ann_ivf_topk's probed-cluster join — including
     the explicit probe broadcast (queries × probed-clusters rows, bounded
     by the query batch), so the assigned collection streams through a
-    BroadcastHashJoin instead of the SMJ AQE picked (VERDICT r13 #1)."""
+    BroadcastHashJoin instead of the SMJ AQE picked (VERDICT r13 #1).
+    The assignment relation feeds THREE consumers (size census, mass
+    target, probed search), so it is persisted once — one BLAS pass
+    instead of three; at 100 TB it is the ingest-time partition layout
+    and this cache is free (``_gmrs_shared_caches`` lifecycle)."""
+    from pyspark.storagelevel import StorageLevel
+
     emb = _emb(spark, sf_dir)
     cent = _centroids(emb)
-    assign = _ivf_assign(emb, cent)
+    assign = _ivf_assign(emb, cent).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = F.broadcast(
         assign.groupBy("cluster").agg(F.count("*").alias("csize"))
     )
@@ -402,9 +408,11 @@ def ann_ivf_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return scored.select(
+    out = scored.select(
         "query_id", "neighbor_id", "sim", F.row_number().over(w).alias("rank")
     ).where(F.col("rank") <= TOP_K)
+    out._gmrs_shared_caches = (assign,)
+    return out
 
 
 ANN_IVF_ADAPTIVE_SQL = f"""
@@ -1562,11 +1570,18 @@ def ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     only remaining shuffle join is assign⋈coded on vec_id — N×N but
     co-partitionable at ingest (cluster+codes written side by side);
     pre-retrofit AQE planned the probes join as a SortMergeJoin that
-    sorted the whole coded collection (VERDICT r13 #1)."""
+    sorted the whole coded collection (VERDICT r13 #1).  The coded
+    relation feeds TWO consumers (the collection side and the
+    broadcast query codes), so it is persisted once — its own
+    docstring's "the codes ARE what you persist" story made literal:
+    one stats reduction + one coding map instead of two of each
+    (``_gmrs_shared_caches`` lifecycle)."""
+    from pyspark.storagelevel import StorageLevel
+
     emb = _emb(spark, sf_dir)
     cent = _centroids(emb)
     assign = _ivf_assign(emb, cent).select("vec_id", "cluster")
-    coded = _int8_coded(emb)
+    coded = _int8_coded(emb).persist(StorageLevel.MEMORY_AND_DISK)
     cassign = assign.join(coded, "vec_id")
     n_probe = ivf_n_probe(cent.count())
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -1598,9 +1613,11 @@ def ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("query_id").orderBy("qdist", "neighbor_id")
-    return scored.select(
+    out = scored.select(
         "query_id", "neighbor_id", "qdist", F.row_number().over(w).alias("rank")
     ).where(F.col("rank") <= TOP_K)
+    out._gmrs_shared_caches = (coded,)
+    return out
 
 
 IVF_INT8_SQL = f"""

@@ -513,6 +513,12 @@ ROUND14_CHANGED: tuple[str, ...] = (
     "ivf_int8_topk",
     "ann_rank_quality",
     "quant_tier_recall",
+    # second wave (same round, same subtree-reuse discipline): the
+    # funnel's quality-score and exact-dup-keeper marker relations are
+    # persisted once for their two consumers each (12 scans → 9,
+    # 43 exchanges → 39 at sf0.1); it was already an r8 fill entry, so
+    # the head move displaces no one
+    "pipeline_drop_attribution",
 )
 ROUND14_PINS: tuple[str, ...] = ("pmi_bigrams",)
 #: Registered in round 14 but deliberately NOT windowed (VERDICT r13

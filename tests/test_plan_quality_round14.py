@@ -86,6 +86,48 @@ def test_lsh_threshold_sweep_grid_is_broadcast(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_second_wave_persists_share_subtrees(spark, sf_dir):
+    """Round-14 second wave of the subtree-reuse discipline:
+    ann_ivf_adaptive persists its assignment relation (three consumers
+    — size census, mass target, probed search — one BLAS pass instead
+    of three: 8 scans → 4 at sf0.1); ivf_int8_topk persists the coded
+    relation (two consumers — its own docstring's 'the codes ARE what
+    you persist' made literal: 8 scans → 6);
+    pipeline_drop_attribution persists its quality-score and
+    exact-dup-keeper marker relations (two consumers each: 12 scans →
+    9).  Each op exposes the caches via _gmrs_shared_caches and every
+    populated plan must show the in-memory substitution."""
+    from golang_mapreduce_spark.operators.pipeline import (
+        pipeline_drop_attribution,
+    )
+    from golang_mapreduce_spark.operators.similarity import (
+        ann_ivf_adaptive,
+        ivf_int8_topk,
+    )
+
+    # scan budgets measured at sf0.1 (tiny test SF can only be lower)
+    budgets = {
+        ann_ivf_adaptive: 4,
+        ivf_int8_topk: 6,
+        pipeline_drop_attribution: 9,
+    }
+    spark.catalog.clearCache()
+    try:
+        for fn, budget in budgets.items():
+            df = fn(spark, sf_dir)
+            caches = df._gmrs_shared_caches
+            assert caches, fn.__name__
+            for c in caches:
+                c.count()  # populate
+            plan = formatted_plan(df)
+            assert "InMemoryTableScan" in plan, (fn.__name__, plan)
+            scans = plan.count("ReadSchema: ")
+            assert scans <= budget, (fn.__name__, scans, plan)
+            spark.catalog.clearCache()
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_recall_audits_share_one_emb_scan(spark, sf_dir):
     """VERDICT r13 #4: ann_rank_quality / quant_tier_recall used to
     re-derive the (vec_id, emb, label) projection per tier — 17

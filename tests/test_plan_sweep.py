@@ -126,6 +126,11 @@ BNLJ_OK = {
     "ivf_ce_retrieval",         # ~sqrt(N)-row centroid table (the
                                 # ann_ivf_topk probe shape feeding the
                                 # broadcast pool rerank)
+    "ivf_probe_recall_curve",   # ~sqrt(N)-row centroid table (the walk)
+                                # + the 8-row truth broadcast (the
+                                # knn_bruteforce shape)
+    "lsh_threshold_sweep",      # 16-row threshold grid theta-join
+                                # (broadcast build side by construction)
     # user_activity_power_law left this set in round 13: its grand
     # total is now a window over the bucket rollup, not a 1-row
     # broadcast cross join (the BENCH_r12 flag sweep's plan fix)

@@ -100,11 +100,12 @@ def test_round14_window_matches_ledger():
 
 def test_round14_head_is_carryovers_then_changed_then_pin():
     """VERDICT r13 #1: the two round-13 carryovers — the only
-    registered queries with zero driver rows — lead; then the five
-    changed paths (the IVF broadcast retrofit trio + the two
-    persist-fixed recall audits); then the pinned r8-stale adjudicated
-    flag; then the nine twice-deferred r7 rows drain immediately (they
-    must not defer twice)."""
+    registered queries with zero driver rows — lead; then the six
+    changed paths (the IVF broadcast retrofit trio, the two
+    persist-fixed recall audits, and the funnel's persisted marker
+    relations); then the pinned r8-stale adjudicated flag; then the
+    nine twice-deferred r7 rows drain immediately (they must not
+    defer twice)."""
     assert entry_mod._ROUND14_WINDOW[:2] == list(rotation.ROUND14_NEW_CARRYOVER)
     assert rotation.ROUND14_NEW == rotation.ROUND14_NEW_CARRYOVER
     assert rotation.ROUND14_CHANGED == (
@@ -113,11 +114,12 @@ def test_round14_head_is_carryovers_then_changed_then_pin():
         "ivf_int8_topk",
         "ann_rank_quality",
         "quant_tier_recall",
+        "pipeline_drop_attribution",
     )
-    assert entry_mod._ROUND14_WINDOW[2:7] == list(rotation.ROUND14_CHANGED)
+    assert entry_mod._ROUND14_WINDOW[2:8] == list(rotation.ROUND14_CHANGED)
     assert rotation.ROUND14_PINS == ("pmi_bigrams",)
-    assert entry_mod._ROUND14_WINDOW[7] == "pmi_bigrams"
-    assert set(entry_mod._ROUND14_WINDOW[8:17]) == ROUND13_DEFERRED_R7
+    assert entry_mod._ROUND14_WINDOW[8] == "pmi_bigrams"
+    assert set(entry_mod._ROUND14_WINDOW[9:18]) == ROUND13_DEFERRED_R7
 
 
 #: The twelve r8 rows the r1 floor plus the pmi_bigrams pin displaced
