@@ -3463,7 +3463,11 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     size {N_QUERIES}×{TOP_K}; fractions round to 6 dp."""
     from pyspark.storagelevel import StorageLevel
 
-    emb = _emb(spark, sf_dir)
+    # the emb projection feeds FOUR subtrees (truth, query walk,
+    # centroid table, assignment input) — persist it once, exactly the
+    # recall-audit treatment; the cache manager substitutes it into
+    # knn_bruteforce's internal _emb call by canonical-plan matching
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     cent = _centroids(emb)
     # ints-only assignment, persisted: two consumers below, one BLAS pass
     assign_ids = (
@@ -3526,7 +3530,7 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_scan_frac"),
         (F.col("pr") == F.lit(n_probe_default)).alias("is_engine_default"),
     )
-    out._gmrs_shared_caches = (assign_ids,)
+    out._gmrs_shared_caches = (emb, assign_ids)
     return out
 
 

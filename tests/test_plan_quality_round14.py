@@ -55,12 +55,16 @@ def test_ivf_probe_recall_curve_no_smj(spark, sf_dir):
     spark.catalog.clearCache()
     try:
         df = ivf_probe_recall_curve(spark, sf_dir)
-        df._gmrs_shared_caches[0].count()  # populate the assign cache
+        for c in df._gmrs_shared_caches:  # populate emb + assign caches
+            c.count()
         plan = formatted_plan(df)
         assert count_nodes(plan, "SortMergeJoin") == 0, plan
         assert count_nodes(plan, "CartesianProduct") == 0, plan
         assert count_nodes(plan, "BroadcastHashJoin") >= 3, plan
         assert "InMemoryTableScan" in plan, plan
+        # the persisted emb projection collapses the four emb subtrees
+        # (truth, walk, centroids, assignment input) to ONE parquet read
+        assert plan.count("ReadSchema: ") <= 1, plan
     finally:
         spark.catalog.clearCache()
 
