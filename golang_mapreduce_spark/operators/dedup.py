@@ -433,13 +433,21 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ej = F.coalesce(F.col("exact_jaccard"), F.lit(0.0))
-    return est.join(exact, ["doc_a", "doc_b"], "left").select(
+    out = est.join(exact, ["doc_a", "doc_b"], "left").select(
         "doc_a",
         "doc_b",
         "est_jaccard",
         ej.alias("exact_jaccard"),
         F.round(F.abs(F.col("est_jaccard") - ej), 6).alias("abs_err"),
     )
+    # Lifecycle handle (the minhash_pairs_from convention): expose BOTH
+    # persists this op registers — its own est cache and the signature
+    # cache nested inside it — so eager callers and composing ops
+    # (lsh_threshold_sweep) can release or populate them instead of
+    # leaking a handle-less cache until the harness clearCache.  Pure
+    # Python-side metadata: no plan, result, or execution change.
+    out._gmrs_shared_caches = (est, *getattr(est, "_gmrs_shared_caches", ()))
+    return out
 
 
 MINHASH_CALIBRATION_SQL = f"""
@@ -3341,7 +3349,8 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_jaccard is 6-dp-rounded in both engines, grid values are
     integer/20 divisions — every comparison is over bit-identical
     doubles; NULLIF guards the empty-selection divisions."""
-    cal = minhash_calibration(spark, sf_dir).select("est_jaccard", "exact_jaccard")
+    cal_full = minhash_calibration(spark, sf_dir)
+    cal = cal_full.select("est_jaccard", "exact_jaccard")
     grid = F.broadcast(
         spark.range(SWEEP_GRID_N).select(
             ((F.col("id") + 5).cast("double") / F.lit(20.0)).alias("threshold")
@@ -3373,7 +3382,11 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cond_recall"),
         )
     )
-    out._gmrs_shared_caches = getattr(cal, "_gmrs_shared_caches", ())
+    # propagate from the pre-select handle: .select() returns a NEW
+    # DataFrame object that drops Python-side attrs (ADVICE-class bug
+    # caught in the r14 self-review — the old getattr on the projected
+    # relation was always empty while two caches stayed registered)
+    out._gmrs_shared_caches = getattr(cal_full, "_gmrs_shared_caches", ())
     return out
 
 

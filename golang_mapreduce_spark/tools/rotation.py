@@ -484,18 +484,20 @@ ROUND14_NEW_CARRYOVER: tuple[str, ...] = (
 )
 
 
-#: Round-14 parameters.  Head (8): the two round-13 carryovers — the
+#: Round-14 parameters.  Head (9): the two round-13 carryovers — the
 #: only registered queries with zero driver rows (VERDICT r13 #1) —
-#: then the round's FIVE code-path changes, then one pin.  Changed:
+#: then the round's SIX code-path changes, then one pin.  Changed:
 #: the IVF broadcast retrofit (VERDICT r13 #1: F.broadcast(probes)
 #: into ann_ivf_topk / ann_ivf_adaptive / ivf_int8_topk — 2 SMJs
 #: survived AQE pre-retrofit; 0 / 0 / 1-residual after, pinned in
-#: tests/test_plan_quality_round14.py) and the recall-audit subtree
+#: tests/test_plan_quality_round14.py), the recall-audit subtree
 #: reuse (VERDICT r13 #4: ann_rank_quality / quant_tier_recall now
 #: persist the shared emb projection once — 17 parquet scans → 1,
-#: wall 13.4 s → 4.2 s at sf0.1; both were r8-stale fill entries
-#: anyway, so marking them changed reorders the window without
-#: displacing anyone).  Pin: pmi_bigrams — one of the three BENCH_r13
+#: wall 13.4 s → 4.2 s at sf0.1), and the funnel's persisted marker
+#: relations (pipeline_drop_attribution, second wave) — the audits
+#: and the funnel were r8-stale fill entries anyway, so marking them
+#: changed reorders the window without displacing anyone.
+#: Pin: pmi_bigrams — one of the three BENCH_r13
 #: driver-gate flags (all adjudicated spurious, SCALE.md r14), r8-
 #: stale, so it needs a fresh driver row (VERDICT r13 #3); the other
 #: two flagged names are kmeans_refine_centroids (in the fill as r8-

@@ -168,6 +168,34 @@ def test_threshold_sweep_matches_python_recount(spark, sf_dir):
     assert got == want
 
 
+def test_cache_handles_account_for_every_persist(spark, sf_dir):
+    """The r14 self-review caught `getattr(projected_df,
+    '_gmrs_shared_caches', ())` silently returning () because
+    .select() creates a NEW DataFrame that drops Python-side attrs —
+    the op persisted two relations while exposing an empty handle.
+    Pin the accounting for every handle-bearing round-14 op: after a
+    collect, the number of persisted RDDs equals the number of exposed
+    handles, and unpersisting via the handles empties the registry
+    (the lifecycle eager callers rely on)."""
+    from golang_mapreduce_spark.operators.dedup import lsh_threshold_sweep
+    from golang_mapreduce_spark.operators.similarity import (
+        ivf_probe_recall_curve,
+    )
+
+    jsc = spark.sparkContext._jsc
+    spark.catalog.clearCache()
+    for fn in (lsh_threshold_sweep, ivf_probe_recall_curve):
+        assert jsc.getPersistentRDDs().size() == 0
+        df = fn(spark, sf_dir)
+        df.collect()
+        handles = df._gmrs_shared_caches
+        assert jsc.getPersistentRDDs().size() == len(handles), fn.__name__
+        for h in handles:
+            h.unpersist(blocking=True)
+        assert jsc.getPersistentRDDs().size() == 0, fn.__name__
+    spark.catalog.clearCache()
+
+
 def test_threshold_sweep_fixture_invariants(spark, sf_dir):
     """16 grid rows at 0.25..1.00; n_selected and n_true_dups are
     nonincreasing in the threshold; the floor row (0.25 ==
