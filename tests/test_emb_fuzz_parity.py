@@ -123,6 +123,12 @@ FAMILY = [
     # and probe selection BEFORE the rerank sees them (rounded-csim
     # ties at the probe cut are the composed op's own edge)
     "ivf_ce_retrieval",
+    # round-14 addition: the probe-budget curve — the adversarial ties
+    # stress BOTH cumulations (duplicate vectors collapse cluster
+    # sizes; rounded-csim ties at every walk position must order by
+    # cid identically in the two engines for the needed-rank CDF to
+    # match)
+    "ivf_probe_recall_curve",
 ]
 
 

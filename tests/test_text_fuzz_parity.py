@@ -159,6 +159,13 @@ FAMILY = [
     # set leaves some hash ranges legitimately EMPTY (absent rows, not
     # zero rows, in both engines)
     (dedup, "training_shard_balance_audit"),
+    # round-14 addition: the threshold sweep over a corpus whose LSH
+    # candidates are exactly the dup trio (est_jaccard 1.0 pairs, so
+    # the 1.00 grid row keeps them and the floor row's conditional
+    # recall is 1.0) — empty/whitespace docs never reach the banding
+    # (< 3 tokens), exercising the sweep's empty-selection NULLs at
+    # every intermediate threshold in both engines
+    (dedup, "lsh_threshold_sweep"),
 ]
 
 
