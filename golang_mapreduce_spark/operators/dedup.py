@@ -47,6 +47,10 @@ from golang_mapreduce_spark.functions.hashing import (
     sql_hash32,
     sql_hash60,
 )
+from golang_mapreduce_spark.caching import (
+    release_shared_caches,
+    with_shared_caches,
+)
 from golang_mapreduce_spark.functions.text import ws_words
 from golang_mapreduce_spark.sources.fixtures import load_table
 
@@ -306,8 +310,7 @@ def minhash_pairs_from(docs: DataFrame) -> DataFrame:
     # (neardup_pagerank's checkpoint) can release the shared signature
     # cache instead of leaking it for the session; lazy callers leave it
     # for the harness-owned clearCache (bench.timed / parity sweep).
-    scored._gmrs_shared_caches = (sig,)
-    return scored
+    return with_shared_caches(scored, sig)
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -440,14 +443,12 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ej.alias("exact_jaccard"),
         F.round(F.abs(F.col("est_jaccard") - ej), 6).alias("abs_err"),
     )
-    # Lifecycle handle (the minhash_pairs_from convention): expose BOTH
+    # Lifecycle handles (the minhash_pairs_from convention): BOTH
     # persists this op registers — its own est cache and the signature
-    # cache nested inside it — so eager callers and composing ops
-    # (lsh_threshold_sweep) can release or populate them instead of
-    # leaking a handle-less cache until the harness clearCache.  Pure
-    # Python-side metadata: no plan, result, or execution change.
-    out._gmrs_shared_caches = (est, *getattr(est, "_gmrs_shared_caches", ()))
-    return out
+    # cache nested inside it (with_shared_caches propagates the nested
+    # handle automatically).  Pure Python-side metadata: no plan,
+    # result, or execution change.
+    return with_shared_caches(out, est)
 
 
 MINHASH_CALIBRATION_SQL = f"""
@@ -528,7 +529,7 @@ def pair_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("skey"),
     )
     w = Window.partitionBy("decile").orderBy("skey", "doc_a", "doc_b")
-    return (
+    out = (
         keyed.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= REVIEW_PER_DECILE)
         .select(
@@ -536,6 +537,7 @@ def pair_review_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard", "exact_jaccard",
         )
     )
+    return with_shared_caches(out, cal)
 
 
 PAIR_REVIEW_SQL = f"""
@@ -574,9 +576,8 @@ def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids-only corpus projection; the final aggregate keys on the tiny
     distinct-degree domain."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_pairs_from(docs.select("doc_id", "text")).select(
-        "doc_a", "doc_b"
-    )
+    pairs_full = minhash_pairs_from(docs.select("doc_id", "text"))
+    pairs = pairs_full.select("doc_a", "doc_b")
     ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
@@ -586,7 +587,9 @@ def dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg, "doc_id", "left")
         .select(F.coalesce("d", F.lit(0)).cast("bigint").alias("degree"))
     )
-    return alldeg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+    return with_shared_caches(
+        alldeg.groupBy("degree").agg(F.count("*").alias("n_docs")), pairs_full
+    )
 
 
 DUP_GRAPH_DEGREE_SQL = f"""
@@ -655,8 +658,7 @@ def neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges_deg.select("src", "d").distinct()  # reuse the cut lineage
     # the checkpoint already ran the banding job, so the shared
     # signature cache minhash_pairs_from registered is dead weight now
-    for shared in getattr(pairs_scored, "_gmrs_shared_caches", ()):
-        shared.unpersist(blocking=False)
+    release_shared_caches(pairs_scored)
 
     nodes = docs.select("doc_id")
     ranks = nodes.select("doc_id", F.lit(1.0).alias("r"))
@@ -820,7 +822,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bd"),
     ).select("doc_id", "simhash", "bd.band", "bd.bval")
     a, b = bands.alias("a"), bands.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -837,6 +839,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()  # a pair may collide in several bands
         .where(F.col("hamming") <= SIMHASH_HAMMING_K)
     )
+    return with_shared_caches(out, sigs)
 
 
 SIMHASH_NEARDUP_SQL = f"""
@@ -891,7 +894,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
@@ -905,6 +908,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    return with_shared_caches(out, doc_sh)
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -980,7 +984,7 @@ def ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    out = (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
@@ -994,6 +998,7 @@ def ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= PRUNED_THRESHOLD)
     )
+    return with_shared_caches(out, doc_sh)
 
 
 NGRAM_JACCARD_PRUNED_SQL = f"""
@@ -1044,8 +1049,11 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     see :func:`clusters_from` for the round structure and the O(log
     diameter) convergence argument.  The oracle replicates it with a
     recursive CTE."""
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return clusters_from(pairs)
+    pairs_full = dedup_minhash_pairs(spark, sf_dir)
+    out = clusters_from(pairs_full.select("doc_a", "doc_b"))
+    # out already carries the CC final-state handle; add the signature
+    # cache nested in the pair relation (the projection above drops it)
+    return with_shared_caches(out, pairs_full)
 
 
 #: Rounds of plain (jump-free) propagation before escalating to pointer
@@ -1174,7 +1182,14 @@ def clusters_from(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
     # labels read from their own cache/checkpoint — the edge cache is
     # dead weight from here and would otherwise leak for the session
     edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    # Expose the surviving final-round cache (r15, VERDICT r14 #4): the
+    # result reads from it, so composing operators must account for it.
+    # On a localCheckpoint exit round the state is RDD blocks the catalog
+    # cannot release — with_shared_caches correctly exposes nothing then.
+    return with_shared_caches(out, new_labels)
 
 
 def cc_walk_sql(pairs_cte: str, prefix: str = "") -> str:
@@ -1325,10 +1340,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from golang_mapreduce_spark.operators.textstats import quality_scores
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    pairs = minhash_pairs_from(
+    pairs_full = minhash_pairs_from(
         load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    ).select("doc_a", "doc_b")
-    clusters = clusters_from(pairs)
+    )
+    clusters = clusters_from(pairs_full.select("doc_a", "doc_b"))
     memb = docs.join(clusters, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
@@ -1347,12 +1362,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rn"),
         F.count("*").over(Window.partitionBy("cluster_id")).alias("n_members"),
     )
-    return ranked.where(F.col("rn") == 1).select(
+    out = ranked.where(F.col("rn") == 1).select(
         "cluster_id",
         F.col("doc_id").alias("keep_doc_id"),
         F.col("quality_score").alias("best_quality"),
         "n_members",
     )
+    return with_shared_caches(out, pairs_full, clusters)
 
 
 def _dedup_keep_best_sql() -> str:
@@ -1461,7 +1477,8 @@ def dedup_incremental_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("exact_match"))
     )
     inc = docs.where(is_inc).select("doc_id", text_h.alias("h"))
-    pairs = minhash_pairs_from(docs).select("doc_a", "doc_b")
+    pairs_full = minhash_pairs_from(docs)
+    pairs = pairs_full.select("doc_a", "doc_b")
     a_inc = F.col("doc_a") % INGEST_MOD == INGEST_RES
     b_inc = F.col("doc_b") % INGEST_MOD == INGEST_RES
     cross = (
@@ -1474,7 +1491,7 @@ def dedup_incremental_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     near = cross.groupBy("doc_id").agg(F.min("partner").alias("near_match"))
-    return (
+    return with_shared_caches(
         inc.join(base_hash, "h", "left")
         .join(near, "doc_id", "left")
         .select(
@@ -1484,7 +1501,8 @@ def dedup_incremental_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("novel")
             .alias("verdict"),
             F.coalesce("exact_match", "near_match").alias("match_doc_id"),
-        )
+        ),
+        pairs_full,
     )
 
 
@@ -1753,12 +1771,14 @@ def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (or both) a pipeline trusts at a given threshold pair.  One full
     outer join of two already-bucketed pair sets (each tiny relative to
     the corpus), folded to a single row."""
-    mh = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sh = simhash_neardup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    mh_full = dedup_minhash_pairs(spark, sf_dir)
+    sh_full = simhash_neardup_pairs(spark, sf_dir)
+    mh = mh_full.select("doc_a", "doc_b")
+    sh = sh_full.select("doc_a", "doc_b")
     joined = mh.withColumn("in_mh", F.lit(1)).join(
         sh.withColumn("in_sh", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
     )
-    return joined.agg(
+    out = joined.agg(
         F.sum(F.coalesce(F.col("in_mh"), F.lit(0))).cast("bigint").alias("n_minhash"),
         F.sum(F.coalesce(F.col("in_sh"), F.lit(0))).cast("bigint").alias("n_simhash"),
         F.sum(
@@ -1768,6 +1788,7 @@ def neardup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_both"),
     )
+    return with_shared_caches(out, mh_full, sh_full)
 
 
 def _method_agreement_sql() -> str:
@@ -1837,8 +1858,8 @@ def neardup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — identical membership on any engine or partitioning.
     Unclustered docs have size 1 and always survive."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    pairs = dedup_minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    clusters = clusters_from(pairs)
+    pairs_full = dedup_minhash_pairs(spark, sf_dir)
+    clusters = clusters_from(pairs_full.select("doc_a", "doc_b"))
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("csize"))
     memb = (
         docs.join(clusters, "doc_id", "left")
@@ -1850,7 +1871,8 @@ def neardup_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     h = hash32(F.concat(F.lit("cw:"), F.col("doc_id").cast("string")))
-    return memb.where(h % _CW_PPM < F.expr(f"{_CW_PPM} div cluster_size"))
+    out = memb.where(h % _CW_PPM < F.expr(f"{_CW_PPM} div cluster_size"))
+    return with_shared_caches(out, pairs_full, clusters)
 
 
 NEARDUP_WEIGHTED_SAMPLE_SQL = f"""
@@ -2697,8 +2719,7 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs_scored = minhash_pairs_from(docs.select("doc_id", "text"))
     e = pairs_scored.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    for shared in getattr(pairs_scored, "_gmrs_shared_caches", ()):
-        shared.unpersist(blocking=False)
+    release_shared_caches(pairs_scored)
 
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
@@ -2798,8 +2819,7 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs_scored = minhash_pairs_from(docs.select("doc_id", "text"))
     e = pairs_scored.select("doc_a", "doc_b").localCheckpoint(eager=True)
-    for shared in getattr(pairs_scored, "_gmrs_shared_caches", ()):
-        shared.unpersist(blocking=False)
+    release_shared_caches(pairs_scored)
 
     def degrees(edges: DataFrame) -> DataFrame:
         return (
@@ -3197,11 +3217,12 @@ GROUP BY shard
 #: two): with a non-divisor, keys in the remainder band near 2^32 would
 #: map to shard id == MANIFEST_SHARDS — an extra phantom shard — in
 #: BOTH engines, silently skewing the load_factor math (ADVICE r13).
-assert (1 << 32) % MANIFEST_SHARDS == 0, (
-    "MANIFEST_SHARDS must divide 2^32 exactly (power of two); the "
-    "shard = key DIV width split in training_shard_balance_audit and "
-    "its oracle assumes no remainder band"
-)
+if (1 << 32) % MANIFEST_SHARDS != 0:  # not assert: survives python -O (ADVICE r14)
+    raise ValueError(
+        "MANIFEST_SHARDS must divide 2^32 exactly (power of two); the "
+        "shard = key DIV width split in training_shard_balance_audit and "
+        "its oracle assumes no remainder band"
+    )
 SHARD_RANGE_WIDTH = (1 << 32) // MANIFEST_SHARDS
 
 
@@ -3386,8 +3407,7 @@ def lsh_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame object that drops Python-side attrs (ADVICE-class bug
     # caught in the r14 self-review — the old getattr on the projected
     # relation was always empty while two caches stayed registered)
-    out._gmrs_shared_caches = getattr(cal_full, "_gmrs_shared_caches", ())
-    return out
+    return with_shared_caches(out, cal_full)
 
 
 LSH_THRESHOLD_SWEEP_SQL = f"""

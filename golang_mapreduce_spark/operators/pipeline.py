@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from golang_mapreduce_spark.caching import with_shared_caches
 from golang_mapreduce_spark.operators.dedup import (
     cc_walk_sql,
     clusters_from,
@@ -54,14 +55,16 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final projection — persist once
     docs_d = docs_f.join(keep_exact, "doc_id").persist(StorageLevel.MEMORY_AND_DISK)
 
-    pairs = minhash_pairs_from(docs_d.select("doc_id", "text")).select(
-        "doc_a", "doc_b"
-    )
-    clusters = clusters_from(pairs)
+    pairs_full = minhash_pairs_from(docs_d.select("doc_id", "text"))
+    clusters = clusters_from(pairs_full.select("doc_a", "doc_b"))
     drop = clusters.where(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
-    return docs_d.join(drop, "doc_id", "left_anti").select(
+    out = docs_d.join(drop, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
+    # account for every cache this composition registers: the survivor
+    # relation, the nested signature cache, and the CC final state
+    # (with_shared_caches propagates the latter two from the subtrees)
+    return with_shared_caches(out, docs_d, pairs_full, clusters)
 
 
 CLEAN_CORPUS_SQL = f"""
@@ -112,10 +115,11 @@ def clean_corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     survivors = clean_corpus(spark, sf_dir)
     flagged = decontaminate_docs(spark, sf_dir).select("doc_id")
-    return (
+    out = (
         survivors.where(F.col("doc_id") % DECON_MOD != 0)
         .join(flagged, "doc_id", "left_anti")
     )
+    return with_shared_caches(out, survivors)
 
 
 def _clean_corpus_decon_sql() -> str:
@@ -446,11 +450,10 @@ def pipeline_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     docs_d = docs_f.join(keepers.select("doc_id"), "doc_id")
-    pairs = minhash_pairs_from(docs_d.select("doc_id", "text")).select(
-        "doc_a", "doc_b"
-    )
+    pairs_full = minhash_pairs_from(docs_d.select("doc_id", "text"))
+    clusters = clusters_from(pairs_full.select("doc_a", "doc_b"))
     neardrop = (
-        clusters_from(pairs)
+        clusters
         .where(F.col("cluster_id") != F.col("doc_id"))
         .select("doc_id", F.lit(1).alias("is_neardrop"))
     )
@@ -480,8 +483,11 @@ def pipeline_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage", "source")
         .agg(F.count("*").alias("n_docs"))
     )
-    out._gmrs_shared_caches = (q, keepers)
-    return out
+    # ALL four caches this op registers: its own two marker relations
+    # plus the two nested in the composed subtrees — the signature cache
+    # inside minhash_pairs_from and the CC final state — which the old
+    # hand-attached tuple leaked to eager callers (ADVICE r14 medium)
+    return with_shared_caches(out, q, keepers, pairs_full, clusters)
 
 
 def _pipeline_drop_attribution_sql() -> str:

@@ -552,6 +552,51 @@ def round14_window() -> list[str]:
     )
 
 
+#: Round-15 parameters.  Head: the two round-14 carryovers — the only
+#: registered queries with zero driver rows (VERDICT r14 #1) — then the
+#: round's EIGHT code-path changes, no pins.  Changed: the measured
+#: subtree-reuse wave 2 (VERDICT r14 #2: single-tokenization DSIR pair,
+#: brand_basket_lift's persisted basket relation + broadcast count
+#: joins, ann_recall_at_k's persisted exact side), the shared
+#: ``_probe_walk`` factor across the IVF family (VERDICT r14 #3:
+#: ann_ivf_topk / pq_residual_topk / ivf_int8_topk / ivf_ce_retrieval —
+#: behavior-identical, but it rewrites five oracle-paired orderings so
+#: every touched op re-certifies; ivf_probe_recall_curve rides the NEW
+#: head), and pq_residual_topk's persisted residual relation (VERDICT
+#: r14 #6 — its BLAS assignment pass previously executed three times).
+#: The with_shared_caches hardening (VERDICT r14 #4) is Python-side
+#: metadata only — no plan, result, or execution change — so handle-only
+#: ops are NOT marked changed (the r13 precedent for non-query-path
+#: edits); the registry-wide accounting test is their gate.  Fill: the
+#: twelve r8 deferrals lead (VERDICT r14 #1: eleven fill-displaced +
+#: the pin-displaced doc_repetition_scores — "they must not defer
+#: twice"), then the r9 tier; the 15-entry r1 floor pulls from the
+#: r11/r12 tiers.
+ROUND15_NEW: tuple[str, ...] = ROUND15_NEW_CARRYOVER
+ROUND15_CHANGED: tuple[str, ...] = (
+    "ann_ivf_topk",
+    "pq_residual_topk",
+    "ivf_int8_topk",
+    "ivf_ce_retrieval",
+    "ann_recall_at_k",
+    "dsir_importance_weights",
+    "dsir_topk_selection",
+    "brand_basket_lift",
+)
+ROUND15_PINS: tuple[str, ...] = ()
+
+
+def round15_window() -> list[str]:
+    return propose_window(
+        latest_rounds(through_round=14),
+        r1_cohort(),
+        registration_order(),
+        new=ROUND15_NEW,
+        changed=ROUND15_CHANGED,
+        pins=ROUND15_PINS,
+    )
+
+
 def round13_window() -> list[str]:
     return propose_window(
         latest_rounds(through_round=12),
@@ -574,6 +619,7 @@ COMMITTED_WINDOWS: dict[int, object] = {
     12: round12_window,
     13: round13_window,
     14: round14_window,
+    15: round15_window,
 }
 
 

@@ -172,6 +172,87 @@ def test_round14_carryovers_are_registered_and_oracle_backed():
         assert name not in entry_mod._ROUND14_WINDOW, name
 
 
+def test_round15_window_matches_ledger():
+    problems = rotation.validate_window(
+        entry_mod._ROUND15_WINDOW,
+        rotation.latest_rounds(through_round=14),
+        rotation.r1_cohort(),
+        rotation.registration_order(),
+        new=rotation.ROUND15_NEW,
+        changed=rotation.ROUND15_CHANGED,
+        pins=rotation.ROUND15_PINS,
+    )
+    assert problems == []
+
+
+def test_round15_head_is_carryovers_then_changed():
+    """VERDICT r14 #1: the two round-14 carryovers — the only
+    registered queries with zero driver rows — lead; then the eight
+    changed paths (the _probe_walk factor over the IVF quartet with
+    pq_residual_topk's residual persist, the persisted-exact recall
+    audit, the single-tokenization DSIR pair, the persisted-basket
+    association rules); no pins; then the eleven deferred r8 rows
+    drain immediately (they must not defer twice)."""
+    assert entry_mod._ROUND15_WINDOW[:2] == list(rotation.ROUND15_NEW_CARRYOVER)
+    assert rotation.ROUND15_NEW == rotation.ROUND15_NEW_CARRYOVER
+    assert rotation.ROUND15_CHANGED == (
+        "ann_ivf_topk",
+        "pq_residual_topk",
+        "ivf_int8_topk",
+        "ivf_ce_retrieval",
+        "ann_recall_at_k",
+        "dsir_importance_weights",
+        "dsir_topk_selection",
+        "brand_basket_lift",
+    )
+    assert entry_mod._ROUND15_WINDOW[2:10] == list(rotation.ROUND15_CHANGED)
+    assert rotation.ROUND15_PINS == ()
+    assert set(entry_mod._ROUND15_WINDOW[10:21]) == (
+        ROUND14_DEFERRED_R8 - {"pmi_bigrams"}
+    )
+
+
+#: The seventeen r9 rows the r1 floor displaced from the round-15 fill
+#: — each annotated with an in-window family mate in the
+#: __spark_entry__ window comment (the deferral path rounds 9–14
+#: sanctioned); they lead the r16 stale fill.
+ROUND15_DEFERRED_R9 = {
+    "centroid_drift_by_label",
+    "char_coverage_audit",
+    "cms_heavy_hitters",
+    "dup_span_manifest",
+    "embedding_power_iteration",
+    "graph_triangle_counts",
+    "hll_distinct_by_source",
+    "image_phash_clusters",
+    "image_phash_pairs",
+    "lang_vocab_overlap",
+    "neardup_pagerank",
+    "normalization_ladder",
+    "quality_quantile_normalize",
+    "rare_ngram_uniqueness",
+    "robust_quality_outliers",
+    "runtime_filtered_join",
+    "token_budget_pack_plan",
+}
+
+
+def test_round15_drains_r8_fully_and_r9_except_the_annotated_seventeen():
+    """VERDICT r14 #1's acceptance: after round 15 no ledger row may be
+    older than r9, and every r9-latest query is in-window EXCEPT
+    exactly the seventeen the floor displaced — no silent growth of
+    the deferred set."""
+    latest = rotation.latest_rounds(through_round=14)
+    window = set(entry_mod._ROUND15_WINDOW)
+    r8_stale = {n for n, v in latest.items() if v <= 8}
+    assert r8_stale <= window, sorted(r8_stale - window)
+    r9_stale = {n for n, v in latest.items() if v == 9}
+    deferred = r9_stale - window
+    assert deferred == ROUND15_DEFERRED_R9, sorted(
+        deferred ^ ROUND15_DEFERRED_R9
+    )
+
+
 def test_round13_window_matches_ledger():
     problems = rotation.validate_window(
         entry_mod._ROUND13_WINDOW,
@@ -343,12 +424,12 @@ def test_through_round_bounds_the_ledger():
 def test_window_leads_registration():
     """queries() must serve the CURRENT window names first, in order."""
     names = list(entry_mod.queries())
-    assert names[: len(entry_mod._ROUND14_WINDOW)] == entry_mod._ROUND14_WINDOW
+    assert names[: len(entry_mod._ROUND15_WINDOW)] == entry_mod._ROUND15_WINDOW
 
 
 def test_every_window_query_is_oracle_backed():
     oracles = entry_mod.oracle_sql()
-    missing = [n for n in entry_mod._ROUND14_WINDOW if n not in oracles]
+    missing = [n for n in entry_mod._ROUND15_WINDOW if n not in oracles]
     assert missing == []
 
 
@@ -356,8 +437,8 @@ def test_cli_default_round_is_the_newest_binding():
     """ADVICE r12: the CLI's no-flag default must track the newest
     committed round binding so it cannot go stale again."""
     newest = max(rotation.COMMITTED_WINDOWS)
-    assert newest == 14
-    assert rotation.COMMITTED_WINDOWS[newest] is rotation.round14_window
+    assert newest == 15
+    assert rotation.COMMITTED_WINDOWS[newest] is rotation.round15_window
 
 
 def test_floor_enforcement_is_deterministic():
