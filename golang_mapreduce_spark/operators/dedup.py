@@ -1623,7 +1623,7 @@ def dedup_incremental_triage_from_base(
         .groupBy("doc_id")
         .agg(F.min("partner").alias("near_match"))
     )
-    return (
+    return with_shared_caches(
         inc.join(base_hash, "h", "left")
         .join(near, "doc_id", "left")
         .select(
@@ -1633,7 +1633,8 @@ def dedup_incremental_triage_from_base(
             .otherwise("novel")
             .alias("verdict"),
             F.coalesce("exact_match", "near_match").alias("match_doc_id"),
-        )
+        ),
+        inc_sig,
     )
 
 
@@ -2095,7 +2096,9 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _containment_exact(cand, _distinct_shingle_hashes(docs))
+    return with_shared_caches(
+        _containment_exact(cand, _distinct_shingle_hashes(docs)), sig
+    )
 
 
 def _distinct_shingle_hashes(docs: DataFrame) -> DataFrame:
@@ -2278,11 +2281,9 @@ def containment_bottomk_pairs(
     # persist spans the candidate AND exact phases (5 reuses of doc_sh).
     # Like the sibling sig persists it outlives this call by design (the
     # returned DataFrame is lazy and its lineage reads doc_sh), so the
-    # HARNESS owns the release: bench.py clears the cache after forcing
-    # each query (tests/test_bench_hygiene.py) and the oracle-parity
-    # sweep clears between queries; long-lived sessions should
-    # clearCache() once the result is materialized.
-    return _containment_exact(cand, doc_sh)
+    # HARNESS owns the release — or an eager caller via the exposed
+    # handle (``_gmrs_shared_caches`` lifecycle).
+    return with_shared_caches(_containment_exact(cand, doc_sh), doc_sh)
 
 
 CONTAINMENT_BOTTOMK_SQL = f"""
@@ -2450,7 +2451,7 @@ def quality_by_dup_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score",
         )
     )
-    return cls.groupBy("dup_class").agg(
+    out = cls.groupBy("dup_class").agg(
         F.count("*").alias("n_docs"),
         F.expr(
             "round(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)"
@@ -2459,6 +2460,7 @@ def quality_by_dup_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality_score").alias("min_quality"),
         F.max("quality_score").alias("max_quality"),
     )
+    return with_shared_caches(out, pairs)
 
 
 def _quality_by_dup_class_sql() -> str:
@@ -2583,11 +2585,12 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     most |sources|^2 rows — tiny, because a source registry is a
     curated dimension, not data-scale."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_pairs_from(docs).select("doc_a", "doc_b")
+    pairs_full = minhash_pairs_from(docs)
+    pairs = pairs_full.select("doc_a", "doc_b")
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
-    return (
+    out = (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
@@ -2597,6 +2600,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+    return with_shared_caches(out, pairs_full)
 
 
 CROSS_SOURCE_DUP_SQL = f"""

@@ -19,6 +19,7 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from golang_mapreduce_spark.caching import with_shared_caches
 from golang_mapreduce_spark.sources.fixtures import load_table
 
 
@@ -724,10 +725,11 @@ def image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_pairs = phash_pairs_from_sigs(rep_sigs).select("doc_a", "doc_b")
     clusters = clusters_from(stars.unionAll(rep_pairs))
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
-    return (
+    out = (
         sizes.groupBy(F.col("n_members").cast("bigint").alias("cluster_size"))
         .agg(F.count("*").cast("bigint").alias("n_clusters"))
     )
+    return with_shared_caches(out, clusters)
 
 
 def _image_phash_clusters_sql() -> str:

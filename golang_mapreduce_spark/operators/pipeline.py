@@ -244,8 +244,10 @@ def training_data_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the same scan, never a second pass over the cleaned chain);
     text is re-read only for the final token count of the surviving
     slice, and the packing fold's state is O(1) per language."""
-    surv = clean_corpus_decontaminated(spark, sf_dir).select("doc_id")
-    return _mixture_temp_pack(spark, sf_dir, surv)
+    ccd = clean_corpus_decontaminated(spark, sf_dir)
+    return with_shared_caches(
+        _mixture_temp_pack(spark, sf_dir, ccd.select("doc_id")), ccd
+    )
 
 
 def _mix_keep_col() -> F.Column:
@@ -378,12 +380,12 @@ def training_data_run_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-keyed anti-joins; no new text scan, no new global shuffle."""
     from golang_mapreduce_spark.operators.dedup import semantic_drop_ids
 
+    ccd = clean_corpus_decontaminated(spark, sf_dir)
     surv = (
-        clean_corpus_decontaminated(spark, sf_dir)
-        .select("doc_id")
+        ccd.select("doc_id")
         .join(semantic_drop_ids(spark, sf_dir), "doc_id", "left_anti")
     )
-    return _mixture_temp_pack(spark, sf_dir, surv)
+    return with_shared_caches(_mixture_temp_pack(spark, sf_dir, surv), ccd)
 
 
 def _training_data_run_semantic_sql() -> str:

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from golang_mapreduce_spark.caching import with_shared_caches
 from golang_mapreduce_spark.functions.hashing import hash32, sql_hash32
 from golang_mapreduce_spark.sources.fixtures import load_table
 
@@ -522,7 +523,8 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits = docs.select("doc_id", _bucket_col()).select(
         "doc_id", split.alias("split")
     )
-    pairs = minhash_pairs_from(docs).select("doc_a", "doc_b")
+    pairs_full = minhash_pairs_from(docs)
+    pairs = pairs_full.select("doc_a", "doc_b")
     sa = splits.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )
@@ -543,7 +545,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("leaked", F.lit(1))
     )
-    return (
+    out = (
         splits.where(F.col("split") != "train")
         .join(leaked, "doc_id", "left")
         .groupBy("split")
@@ -557,6 +559,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leak_rate"),
         )
     )
+    return with_shared_caches(out, pairs_full)
 
 
 def _split_leakage_sql() -> str:
