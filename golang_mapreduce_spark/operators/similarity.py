@@ -1447,9 +1447,15 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan audit: 8 scans / 2 SMJs); it is now persisted once — queries × k
     rows, the cheapest possible cache — and the two downstream joins
     broadcast their bounded sides, so nothing in the plan sorts
-    (VERDICT r14 #2c; ``_gmrs_shared_caches`` lifecycle)."""
+    (VERDICT r14 #2c; ``_gmrs_shared_caches`` lifecycle).  The shared
+    (vec_id, emb, label) projection is persisted too — the recall-audit
+    treatment (quant_tier_recall's docstring): the cache manager
+    substitutes it into both sides' internal ``_emb`` calls by
+    canonical-plan matching, so the exact AND approximate subtrees read
+    the embeddings parquet once between them."""
     from pyspark.storagelevel import StorageLevel
 
+    shared_emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     exact = (
         knn_bruteforce(spark, sf_dir)
         .select("query_id", "neighbor_id")
@@ -1471,7 +1477,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(nh.cast("double") / F.col("k"), 6).alias("recall_at_k"),
         )
     )
-    return with_shared_caches(out, exact)
+    return with_shared_caches(out, shared_emb, exact)
 
 
 ANN_RECALL_SQL = f"""
