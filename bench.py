@@ -329,6 +329,8 @@ EXTRA = [
     # recall/scan curve; LSH est-threshold precision/recall sweep)
     "ivf_probe_recall_curve",
     "lsh_threshold_sweep",
+    # round-15 addition: the adaptive-mass tuning table
+    "ivf_mass_recall_curve",
 ]
 
 
@@ -337,7 +339,11 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = set()  # r14 seeds landed same-session (SCALE.md)
+PENDING_BASELINE_SEED: set[str] = {
+    # r15 addition — seeded by the round-15 closing quiet run
+    "ivf_mass_recall_curve",
+    "big:ivf_mass_recall_curve",
+}
 
 
 def force(df) -> None:
@@ -455,6 +461,10 @@ BIG_QUERIES = [
     # standing LSH worst case — but the 16-row grid stays constant)
     "ivf_probe_recall_curve",
     "lsh_threshold_sweep",
+    # round-15 tuning table: same heavy passes as the probe curve (one
+    # truth scan + ONE cached BLAS assignment); the 20-row mass grid
+    # and all curve math are queries x C rows, constant in N
+    "ivf_mass_recall_curve",
 ]
 
 

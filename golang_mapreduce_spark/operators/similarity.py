@@ -3633,6 +3633,207 @@ FROM curve
 """
 
 
+#: ivf_mass_recall_curve: mass-budget grid — fractions f = g/20 for
+#: g = 1..20 (0.05 .. 1.00).  Targets are the EXACT integer
+#: ceil(f·N) = (N·g + 19) DIV 20, so both engines' probe-stop
+#: comparisons are over identical integers (the lsh_threshold_sweep
+#: integer-grid discipline); PROBE_MASS = 0.2 is g = 4.
+MASS_GRID_N = 20
+
+
+def ivf_mass_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PROBE_MASS tuning table for the mass-adaptive prober
+    (ann_ivf_adaptive): for every mass budget f = g/20, g = 1..20, the
+    recall@{TOP_K} the adaptive index would achieve against exact
+    brute-force truth and the average fraction of the collection a
+    query would scan — the trade curve that prices a PROBE_MASS change
+    BEFORE committing to it.  Completes the tuning-table family:
+    lsh_threshold_sweep tunes the LSH threshold,
+    ivf_probe_recall_curve tunes the fixed probe count, this tunes the
+    adaptive mass budget (its row g = {PROBE_MASS}·20 is marked as the
+    engine default).
+
+    One pass, not 20 re-searches (the ivf_probe_recall_curve trick
+    adapted to mass budgets): under the adaptive rule a query probes
+    its walk while the EXCLUSIVE running member count stays below
+    ceil(f·N), so a true neighbor n of query q is found at budget f
+    exactly when the mass BEFORE n's cluster in q's walk is < ceil(f·N)
+    — the curve is a comparison of each truth pair's "needed mass"
+    against the 20 integer targets, and the scan cost at f is the
+    cumulative mass through the last probed cluster, i.e. the SMALLEST
+    inclusive running mass ≥ the target (running mass is monotone in
+    probe rank).  Targets are exact integers ((N·g + 19) DIV 20), so
+    every comparison is integer-vs-integer in both engines.
+
+    Scale shape: two collection-scale passes — the brute-force truth
+    scan and ONE BLAS assignment (ints-only relation persisted for its
+    two consumers, exactly ivf_probe_recall_curve's shape); everything
+    downstream is queries × C walk rows theta-joined against a
+    broadcast 20-row grid.  The shared emb projection is persisted
+    (the recall-audit treatment), truth/sizes/hits broadcast, nothing
+    sorts (``_gmrs_shared_caches`` lifecycle)."""
+    from pyspark.storagelevel import StorageLevel
+
+    emb = _emb(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    cent = _centroids(emb)
+    assign_ids = (
+        _ivf_assign(emb, cent)
+        .select("vec_id", "cluster")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_total = F.broadcast(assign_ids.agg(F.count("*").alias("n_vec")))
+    truth = knn_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    sizes = assign_ids.groupBy("cluster").agg(F.count("*").alias("csize"))
+    cw = (
+        Window.partitionBy("query_id")
+        .orderBy("pr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walk = (
+        _probe_walk(q, cent, rank_col="pr")
+        .join(F.broadcast(sizes), F.col("cid") == sizes.cluster, "left")
+        .select(
+            "query_id", "cid", "pr",
+            F.coalesce("csize", F.lit(0)).alias("csz"),
+        )
+        .withColumn("m_after", F.sum("csz").over(cw))
+        .withColumn("m_before", F.col("m_after") - F.col("csz"))
+    )
+    grid = F.broadcast(
+        spark.range(1, MASS_GRID_N + 1).select(F.col("id").alias("g"))
+        .crossJoin(n_total)
+        .select(
+            "g",
+            F.expr(f"(n_vec * g + {MASS_GRID_N - 1}) DIV {MASS_GRID_N}")
+            .alias("target"),
+            F.col("n_vec"),
+        )
+    )
+    # needed mass per truth pair: m_before of the neighbor's cluster in
+    # the query's walk (truth is queries × k rows — broadcast)
+    needed = (
+        F.broadcast(truth)
+        .join(assign_ids, truth.neighbor_id == F.col("vec_id"))
+        .join(
+            F.broadcast(walk),
+            (truth.query_id == walk.query_id) & (F.col("cluster") == walk.cid),
+        )
+        .select("m_before")
+    )
+    hits = grid.join(needed, needed.m_before < F.col("target"), "left").groupBy(
+        "g", "target", "n_vec"
+    ).agg(F.count("m_before").alias("n_hits"))
+    # scan cost: smallest inclusive running mass >= target, per query —
+    # the walk always reaches it (total walk mass = N >= every target)
+    scanned = (
+        walk.join(F.broadcast(grid.select("g", "target")),
+                  F.col("m_after") >= F.col("target"))
+        .groupBy("query_id", "g")
+        .agg(F.min("m_after").alias("rows_scanned"))
+        .groupBy("g")
+        .agg(F.sum("rows_scanned").alias("rows_all_q"))
+    )
+    out = (
+        hits.join(F.broadcast(scanned), "g")
+        .select(
+            F.round(F.col("g").cast("double") / F.lit(float(MASS_GRID_N)), 2)
+            .alias("mass_frac"),
+            F.col("target").cast("bigint").alias("target_rows"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(
+                F.col("n_hits").cast("double") / F.lit(float(N_QUERIES * TOP_K)),
+                6,
+            ).alias("recall_at_k"),
+            F.round(
+                F.col("rows_all_q").cast("double")
+                / (F.lit(float(N_QUERIES)) * F.col("n_vec").cast("double")),
+                6,
+            ).alias("avg_scan_frac"),
+            (F.col("g") == F.lit(int(round(PROBE_MASS * MASS_GRID_N))))
+            .alias("is_engine_default"),
+        )
+    )
+    return with_shared_caches(out, emb, assign_ids)
+
+
+IVF_MASS_RECALL_CURVE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+{_CENT_CTES},
+assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(e.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS arn
+    FROM emb e CROSS JOIN cent c
+  ) WHERE arn = 1
+),
+nt AS (
+  SELECT COUNT(*) AS n_vec FROM assign
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    {KNN_SQL.strip()}
+  )
+),
+sizes AS (
+  SELECT cluster, COUNT(*) AS csize FROM assign GROUP BY cluster
+),
+walk AS (
+  SELECT query_id, cid, pr, csz,
+         SUM(csz) OVER (PARTITION BY query_id ORDER BY pr) AS m_after,
+         SUM(csz) OVER (PARTITION BY query_id ORDER BY pr) - csz AS m_before
+  FROM (
+    SELECT q.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND(list_cosine_similarity(q.emb, c.c_emb), 6) DESC,
+                                       c.cid) AS pr,
+           COALESCE(s.csize, 0) AS csz
+    FROM emb q CROSS JOIN cent c
+    LEFT JOIN sizes s ON s.cluster = c.cid
+    WHERE q.vec_id < {N_QUERIES}
+  )
+),
+grid AS (
+  SELECT g, (n_vec * g + {MASS_GRID_N - 1}) // {MASS_GRID_N} AS target, n_vec
+  FROM UNNEST(generate_series(1, {MASS_GRID_N})) AS t(g), nt
+),
+needed AS (
+  SELECT w.m_before
+  FROM truth t
+  JOIN assign a ON a.vec_id = t.neighbor_id
+  JOIN walk w ON w.query_id = t.query_id AND w.cid = a.cluster
+),
+hits AS (
+  SELECT g.g, g.target, g.n_vec, COUNT(n.m_before) AS n_hits
+  FROM grid g LEFT JOIN needed n ON n.m_before < g.target
+  GROUP BY g.g, g.target, g.n_vec
+),
+scanned AS (
+  SELECT g, SUM(rows_scanned) AS rows_all_q FROM (
+    SELECT w.query_id, g.g, MIN(w.m_after) AS rows_scanned
+    FROM walk w JOIN grid g ON w.m_after >= g.target
+    GROUP BY w.query_id, g.g
+  ) GROUP BY g
+)
+SELECT ROUND(CAST(h.g AS DOUBLE) / {MASS_GRID_N}, 2) AS mass_frac,
+       CAST(h.target AS BIGINT) AS target_rows,
+       CAST(h.n_hits AS BIGINT) AS n_hits,
+       ROUND(CAST(h.n_hits AS DOUBLE) / {float(N_QUERIES * TOP_K)!r}, 6)
+         AS recall_at_k,
+       ROUND(CAST(s.rows_all_q AS DOUBLE)
+             / ({float(N_QUERIES)!r} * CAST(h.n_vec AS DOUBLE)), 6)
+         AS avg_scan_frac,
+       h.g = {int(round(PROBE_MASS * MASS_GRID_N))} AS is_engine_default
+FROM hits h JOIN scanned s ON s.g = h.g
+"""
+
+
 QUERIES = {
     "label_centroids": label_centroids,
     "nearest_centroid_confusion": nearest_centroid_confusion,
@@ -3668,6 +3869,7 @@ QUERIES = {
     "crossencoder_rerank_audit": crossencoder_rerank_audit,
     "ivf_ce_retrieval": ivf_ce_retrieval,
     "ivf_probe_recall_curve": ivf_probe_recall_curve,
+    "ivf_mass_recall_curve": ivf_mass_recall_curve,
 }
 
 ORACLES = {
@@ -3705,4 +3907,5 @@ ORACLES = {
     "crossencoder_rerank_audit": CE_RERANK_SQL,
     "ivf_ce_retrieval": IVF_CE_RETRIEVAL_SQL,
     "ivf_probe_recall_curve": IVF_PROBE_RECALL_CURVE_SQL,
+    "ivf_mass_recall_curve": IVF_MASS_RECALL_CURVE_SQL,
 }

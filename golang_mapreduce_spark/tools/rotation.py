@@ -584,6 +584,17 @@ ROUND15_CHANGED: tuple[str, ...] = (
     "brand_basket_lift",
 )
 ROUND15_PINS: tuple[str, ...] = ()
+#: Registered in round 15 but deliberately NOT windowed (VERDICT r14
+#: #7: new ops are window-neutral while staleness drains): the
+#: adaptive-mass tuning table — the PROBE_MASS trade curve completing
+#: the tuning-table family (threshold sweep / probe curve / mass
+#: curve) — waits as a never-checked entry that leads the ROUND16
+#: head, gated locally by the parity + plan suites.  The SEVENTEEN
+#: fill-displaced r9 deferrals (see the __spark_entry__ window
+#: comment) lead the r16 stale fill right after it.
+ROUND16_NEW_CARRYOVER: tuple[str, ...] = (
+    "ivf_mass_recall_curve",
+)
 
 
 def round15_window() -> list[str]:

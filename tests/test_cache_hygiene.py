@@ -58,6 +58,7 @@ HANDLE_OPS = [
     "image_phash_clusters",
     "incremental_triage_materialized",
     "ivf_int8_topk",
+    "ivf_mass_recall_curve",
     "ivf_probe_recall_curve",
     "lsh_threshold_sweep",
     "minhash_calibration",
