@@ -583,6 +583,12 @@ ROUND15_CHANGED: tuple[str, ...] = (
     "dsir_topk_selection",
     "brand_basket_lift",
 )
+# streaming_packed_sequences was ALSO changed this round (test-source
+# synthesis rewritten driver-free: doc_id-value range shards via
+# executor-side parquet writes, streaming/jobs.py) but is already an
+# in-window r9 stale drain, so the driver re-certifies it without a
+# CHANGED registration — adding it here would displace a fill row the
+# pinned head tests forbid.
 ROUND15_PINS: tuple[str, ...] = ()
 #: Registered in round 15 but deliberately NOT windowed (VERDICT r14
 #: #7: new ops are window-neutral while staleness drains): the

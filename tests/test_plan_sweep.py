@@ -131,6 +131,10 @@ BNLJ_OK = {
                                 # knn_bruteforce shape)
     "lsh_threshold_sweep",      # 16-row threshold grid theta-join
                                 # (broadcast build side by construction)
+    "ivf_mass_recall_curve",    # 20-row mass-budget grid theta-joins
+                                # (broadcast build side) + the 1-row
+                                # n_vec scalar cross — the two sibling
+                                # tuning-table shapes composed
     # user_activity_power_law left this set in round 13: its grand
     # total is now a window over the bucket rollup, not a 1-row
     # broadcast cross join (the BENCH_r12 flag sweep's plan fix)

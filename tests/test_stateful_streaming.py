@@ -115,11 +115,12 @@ def test_streaming_pack_carries_bin_state_across_batches(spark, sf_dir):
     }
     assert got == expected
 
-    # reconstruct the doc_id-range file boundaries the query used and
-    # check some bin holds docs on both sides of one
+    # reconstruct the doc_id-VALUE range cuts the query used (min/max
+    # value thirds, the distributed split) and check some bin holds docs
+    # on both sides of one
     doc_ids = sorted(d for d, _, _, _ in got)
-    third = (len(doc_ids) + 2) // 3
-    boundaries = {doc_ids[third - 1], doc_ids[2 * third - 1]}
+    lo, hi = doc_ids[0], doc_ids[-1]
+    boundaries = {lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3}
     by_bin: dict[tuple, list[int]] = {}
     for d, lang, _, b in got:
         by_bin.setdefault((lang, b), []).append(d)
