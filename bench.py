@@ -339,11 +339,9 @@ EXTRA = [
 #: baseline — the set exists to shrink: the round-10 quiet best-of-N
 #: seeding run empties it, and any future op must either get a seed or
 #: be listed here explicitly (no silent gate holes).
-PENDING_BASELINE_SEED: set[str] = {
-    # r15 addition — seeded by the round-15 closing quiet run
-    "ivf_mass_recall_curve",
-    "big:ivf_mass_recall_curve",
-}
+PENDING_BASELINE_SEED: set[str] = set()
+# (emptied at the round-15 close: ivf_mass_recall_curve seeded 1.918
+# quiet best-of-5 at sf0.1 and 2.289 at 10x — SCALE.md r15 close)
 
 
 def force(df) -> None:
