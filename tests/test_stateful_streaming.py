@@ -133,6 +133,30 @@ def test_streaming_pack_carries_bin_state_across_batches(spark, sf_dir):
     assert spans, "no bin spans a micro-batch boundary; state carry untested"
 
 
+def test_streaming_pack_is_split_invariant(spark, sf_dir):
+    """The executor-side source builder's correctness rests on one
+    claim: the drained output depends only on global doc_id order, not
+    on WHERE the range cuts fall.  Pin it: 2-shard and 5-shard streams
+    must both equal the batch pack (5 shards also exercises an
+    uneven/possibly-empty range, since cuts are value thirds of a
+    non-uniform doc_id spread)."""
+    from golang_mapreduce_spark.operators.corpus import packed_sequences
+    from golang_mapreduce_spark.streaming.jobs import streaming_packed_sequences
+
+    expected = {
+        (r["doc_id"], r["lang"], r["n_toks"], r["bin_id"])
+        for r in packed_sequences(spark, sf_dir).collect()
+    }
+    for n_files in (2, 5):
+        got = {
+            (r["doc_id"], r["lang"], r["n_toks"], r["bin_id"])
+            for r in streaming_packed_sequences(
+                spark, sf_dir, n_files=n_files
+            ).collect()
+        }
+        assert got == expected, f"split at n_files={n_files} changed the pack"
+
+
 def test_stateful_sessionize_counts_most_sessions(spark, sf_dir):
     """The drained stream closes every session except at most one open
     session per user at stream end (availableNow stops before the final
