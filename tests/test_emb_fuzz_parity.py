@@ -129,6 +129,11 @@ FAMILY = [
     # cid identically in the two engines for the needed-rank CDF to
     # match)
     "ivf_probe_recall_curve",
+    # round-15 addition: the mass-budget curve — same adversarial ties
+    # as its probe-count sibling, but the grid comparisons are against
+    # ceil(f·N) mass targets, so duplicate-collapsed cluster SIZES
+    # (not just ranks) must agree bit-for-bit across the engines
+    "ivf_mass_recall_curve",
 ]
 
 
