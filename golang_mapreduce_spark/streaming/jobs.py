@@ -485,9 +485,14 @@ def streaming_packed_sequences(
     name = "pack_" + uuid.uuid4().hex[:12]
     try:
         lo, hi = sizes.agg(F.min("doc_id"), F.max("doc_id")).first()
-        cuts = [lo + i * (hi - lo) // n_files for i in range(1, n_files)]
-        edges = [None, *cuts, None]
-        bounds = list(zip(edges[:-1], edges[1:]))
+        if lo is None:
+            # empty corpus: one empty shard keeps the drain well-formed
+            # (the pre-rewrite pandas splitter accepted this input too)
+            bounds = [(None, None)]
+        else:
+            cuts = [lo + i * (hi - lo) // n_files for i in range(1, n_files)]
+            edges = [None, *cuts, None]
+            bounds = list(zip(edges[:-1], edges[1:]))
         for i, (a, b) in enumerate(bounds):
             part = sizes
             if a is not None:

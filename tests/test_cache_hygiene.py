@@ -8,9 +8,11 @@
    that persists a subtree its lazy result re-reads must expose the
    handles via ``with_shared_caches`` so eager callers can release
    exactly what it registered.  The round-15 sweep
-   (tools/cache_accounting_sweep.py) measured the whole 264-query
-   registry: 243 ops register nothing, the HANDLE_OPS below account
-   for every persist, and the three SELF_MANAGED graph ops release
+   (tools/cache_accounting_sweep.py) measured every batch registry
+   query (the 15 streaming_ jobs drive their own lifecycles and are
+   skipped): of the 250 swept ops, 211 register nothing, the 36
+   HANDLE_OPS below account for every persist, and the three
+   SELF_MANAGED graph ops release
    their own caches and keep only localCheckpoint blocks (which the
    catalog cannot release by design — the ContextCleaner reclaims
    them when the result is dropped)."""

@@ -157,6 +157,21 @@ def test_streaming_pack_is_split_invariant(spark, sf_dir):
         assert got == expected, f"split at n_files={n_files} changed the pack"
 
 
+def test_streaming_pack_accepts_an_empty_corpus(spark, sf_dir, tmp_path):
+    """The executor-side builder must not narrow the accepted input: an
+    empty documents table (min/max agg returns NULLs) drains zero rows
+    instead of raising — the pre-rewrite pandas splitter handled this."""
+    from golang_mapreduce_spark.streaming.jobs import streaming_packed_sequences
+
+    empty_dir = str(tmp_path / "empty_sf")
+    (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(0)
+        .write.parquet(f"{empty_dir}/documents.parquet")
+    )
+    assert streaming_packed_sequences(spark, empty_dir).count() == 0
+
+
 def test_stateful_sessionize_counts_most_sessions(spark, sf_dir):
     """The drained stream closes every session except at most one open
     session per user at stream end (availableNow stops before the final

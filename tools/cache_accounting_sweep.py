@@ -41,18 +41,27 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     jsc = spark.sparkContext._jsc
+
+    # id-SET accounting, not size deltas: the ContextCleaner GCs stale
+    # checkpoint RDDs at arbitrary times, which made size-based deltas
+    # flaky — two spurious MISMATCH lines in the round-15 sweep were
+    # exactly this (the pinned test in tests/test_cache_hygiene.py uses
+    # the same set-difference for the same reason).
+    def persistent_ids() -> set:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
     queries = entry_mod.queries()
     mismatches, clean, errors = [], [], []
     for name, fn in sorted(queries.items()):
         if name.startswith(SKIP_PREFIXES):
             continue
         spark.catalog.clearCache()
-        base = jsc.getPersistentRDDs().size()
+        before = persistent_ids()
         try:
             df = fn(spark, SF_DIR)
             df.collect()
             handles = tuple(getattr(df, "_gmrs_shared_caches", ()))
-            grown = jsc.getPersistentRDDs().size() - base
+            grown = len(persistent_ids() - before)
             if grown != len(handles):
                 mismatches.append((name, grown, len(handles)))
                 print(f"MISMATCH {name}: persists={grown} handles={len(handles)}")
@@ -60,7 +69,7 @@ def main() -> None:
                 if handles:
                     for h in handles:
                         h.unpersist(blocking=True)
-                    rest = jsc.getPersistentRDDs().size() - base
+                    rest = len(persistent_ids() - before)
                     if rest != 0:
                         mismatches.append((name, f"restore_left_{rest}", len(handles)))
                         print(f"NO-RESTORE {name}: {rest} left after release")
