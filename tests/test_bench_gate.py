@@ -146,6 +146,63 @@ def test_final_line_fits_driver_tail_budget():
     assert len(line) <= bench.FINAL_LINE_BUDGET, len(line)
 
 
+def test_warm_retry_reaches_fixpoint(tmp_path, monkeypatch):
+    """VERDICT r15 #1: queries flagged only by the post-retry gate
+    recomputation must ALSO get a warm retry.  Scenario: five queries
+    read 2x cold (flagged pass 1); their warm retries lower the median
+    env_factor from 1.3 to 1.0, which flips a borderline 1.55x query
+    into the flagged set — the old single-recompute form reported it as
+    a cold single-shot flag.  The fixpoint loop must retry it, after
+    which nothing stays flagged and every retried name is recorded."""
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _: str(tmp_path))
+    names = [f"q{i:02d}" for i in range(9)]
+    (tmp_path / "bench_baseline.json").write_text(
+        json.dumps({"best_sec": {n: 1.0 for n in names}})
+    )
+    # ratios: three cold 2.0x bursts, two 1.2x, three 1.0x, one 1.65x
+    # borderline.  Median = 1.2 -> only the 2.0x trio clears 1.5x
+    # normalized; warm retries drop them to 1.0, median falls to 1.0,
+    # and 1.65 flips into the flagged set on the recomputation.
+    timings = dict.fromkeys(names, 1.0)
+    timings.update({"q00": 2.0, "q01": 2.0, "q02": 2.0,
+                    "q03": 1.2, "q04": 1.2, "q08": 1.65})
+    warm = {"q00": 1.0, "q01": 1.0, "q02": 1.0, "q08": 1.0}
+    retimed: list[str] = []
+
+    def retime(name):
+        retimed.append(name)
+        return warm[name]
+
+    gate = bench.apply_warm_retries(timings, timings, {}, {}, retime)
+    assert "q08" in retimed, "newly-flagged query never got a warm retry"
+    assert gate["flagged"] == {}
+    assert gate["retried"] == ["q00", "q01", "q02", "q08"]
+    assert timings["q08"] == 1.0
+
+
+def test_warm_retry_is_once_per_name(tmp_path, monkeypatch):
+    """A genuine plan regression survives its warm retry and stays
+    flagged — the loop must NOT burn passes re-retrying it (a name is
+    warm-retried at most once), and the surviving flag is reported."""
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _: str(tmp_path))
+    names = [f"q{i:02d}" for i in range(9)]
+    (tmp_path / "bench_baseline.json").write_text(
+        json.dumps({"best_sec": {n: 1.0 for n in names}})
+    )
+    timings = {n: 1.0 for n in names}
+    timings["q08"] = 2.5        # real regression: warm retry confirms it
+    calls: list[str] = []
+
+    def retime(name):
+        calls.append(name)
+        return 2.5
+
+    gate = bench.apply_warm_retries(timings, timings, {}, {}, retime)
+    assert calls == ["q08"]
+    assert sorted(gate["flagged"]) == ["q08"]
+    assert gate["retried"] == ["q08"]
+
+
 def test_update_baseline_merges_minima(tmp_path, monkeypatch):
     monkeypatch.setattr(
         bench.os.path, "dirname", lambda _: str(tmp_path)
