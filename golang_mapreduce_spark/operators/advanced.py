@@ -139,11 +139,26 @@ GROUP BY l_returnflag
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document: tf = in-doc count, idf =
     ln(N/df).  All shuffles are keyed on word or doc_id; the doc count N
-    broadcasts as a 1-row cross join."""
+    broadcasts as a 1-row cross join.
+
+    tf rows ARE the distinct (doc_id, word) pairs, so document frequency
+    is a re-group of tf — the corpus is tokenized ONCE (the old form ran
+    a second scan + a (doc_id, word) DISTINCT exchange to recount what
+    tf already aggregates).  tf feeds two consumers (df_ and the scored
+    join), so it persists — ids + a word + a count per row, never text
+    (the round-14 subtree-reuse discipline)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from golang_mapreduce_spark.caching import with_shared_caches
+
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(ws_words("text")).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df_ = words.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_), "word")
@@ -155,9 +170,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
-    return scored.select(
+    out = scored.select(
         "doc_id", "word", "tfidf", F.row_number().over(w).alias("rnk")
     ).where(F.col("rnk") <= TFIDF_TOP_K)
+    return with_shared_caches(out, tf)
 
 
 TFIDF_SQL = f"""

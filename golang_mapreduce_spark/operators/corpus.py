@@ -536,21 +536,32 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_target = F.col("doc_id") % DECON_MOD == 0
     # per-bucket and total stats derived from the docb aggregate, never
     # from a second pass over the text: SUM(cnt) over docb's rows is
-    # exactly COUNT(*) over the exploded feature stream
-    tcnt = (
-        docb.where(is_target).groupBy("b").agg(F.sum("cnt").alias("t"))
+    # exactly COUNT(*) over the exploded feature stream.  ONE
+    # conditional-sum re-group replaces the four docb re-groups the
+    # round-15 form ran (tcnt/scnt/ttot/stot — ROADMAP r16 #2): docb
+    # consumers drop 4 -> 2, and the two grand totals become a window
+    # over the <= B-row stats relation (single tiny partition) instead
+    # of two more docb jobs + broadcasts.  SUM(CASE) over an empty side
+    # is NULL exactly where the old per-side SUM was absent: a bucket
+    # with no pool rows had no scnt row (ratio is pool-anchored), so the
+    # s IS NOT NULL filter reproduces the old scnt LEFT JOIN tcnt frame,
+    # and COALESCE(t, 0) reproduces the old left-join NULL handling.
+    from pyspark.sql.window import Window as _W
+
+    stats = docb.groupBy("b").agg(
+        F.sum(F.when(is_target, F.col("cnt"))).alias("t"),
+        F.sum(F.when(~is_target, F.col("cnt"))).alias("s"),
     )
-    scnt = (
-        docb.where(~is_target).groupBy("b").agg(F.sum("cnt").alias("s"))
-    )
-    # coalesce: SUM over an empty side is NULL where the old COUNT(*)
-    # was 0 (no such side in the fixtures, but the algebra should match)
-    ttot = tcnt.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tt"))
-    stot = scnt.agg(F.coalesce(F.sum("s"), F.lit(0)).alias("st"))
+    tw = _W.partitionBy()  # grand total over <= DSIR_BUCKETS rows
     ratio = (
-        scnt.join(tcnt, "b", "left")
-        .crossJoin(F.broadcast(ttot))
-        .crossJoin(F.broadcast(stot))
+        stats.select(
+            "b",
+            "t",
+            "s",
+            F.sum(F.coalesce(F.col("t"), F.lit(0))).over(tw).alias("tt"),
+            F.sum(F.coalesce(F.col("s"), F.lit(0))).over(tw).alias("st"),
+        )
+        .where(F.col("s").isNotNull())
         .select(
             "b",
             F.round(
@@ -604,25 +615,25 @@ feats AS (
 docb AS (
   SELECT doc_id, b, COUNT(*) AS cnt FROM feats GROUP BY doc_id, b
 ),
-tcnt AS (
-  SELECT b, COUNT(*) AS t FROM feats WHERE doc_id % {DECON_MOD} = 0 GROUP BY b
-),
-scnt AS (
-  SELECT b, COUNT(*) AS s FROM feats WHERE doc_id % {DECON_MOD} <> 0 GROUP BY b
-),
-ttot AS (
-  SELECT COUNT(*) AS tt FROM feats WHERE doc_id % {DECON_MOD} = 0
-),
-stot AS (
-  SELECT COUNT(*) AS st FROM feats WHERE doc_id % {DECON_MOD} <> 0
+stats AS (
+  SELECT b,
+         SUM(CASE WHEN doc_id % {DECON_MOD} = 0 THEN cnt END) AS t,
+         SUM(CASE WHEN doc_id % {DECON_MOD} <> 0 THEN cnt END) AS s
+  FROM docb GROUP BY b
 ),
 ratio AS (
-  SELECT scnt.b,
+  SELECT b,
          CAST(ROUND(LN(
            CAST((COALESCE(t, 0) + 1) * (st + {DSIR_BUCKETS}) AS DOUBLE)
            / ((s + 1) * (tt + {DSIR_BUCKETS}))
          ), 6) AS DECIMAL(18,6)) AS lr
-  FROM scnt LEFT JOIN tcnt USING (b), ttot, stot
+  FROM (
+    SELECT b, t, s,
+           SUM(COALESCE(t, 0)) OVER () AS tt,
+           SUM(COALESCE(s, 0)) OVER () AS st
+    FROM stats
+  )
+  WHERE s IS NOT NULL
 )
 SELECT d.doc_id,
        CAST(SUM(d.cnt) AS BIGINT) AS n_feats,

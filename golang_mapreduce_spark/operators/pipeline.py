@@ -41,9 +41,18 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surviving documents (doc_id, lang, n_chars) after quality
     filtering, exact dedup, and near-dup keep-one-per-cluster."""
     docs = load_table(spark, sf_dir, "documents")
-    good = quality_scores(spark, sf_dir).where(
-        F.col("quality_score") >= QUALITY_MIN
-    ).select("doc_id")
+    # the quality-survivor id set feeds TWO consumers of docs_f (the
+    # md5-keeper grouping and the docs_d join): persisted as ids only,
+    # the quality tokenization pass runs ONCE — unpersisted, each
+    # consumer re-ran the whole scan+tokenize+score subtree (r16; the
+    # same marker-relation discipline pipeline_drop_attribution uses).
+    # ids, never text: at 100 TB this cache is |survivors| longs.
+    good = (
+        quality_scores(spark, sf_dir)
+        .where(F.col("quality_score") >= QUALITY_MIN)
+        .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     docs_f = docs.join(good, "doc_id")
 
     keep_exact = (
@@ -61,10 +70,11 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs_d.join(drop, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
-    # account for every cache this composition registers: the survivor
-    # relation, the nested signature cache, and the CC final state
-    # (with_shared_caches propagates the latter two from the subtrees)
-    return with_shared_caches(out, docs_d, pairs_full, clusters)
+    # account for every cache this composition registers: the quality
+    # survivor ids, the survivor relation, the nested signature cache,
+    # and the CC final state (with_shared_caches propagates the latter
+    # two from the subtrees)
+    return with_shared_caches(out, good, docs_d, pairs_full, clusters)
 
 
 CLEAN_CORPUS_SQL = f"""

@@ -10,7 +10,8 @@
    exactly what it registered.  The round-15 sweep
    (tools/cache_accounting_sweep.py) measured every batch registry
    query (the 15 streaming_ jobs drive their own lifecycles and are
-   skipped): of the 250 swept ops, 211 register nothing, the 36
+   skipped): of the 250 swept ops, 210 register nothing (round 16 moved
+   tfidf_top_terms into the handle census), the 37
    HANDLE_OPS below account for every persist, and the three
    SELF_MANAGED graph ops release
    their own caches and keep only localCheckpoint blocks (which the
@@ -77,6 +78,9 @@ HANDLE_OPS = [
     "quant_tier_recall",
     "simhash_neardup_pairs",
     "split_leakage_audit",
+    # r16: tfidf derives df from the persisted tf relation (corpus
+    # tokenized once instead of twice; the DISTINCT exchange is gone)
+    "tfidf_top_terms",
     "training_data_run",
     "training_data_run_semantic",
 ]
