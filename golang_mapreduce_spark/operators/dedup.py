@@ -262,25 +262,13 @@ def _bands_from(sig: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
 
 
-def minhash_pairs_from(docs: DataFrame) -> DataFrame:
-    """LSH candidate pairs over any (doc_id, text) relation: band the
-    16-value signature into 4 bands of 4; docs sharing any band bucket
-    are candidates; keep pairs whose estimated Jaccard (matching
-    signature positions / 16) clears the threshold.
-
-    Scale shape: bucket join shuffles on (band, band_key) — collisions,
-    not cross products.  The signature re-join to score pairs is two
-    hash joins on doc_id."""
-    from pyspark.storagelevel import StorageLevel
-
-    # the signature subtree feeds three branches (banding + both sides of
-    # the pair scoring join); persist it so it's computed once, exactly
-    # as a production pipeline materializes signatures before LSH.
-    sig = (
-        _signatures_from(docs)
-        .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+def _pairs_from_sig(sig: DataFrame) -> DataFrame:
+    """Banding + scoring over a PERSISTED (doc_id, sig array) relation —
+    the LSH tail shared by :func:`minhash_pairs_from` (which builds the
+    signatures from text) and :func:`minhash_calibration` (which derives
+    them from its already-materialized distinct shingle-hash relation,
+    r16).  ``sig`` must be persisted by the caller: it feeds three
+    branches (banding + both sides of the pair-scoring join)."""
     bands = _bands_from(sig)
 
     a = bands.alias("a")
@@ -311,6 +299,28 @@ def minhash_pairs_from(docs: DataFrame) -> DataFrame:
     # cache instead of leaking it for the session; lazy callers leave it
     # for the harness-owned clearCache (bench.timed / parity sweep).
     return with_shared_caches(scored, sig)
+
+
+def minhash_pairs_from(docs: DataFrame) -> DataFrame:
+    """LSH candidate pairs over any (doc_id, text) relation: band the
+    16-value signature into 4 bands of 4; docs sharing any band bucket
+    are candidates; keep pairs whose estimated Jaccard (matching
+    signature positions / 16) clears the threshold.
+
+    Scale shape: bucket join shuffles on (band, band_key) — collisions,
+    not cross products.  The signature re-join to score pairs is two
+    hash joins on doc_id."""
+    from pyspark.storagelevel import StorageLevel
+
+    # the signature subtree feeds three branches (banding + both sides of
+    # the pair scoring join); persist it so it's computed once, exactly
+    # as a production pipeline materializes signatures before LSH.
+    sig = (
+        _signatures_from(docs)
+        .select("doc_id", F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _pairs_from_sig(sig)
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,18 +408,39 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
-    # `est` feeds two branches (the pair anchor below and the final
-    # left join); only the signature subtree inside minhash_pairs_from
-    # is persisted, so without this the banding self-join + scoring
-    # joins would run twice per action.
-    est = minhash_pairs_from(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE tokenization (r16): the estimate side's signatures derive from
+    # the SAME persisted distinct (doc_id, h) shingle-hash relation the
+    # exact side probes — MIN over a multiset equals MIN over its
+    # distinct set, so min((a*h + b) % P) over doc_sh is value-identical
+    # to _signatures_from's fold over every shingle occurrence (pinned
+    # in tests/test_round16_opt.py).  The old form ran the tokenize +
+    # explode + md5 pass twice (once inside minhash_pairs_from, once for
+    # doc_sh); at 100 TB that is a second full text scan saved.
     doc_sh = (
         docs.select("doc_id", ws_words("text").alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(_shingles(3)).alias("s"))
         .select("doc_id", hash32("s").alias("h"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    aggs = [
+        F.min(F.expr(f"({a} * h + {b}) % {MINHASH_PRIME}")).alias(f"m{i}")
+        for i, (a, b) in enumerate(SEEDS)
+    ]
+    sig = (
+        doc_sh.groupBy("doc_id")
+        .agg(*aggs)
+        .select(
+            "doc_id",
+            F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # `est` feeds two branches (the pair anchor below and the final
+    # left join); without its own persist the banding self-join +
+    # scoring joins would run twice per action.
+    est = _pairs_from_sig(sig).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = doc_sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = est.select("doc_a", "doc_b")
     sa = doc_sh.select(F.col("doc_id").alias("doc_a"), "h")
@@ -443,12 +474,12 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ej.alias("exact_jaccard"),
         F.round(F.abs(F.col("est_jaccard") - ej), 6).alias("abs_err"),
     )
-    # Lifecycle handles (the minhash_pairs_from convention): BOTH
-    # persists this op registers — its own est cache and the signature
+    # Lifecycle handles (the minhash_pairs_from convention): ALL THREE
+    # persists this op registers — its own est cache, the signature
     # cache nested inside it (with_shared_caches propagates the nested
-    # handle automatically).  Pure Python-side metadata: no plan,
-    # result, or execution change.
-    return with_shared_caches(out, est)
+    # handle automatically), and the shared distinct shingle-hash
+    # relation both sides now read (r16).
+    return with_shared_caches(out, est, doc_sh)
 
 
 MINHASH_CALIBRATION_SQL = f"""

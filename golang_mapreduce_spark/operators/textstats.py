@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from golang_mapreduce_spark.caching import with_shared_caches
 from golang_mapreduce_spark.functions.hashing import hash32, sql_hash32
 from golang_mapreduce_spark.functions.text import ws_words
 from golang_mapreduce_spark.sources.fixtures import load_table
@@ -674,14 +675,25 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units, so the mean is independent of addition order and
     engine.
 
-    Scale shape: the vocab pass is the canonical map-side-combined
-    word-count (shuffle carries distinct (token, count) per partition);
-    scoring joins the token stream against the vocab keyed on token — at
-    100 TB both sides hash-partition on token, and the per-doc fold is
-    one exchange on doc_id carrying two longs."""
+    Scale shape (r16, the dsir docb pattern): ONE tokenization reduced
+    to a persisted (doc_id, t, cnt) aggregate that feeds everything —
+    the vocab and its total are re-groups of it and the scoring fold
+    weights each distinct per-doc token by cnt (surprisal is constant
+    per token, so SUM over occurrences == SUM(surprisal x cnt) over
+    distinct per-doc tokens; COUNT(*) == SUM(cnt)).  The old form
+    re-ran the tokenize+explode pass three times (vocab, the total's
+    recomputation, the scoring join).  The shuffle carries three longs
+    + a token per distinct (doc, token) — never the raw stream."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(ws_words("text")).alias("t"))
-    vocab = tok.groupBy("t").agg(F.count("*").alias("cnt"))
+    doct = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = doct.groupBy("t").agg(F.sum("c").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
         "t",
@@ -690,13 +702,14 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("surprisal_u"),
     )
-    return (
-        tok.join(scored_vocab, "t")
+    out = (
+        doct.join(scored_vocab, "t")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
             F.expr(
-                "round(CAST(SUM(surprisal_u) AS DOUBLE) / 1000000 / COUNT(*), 6)"
+                "round(CAST(SUM(surprisal_u * c) AS DOUBLE) / 1000000"
+                " / SUM(c), 6)"
             ).alias("avg_surprisal"),
         )
         .select(
@@ -706,6 +719,7 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp("avg_surprisal"), 6).alias("ppl_proxy"),
         )
     )
+    return with_shared_caches(out, doct)
 
 
 DOC_PERPLEXITY_SQL = """
@@ -754,7 +768,8 @@ def perplexity_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the approx_percentile sketch with a banded contract — same shape,
     sketch thresholds (the head/tail boundary tolerates epsilon-rank
     error by design)."""
-    ppl = doc_perplexity(spark, sf_dir).select("doc_id", "avg_surprisal")
+    ppl_full = doc_perplexity(spark, sf_dir)
+    ppl = ppl_full.select("doc_id", "avg_surprisal")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     d = docs.join(ppl, "doc_id")
     th = d.groupBy("lang").agg(
@@ -766,9 +781,12 @@ def perplexity_tail_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("avg_surprisal") <= F.col("t2"), "middle")
         .otherwise("tail")
     )
-    return d.join(F.broadcast(th), "lang").select(
+    out = d.join(F.broadcast(th), "lang").select(
         "doc_id", "lang", "avg_surprisal", bucket.alias("bucket")
     )
+    # propagate doc_perplexity's (doc_id, t, cnt) cache handle (r16);
+    # from the PRE-projection result — .select() drops the attribute
+    return with_shared_caches(out, ppl_full)
 
 
 PERPLEXITY_TAIL_SQL = f"""
@@ -1146,10 +1164,18 @@ def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals sum integer micro-units, so results are independent of
     addition order and engine.
 
-    Scale shape: the (prev, w) pair stream comes straight off the token
-    array (no window/self-join); bigram and context counts are canonical
-    map-side-combined word counts; scoring joins hash-partition on the
+    Scale shape (r16, the dsir docb pattern): the (prev, w) pair stream
+    comes straight off the token array (no window/self-join) and is
+    immediately reduced to a persisted (doc_id, prev, t, cnt) aggregate
+    that feeds everything — unigram, bigram and context counts are
+    re-groups of it, and the scoring fold weights each distinct per-doc
+    context by cnt (the surprisal is constant per (prev, t), so the
+    occurrence sum equals the cnt-weighted sum).  The old form re-ran
+    the tokenize + explode pass for every consumer (uni, tot, big, ctx,
+    scored — up to five).  Scoring joins hash-partition on the
     pair/token keys and the per-doc fold is one exchange of longs."""
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
         docs.select("doc_id", ws_words("text").alias("toks"))
@@ -1166,12 +1192,17 @@ def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.t").alias("t"))
     )
-    uni = pairs.groupBy("t").agg(F.count("*").alias("cu"))
+    docp = (
+        pairs.groupBy("doc_id", "prev", "t")
+        .agg(F.count("*").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = docp.groupBy("t").agg(F.sum("c").alias("cu"))
     tot = uni.agg(F.sum("cu").alias("total"))
     big = (
-        pairs.where(F.col("prev").isNotNull())
+        docp.where(F.col("prev").isNotNull())
         .groupBy("prev", "t")
-        .agg(F.count("*").alias("cb"))
+        .agg(F.sum("c").alias("cb"))
     )
     ctx = big.groupBy("prev").agg(F.sum("cb").alias("cc"))
     # unigram-only surprisal for first tokens; interpolated otherwise
@@ -1186,23 +1217,24 @@ def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * 1000000) AS BIGINT)"
     )
     scored = (
-        pairs.join(uni, "t")
+        docp.join(uni, "t")
         .join(big, ["prev", "t"], "left")
         .join(ctx, "prev", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",
+            "c",
             F.expr(
                 f"CASE WHEN prev IS NULL THEN {s_first} ELSE {s_uni} END"
             ).alias("s_u"),
         )
     )
-    return (
+    out = (
         scored.groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
             F.expr(
-                "round(CAST(SUM(s_u) AS DOUBLE) / 1000000 / COUNT(*), 6)"
+                "round(CAST(SUM(s_u * c) AS DOUBLE) / 1000000 / SUM(c), 6)"
             ).alias("avg_surprisal"),
         )
         .select(
@@ -1212,6 +1244,7 @@ def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp("avg_surprisal"), 6).alias("ppl_proxy"),
         )
     )
+    return with_shared_caches(out, docp)
 
 
 DOC_PPL_BIGRAM_SQL = f"""

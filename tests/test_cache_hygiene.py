@@ -10,8 +10,9 @@
    exactly what it registered.  The round-15 sweep
    (tools/cache_accounting_sweep.py) measured every batch registry
    query (the 15 streaming_ jobs drive their own lifecycles and are
-   skipped): of the 250 swept ops, 210 register nothing (round 16 moved
-   tfidf_top_terms into the handle census), the 37
+   skipped): of the 250 swept ops, 207 register nothing (round 16
+   moved tfidf_top_terms, doc_perplexity, doc_perplexity_bigram and
+   perplexity_tail_split into the handle census), the 40
    HANDLE_OPS below account for every persist, and the three
    SELF_MANAGED graph ops release
    their own caches and keep only localCheckpoint blocks (which the
@@ -55,6 +56,12 @@ HANDLE_OPS = [
     "dedup_incremental_triage",
     "dedup_keep_best",
     "dedup_minhash_pairs",
+    # r16: perplexity ops persist their (doc_id, token/pair, cnt)
+    # aggregate (tokenize once — the dsir docb pattern); the tail split
+    # propagates doc_perplexity's handle
+    "doc_perplexity",
+    "doc_perplexity_bigram",
+    "perplexity_tail_split",
     "dsir_importance_weights",
     "dsir_topk_selection",
     "dup_graph_degree_stats",

@@ -145,6 +145,128 @@ def test_dsir_ratio_consolidation_matches_four_regroup_form(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_signatures_from_distinct_hashes_match(spark, sf_dir):
+    """minhash_calibration derives signatures from the DISTINCT
+    (doc_id, h) shingle-hash relation: MIN over a multiset equals MIN
+    over its distinct set, so the 16 minima must equal
+    _signatures_from's fold over every shingle occurrence."""
+    from golang_mapreduce_spark.functions.hashing import (
+        MINHASH_PRIME,
+        hash32,
+    )
+    from golang_mapreduce_spark.functions.text import ws_words
+    from golang_mapreduce_spark.operators.dedup import (
+        NUM_HASHES,
+        SEEDS,
+        _shingles,
+        _signatures_from,
+    )
+    from golang_mapreduce_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    doc_sh = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", F.explode(_shingles(3)).alias("s"))
+        .select("doc_id", hash32("s").alias("h"))
+        .distinct()
+    )
+    aggs = [
+        F.min(F.expr(f"({a} * h + {b}) % {MINHASH_PRIME}")).alias(f"m{i}")
+        for i, (a, b) in enumerate(SEEDS)
+    ]
+    from_distinct = doc_sh.groupBy("doc_id").agg(*aggs)
+    reference = _signatures_from(docs)
+    assert from_distinct.exceptAll(reference).count() == 0
+    assert reference.exceptAll(from_distinct).count() == 0
+    assert reference.columns == ["doc_id"] + [
+        f"m{i}" for i in range(NUM_HASHES)
+    ]
+
+
+def test_perplexity_cnt_weighted_fold_matches_occurrence_fold(spark, sf_dir):
+    """The perplexity ops now fold surprisal over the persisted
+    (doc_id, [prev,] t, cnt) aggregate weighted by cnt; the weighted
+    sum must equal the old per-occurrence sum (surprisal is constant
+    per context)."""
+    from golang_mapreduce_spark.functions.text import ws_words
+    from golang_mapreduce_spark.operators.textstats import (
+        PPL_LAMBDA,
+        doc_perplexity_bigram,
+    )
+    from golang_mapreduce_spark.sources.fixtures import load_table
+
+    new_rows = sorted(
+        map(tuple, doc_perplexity_bigram(spark, sf_dir).collect())
+    )
+    spark.catalog.clearCache()
+
+    # legacy per-occurrence dataflow, verbatim from the round-15 form
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select("doc_id", ws_words("text").alias("toks"))
+        .where(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 1), i -> "
+                    "struct(CASE WHEN i = 0 THEN NULL ELSE toks[i - 1] END AS prev, "
+                    "toks[i] AS t))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.t").alias("t"))
+    )
+    uni = pairs.groupBy("t").agg(F.count("*").alias("cu"))
+    tot = uni.agg(F.sum("cu").alias("total"))
+    big = (
+        pairs.where(F.col("prev").isNotNull())
+        .groupBy("prev", "t")
+        .agg(F.count("*").alias("cb"))
+    )
+    ctx = big.groupBy("prev").agg(F.sum("cb").alias("cc"))
+    s_uni = (
+        "CAST(round(round(-ln((1.0 - " + str(PPL_LAMBDA) + ")"
+        " * (CAST(cu AS DOUBLE) / total)"
+        " + " + str(PPL_LAMBDA) + " * (CAST(cb AS DOUBLE) / cc)), 6)"
+        " * 1000000) AS BIGINT)"
+    )
+    s_first = (
+        "CAST(round(round(-ln(CAST(cu AS DOUBLE) / total), 6)"
+        " * 1000000) AS BIGINT)"
+    )
+    scored = (
+        pairs.join(uni, "t")
+        .join(big, ["prev", "t"], "left")
+        .join(ctx, "prev", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN prev IS NULL THEN {s_first} ELSE {s_uni} END"
+            ).alias("s_u"),
+        )
+    )
+    legacy = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr(
+                "round(CAST(SUM(s_u) AS DOUBLE) / 1000000 / COUNT(*), 6)"
+            ).alias("avg_surprisal"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_surprisal",
+            F.round(F.exp("avg_surprisal"), 6).alias("ppl_proxy"),
+        )
+    )
+    legacy_rows = sorted(map(tuple, legacy.collect()))
+    assert new_rows == legacy_rows
+
+
 def test_tfidf_df_from_tf_matches_distinct_recount(spark, sf_dir):
     """tfidf's document frequency now re-groups the persisted tf
     relation; it must equal the old words.distinct() recount."""
