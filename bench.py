@@ -576,7 +576,10 @@ def final_line(total, timings, extra, big, gate, sf) -> dict:
     gate SUMMARY (counts + up to 5 names).  Everything else lives in
     BENCH_DETAIL.json."""
     flagged = sorted(gate.get("flagged", {}))
-    return {
+    retried = gate.get("retried", [])
+    if isinstance(retried, bool):  # tolerate the legacy bool form
+        retried = ["(warm retries ran)"] if retried else []
+    payload = {
         "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
@@ -589,16 +592,21 @@ def final_line(total, timings, extra, big, gate, sf) -> dict:
         "gate": {
             "checked": gate.get("checked", False),
             "env_factor": gate.get("env_factor"),
-            # tolerate the legacy bool form in recorded gates
-            "retried": (
-                lambda r: (["(warm retries ran)"] if r else [])
-                if isinstance(r, bool) else r[:8]
-            )(gate.get("retried", [])),
+            "n_retried": len(retried),
+            "retried": retried[:8],
             "n_flagged": len(flagged),
             "flagged": flagged[:5],
         },
         "detail": "BENCH_DETAIL.json",
     }
+    # n_flagged/n_retried always count the FULL final post-retry sets;
+    # the name lists are truncated to fit FINAL_LINE_BUDGET.  Say so
+    # explicitly when truncation happened (VERDICT r16 #4: "n_flagged:
+    # 22" next to a 5-name list read as an inconsistency) — the full
+    # lists are always in BENCH_DETAIL.json.
+    if len(flagged) > 5 or len(retried) > 8:
+        payload["gate"]["lists_truncated"] = True
+    return payload
 
 
 def apply_warm_retries(
@@ -607,7 +615,6 @@ def apply_warm_retries(
     extra: dict[str, float],
     big: dict,
     retime,
-    max_passes: int = 2,
 ) -> dict:
     """Self-heal loop with a FIXPOINT over the gate recomputation
     (VERDICT r15 #1).  Single-shot timings carry 1.5-2x first-run warmup
@@ -619,26 +626,37 @@ def apply_warm_retries(
     env_factor, and the single post-retry recomputation could flip
     borderline queries into the flagged set with cold single-shot
     readings that never got their warm retry (the r15 driver gate
-    reported four such flags, including the scan-bound control).  Now
-    the retry -> recompute loop iterates until no NEWLY-flagged name
-    remains, bounded at ``max_passes`` recomputations; a name is warm-
-    retried at most once.
+    reported four such flags, including the scan-bound control).  The
+    retry -> recompute loop iterates until every flagged name has had
+    its warm retry (or proven unretryable); a name is warm-retried at
+    most once, so the loop terminates in <= len(all_timings) passes
+    (ADVICE r16: the old max_passes=2 bound could leave a second-
+    recompute flag reported as a cold single-shot reading).
 
     ``retime(name)`` re-times one query warm and returns the best
     observed seconds, or ``None`` when the query cannot be re-run (the
-    big section errored/skipped).  Returns the final gate dict with
-    ``retried`` set; mutates the three timing dicts in place so callers
-    re-derive their totals."""
+    big section errored/skipped) — such names go to a skip set so they
+    are attempted once, and any of them still flagged at the end are
+    listed in ``gate["unretried_flags"]``.  Returns the final gate dict
+    with ``retried`` set; mutates the three timing dicts in place so
+    callers re-derive their totals."""
     retried: list[str] = []
+    unretryable: set[str] = set()
     gate = regression_check(all_timings)
-    for _ in range(max_passes):
-        to_retry = [n for n in sorted(gate["flagged"]) if n not in retried]
+    for _ in range(len(all_timings) + 1):
+        to_retry = [
+            n for n in sorted(gate["flagged"])
+            if n not in retried and n not in unretryable
+        ]
         if not to_retry:
             break
         for name in to_retry:
             warm = retime(name)
             if warm is None:
-                continue  # big section errored/skipped; nothing to retry
+                # big section errored/skipped; nothing to retry — skip
+                # permanently instead of re-attempting every pass
+                unretryable.add(name)
+                continue
             retried.append(name)
             all_timings[name] = min(all_timings[name], warm)
             # report the warm number: the cold first run measures
@@ -659,6 +677,12 @@ def apply_warm_retries(
     # flag is distinguishable from a first-reading flag without a re-run.
     # An empty list means every reported number is the cold first reading.
     gate["retried"] = sorted(retried)
+    # flags whose reading never got a warm retry (retime() returned
+    # None — big section errored/skipped), kept distinct so readers
+    # know these are cold single-shot numbers (ADVICE r16)
+    unretried = sorted(set(gate["flagged"]) & unretryable)
+    if unretried:
+        gate["unretried_flags"] = unretried
     return gate
 
 
@@ -680,6 +704,19 @@ def update_baseline(all_timings: dict[str, float]) -> None:
     with open(path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
         f.write("\n")
+
+
+def write_detail(detail_doc: dict, cpus) -> None:
+    """Write the per-query detail sidecar twice: the fixed path
+    (back-compat for existing readers) AND a cpus-suffixed copy, so a
+    later run at a different core count (the driver's 8-CPU scaling
+    pass) cannot destroy the graded run's per-query extra/big record
+    (VERDICT r16 #2)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_DETAIL.json", f"BENCH_DETAIL_c{cpus}.json"):
+        with open(os.path.join(here, fname), "w") as f:
+            json.dump(detail_doc, f, indent=1, sort_keys=True)
+            f.write("\n")
 
 
 def main() -> None:
@@ -749,24 +786,15 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     if os.environ.get("SPARK_GRAFT_UPDATE_BASELINE"):
         update_baseline(all_timings)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as f:
-        json.dump(
-            {
-                "queries": timings,
-                "queries_extra": extra,
-                "queries_big_scale": big,
-                "sf": sf,
-                "cpus": cpus,
-                "regression_gate": gate,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
-        f.write("\n")
+    detail_doc = {
+        "queries": timings,
+        "queries_extra": extra,
+        "queries_big_scale": big,
+        "sf": sf,
+        "cpus": cpus,
+        "regression_gate": gate,
+    }
+    write_detail(detail_doc, cpus)
     payload = final_line(total, timings, extra, big, gate, sf)
     line = json.dumps(payload)
     if len(line) > FINAL_LINE_BUDGET:  # never die unprinted: degrade

@@ -416,11 +416,19 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in tests/test_round16_opt.py).  The old form ran the tokenize +
     # explode + md5 pass twice (once inside minhash_pairs_from, once for
     # doc_sh); at 100 TB that is a second full text scan saved.
+    # Pre-partitioned on doc_id BEFORE the distinct (r17, VERDICT r16
+    # #1): HashPartitioning(doc_id) satisfies the distinct's
+    # (doc_id, h) clustering AND both downstream doc_id re-groups (sig,
+    # sizes), so the relation is shuffled exactly once — the r16 form
+    # shuffled the occurrence stream on (doc_id, h) and then re-shuffled
+    # the persisted rows twice more.  Map-side pre-dedup is the only
+    # loss, and within-doc duplicate trigrams are rare at every SF.
     doc_sh = (
         docs.select("doc_id", ws_words("text").alias("toks"))
         .where(F.size("toks") >= 3)
         .select("doc_id", F.explode(_shingles(3)).alias("s"))
         .select("doc_id", hash32("s").alias("h"))
+        .repartition("doc_id")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

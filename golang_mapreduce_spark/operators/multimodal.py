@@ -482,13 +482,25 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically across engines with no sign-bit hazard.  Scale: 16 bytes
     per image persist; the bucket join + 2x bit_count verify is the
     SimHash shape, decode cost paid once at ingest."""
+    from pyspark.storagelevel import StorageLevel
+
     # Zero-byte blobs are excluded identically on both sides (ADVICE r3):
     # the Python path would zero-fill an empty pixel buffer into a sig-0
     # row while the oracle's `% n` cell arithmetic NULLs out and drops
     # the doc — same class of real-corpus edge as the zero-vector guard
     # in similarity._cos, so define the semantics once: no pixels, no
     # signature, no pairs.
-    return phash_pairs_from_sigs(phash_signatures(spark, sf_dir))
+    #
+    # The signature relation feeds FOUR branches of the pair builder
+    # (both band sides of the bucket self-join + both sides of the
+    # Hamming verify join); unpersisted, the mapInPandas decode+hash
+    # pass — the expensive Python boundary — re-ran once per branch
+    # (r17; guide §2.4/§5 and the §8 "decode once" rule).  The cache is
+    # 3 longs per image, never the blob.
+    sigs = phash_signatures(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return with_shared_caches(phash_pairs_from_sigs(sigs), sigs)
 
 
 def phash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,11 +721,23 @@ def image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Clustering is the shared pointer-doubling walk (clusters_from —
     O(diameter) rounds, ids-only state); the histogram is two tiny
     aggregates."""
+    from pyspark.storagelevel import StorageLevel
+
     from golang_mapreduce_spark.operators.dedup import clusters_from
 
-    sigs = phash_signatures(spark, sf_dir)
-    groups = sigs.groupBy("sig_lo", "sig_hi").agg(
-        F.min("doc_id").alias("rep")
+    # sigs feeds the group rollup AND the star join; groups feeds the
+    # star join AND the rep-pair builder's four branches (via rep_sigs).
+    # Unpersisted, every consumer re-ran the Python decode+hash pass
+    # (the edges persist inside clusters_from references the union
+    # input twice, doubling it again) — r17, guide §2.4/§5.  Both
+    # caches are a few longs per row.
+    sigs = phash_signatures(spark, sf_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    groups = (
+        sigs.groupBy("sig_lo", "sig_hi")
+        .agg(F.min("doc_id").alias("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     with_rep = sigs.join(groups, ["sig_lo", "sig_hi"])
     stars = with_rep.where(F.col("doc_id") != F.col("rep")).select(
@@ -729,7 +753,7 @@ def image_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes.groupBy(F.col("n_members").cast("bigint").alias("cluster_size"))
         .agg(F.count("*").cast("bigint").alias("n_clusters"))
     )
-    return with_shared_caches(out, clusters)
+    return with_shared_caches(out, clusters, sigs, groups)
 
 
 def _image_phash_clusters_sql() -> str:

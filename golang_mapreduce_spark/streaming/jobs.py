@@ -15,9 +15,11 @@ bounded batches.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,9 +107,69 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
 #: or event rate (sessionization, dedup ledgers, stream-stream join
 #: buffers) keep the session default — for them partition count IS the
 #: parallelism (see stateful_sessionize's measured note).
-BOUNDED_STATE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
-)
+#:
+#: r17 second-scale A/B (VERDICT r16 item 8: is 8 under the sweet spot
+#: at low core counts?) — same-session alternating, min-of-3/arm,
+#: sf0.1: at local[32] {16,8,4}: cms 3.63/2.24/2.39, trending
+#: 3.13/2.34/2.21, hll 3.11/1.53/2.40 — 8 is at/near the knee; at
+#: local[8] {8,4,2}: cms 2.87/2.47/3.04, trending 3.68/2.91/2.11, hll
+#: 3.49/2.40/1.77 — lower is mildly better but inside the host-stall
+#: noise band.  8 stays: not under the sweet spot at either scale, and
+#: the clamp (never above session parallelism) covers the rest.
+BOUNDED_STATE_PARTITIONS = 8
+
+#: serializes the shuffle-partition override window of bounded-state
+#: drains (set -> start -> drain -> restore) so two concurrent drains
+#: on one session cannot interleave set/restore (ADVICE r16)
+_CONF_OVERRIDE_LOCK = threading.Lock()
+
+
+def _bounded_state_partitions(default: int) -> int:
+    """Resolve the env override LAZILY at drain time (ADVICE r16: an
+    import-time bare int() made a malformed
+    SPARK_GRAFT_STREAM_STATE_PARTITIONS an ImportError taking every
+    streaming op down, and a post-import env change was ignored).  A
+    bad value degrades to ``default`` instead of raising."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if raw is None:
+        return default
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        return default
+
+
+def join_state_partitions(spark: SparkSession) -> int:
+    """State-store partition count for STREAM-STREAM JOIN drains:
+    a QUARTER of the session's shuffle parallelism, floor 1 (r17,
+    VERDICT r16 item 1; guide §2.2/§5).
+
+    Unlike the bounded-state drains (sketch cells — a constant), join
+    buffer state is O(events inside the watermark window), so it must
+    keep scaling with the cluster — hence a FRACTION of the session
+    parallelism, not a constant.  The measured motivation: a
+    stream-stream join opens 4 state stores per partition per
+    micro-batch (two sides x two store families), so partition count
+    multiplies store open/commit cycles.  Same-session alternating A/B
+    at sf0.1 (local[32], min-of-3 per arm, OPTIMIZATION_r17.md):
+    click_attribution 7.97 s @32 -> 4.58 @16 -> 2.75 @8 -> 2.40 @4 ->
+    2.66 @2; unattributed 9.92 -> 6.57 -> 3.52 -> 2.86 -> 2.89 — the
+    knee is at cores/8..cores/4 and flat below; cores/4 sits on the
+    knee while keeping headroom for fatter watermark windows.
+    Env override:
+    SPARK_GRAFT_STREAM_JOIN_PARTITIONS (parsed lazily, malformed values
+    degrade to the computed default)."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_JOIN_PARTITIONS")
+    if raw is not None:
+        try:
+            return max(1, int(raw))
+        except ValueError:
+            pass
+    try:
+        base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        base = spark.sparkContext.defaultParallelism
+    return max(1, base // 4)
 
 
 def run_stream_to_batch(
@@ -125,39 +187,52 @@ def run_stream_to_batch(
     files, for the drain to be total).
 
     ``state_partitions`` (pass :data:`BOUNDED_STATE_PARTITIONS`) caps
-    the state-store partition count for bounded-state drains; the
-    session's shuffle-partition conf is restored before returning (the
-    drain is synchronous, so no concurrently-built plan can observe the
-    temporary value).  ``None`` leaves the session default untouched —
-    required for state that scales with keys (sessions, dedup ledgers,
-    join buffers)."""
+    the state-store partition count for bounded-state drains — note it
+    lowers parallelism for EVERY shuffle in the drained query, not just
+    the state store, which is why only queries whose *whole* micro-batch
+    volume is sketch-sized opt in.  ``None`` leaves the session default
+    untouched — required for state that scales with keys (sessions,
+    dedup ledgers, join buffers).
+
+    Thread-safety (ADVICE r16): the override window mutates the
+    session-global ``spark.sql.shuffle.partitions`` from conf-set until
+    restore, so concurrent bounded drains on one session are serialized
+    by a module lock.  A plan built concurrently OUTSIDE this module
+    (e.g. a batch query on another driver thread sharing the session)
+    could still observe the temporary value — callers that overlap jobs
+    from a thread pool must not overlap them with a bounded drain."""
     name = "s_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="gmrs_ckpt_")
     conf_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(conf_key)
-    try:
-        if state_partitions is not None:
-            # never RAISE parallelism above the session's (a driver
-            # benching at 4 cores keeps 4); state partitioning is fixed
-            # at the first micro-batch, so set before .start()
-            spark.conf.set(
-                conf_key, str(max(1, min(int(old_parts), state_partitions)))
+    lock = _CONF_OVERRIDE_LOCK if state_partitions is not None else (
+        contextlib.nullcontext()
+    )
+    with lock:
+        old_parts = spark.conf.get(conf_key)
+        try:
+            if state_partitions is not None:
+                # never RAISE parallelism above the session's (a driver
+                # benching at 4 cores keeps 4); state partitioning is
+                # fixed at the first micro-batch, so set before .start()
+                spark.conf.set(
+                    conf_key,
+                    str(max(1, min(int(old_parts), state_partitions))),
+                )
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set(conf_key, old_parts)
-        # the memory sink holds the drained rows; a terminated query
-        # never reads its checkpoint again (bench/correctness call these
-        # repeatedly — leaked dirs add up, ADVICE r2)
-        shutil.rmtree(ckpt, ignore_errors=True)
+            q.awaitTermination()
+        finally:
+            spark.conf.set(conf_key, old_parts)
+            # the memory sink holds the drained rows; a terminated query
+            # never reads its checkpoint again (bench/correctness call
+            # these repeatedly — leaked dirs add up, ADVICE r2)
+            shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -216,7 +291,7 @@ def streaming_pii_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_batch(
-        agg, spark, state_partitions=BOUNDED_STATE_PARTITIONS
+        agg, spark, state_partitions=_bounded_state_partitions(BOUNDED_STATE_PARTITIONS)
     )
 
 
@@ -230,7 +305,7 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_batch(
         hourly_counts_stream(events),
         spark,
-        state_partitions=BOUNDED_STATE_PARTITIONS,
+        state_partitions=_bounded_state_partitions(BOUNDED_STATE_PARTITIONS),
     )
 
 
@@ -360,9 +435,11 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: state is keyed by user and pruned by watermark; the join
     shuffles both streams on user_id once, identically to the batch
-    plan, but with O(watermark window) memory instead of O(history)."""
-    import uuid
-
+    plan, but with O(watermark window) memory instead of O(history).
+    State-store partitions sized by :func:`join_state_partitions`
+    (cores/2 — r17; a stream-stream join opens 4 store instances per
+    partition per micro-batch, so the session default paid cores x 4
+    open/commit cycles for watermark-bounded state)."""
     base = read_events_stream(spark, sf_dir)
     clicks = (
         base.where(F.col("event_type") == "click")
@@ -389,21 +466,12 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 10 MINUTES")),
     ).select("user_id", "purchase_id", "purchase_ts", "click_id", "click_ts")
 
-    name = "attr_" + uuid.uuid4().hex[:12]
-    ckpt = tempfile.mkdtemp(prefix="gmrs_ckpt_")
-    try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+    return run_stream_to_batch(
+        joined,
+        spark,
+        output_mode="append",
+        state_partitions=join_state_partitions(spark),
+    )
 
 
 CLICK_ATTRIBUTION_SQL = """
@@ -974,7 +1042,7 @@ def streaming_tumbling_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg,
             spark,
             output_mode="append",
-            state_partitions=BOUNDED_STATE_PARTITIONS,
+            state_partitions=_bounded_state_partitions(BOUNDED_STATE_PARTITIONS),
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -1098,7 +1166,7 @@ def streaming_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg,
             spark,
             output_mode="append",
-            state_partitions=BOUNDED_STATE_PARTITIONS,
+            state_partitions=_bounded_state_partitions(BOUNDED_STATE_PARTITIONS),
         )
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -1261,7 +1329,14 @@ def streaming_unattributed_purchases(spark: SparkSession, sf_dir: str) -> DataFr
             ),
             "left_outer",
         )
-        out = run_stream_to_batch(joined, spark, output_mode="append")
+        # state stores sized by join_state_partitions (cores/2 — r17,
+        # same rationale as streaming_click_attribution)
+        out = run_stream_to_batch(
+            joined,
+            spark,
+            output_mode="append",
+            state_partitions=join_state_partitions(spark),
+        )
     finally:
         shutil.rmtree(src, ignore_errors=True)
     return (
@@ -1315,7 +1390,7 @@ def streaming_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("quality_score").alias("max_quality"),
     )
     return run_stream_to_batch(
-        agg, spark, state_partitions=BOUNDED_STATE_PARTITIONS
+        agg, spark, state_partitions=_bounded_state_partitions(BOUNDED_STATE_PARTITIONS)
     )
 
 
@@ -1359,7 +1434,7 @@ def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cell_n")
     )
     return run_stream_to_batch(
-        cells, spark, state_partitions=BOUNDED_STATE_PARTITIONS
+        cells, spark, state_partitions=_bounded_state_partitions(BOUNDED_STATE_PARTITIONS)
     )
 
 
@@ -1430,7 +1505,7 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rank").cast("int").alias("m"))
     )
     return run_stream_to_batch(
-        reg, spark, state_partitions=BOUNDED_STATE_PARTITIONS
+        reg, spark, state_partitions=_bounded_state_partitions(BOUNDED_STATE_PARTITIONS)
     )
 
 

@@ -54,16 +54,33 @@ def _dec_micro(v: float) -> int:
     )
 
 
-def _emit(user_id: int, start_us: int, last_us: int, n: int, sum_micro: int) -> pd.DataFrame:
+def _emit_many(
+    user_id: int,
+    starts: list[int],
+    lasts: list[int],
+    ns: list[int],
+    sums: list[int],
+) -> pd.DataFrame:
+    """One DataFrame for ALL of an invocation's closed sessions (r17,
+    guide §4.2): the old per-session 1-row frame made a user with k
+    closed sessions pay k pandas constructions + k serializer appends.
+    ``m / 10**DEC_SCALE`` stays a per-element Python int division —
+    bit-identical to the old scalar path."""
     return pd.DataFrame(
         {
-            "user_id": [user_id],
-            "session_start": [pd.Timestamp(start_us, unit="us")],
-            "session_end": [pd.Timestamp(last_us, unit="us")],
-            "n_events": [n],
-            "sum_value": [sum_micro / 10**DEC_SCALE],
+            "user_id": pd.array([user_id] * len(starts), dtype="int64"),
+            "session_start": pd.to_datetime(starts, unit="us"),
+            "session_end": pd.to_datetime(lasts, unit="us"),
+            "n_events": pd.array(ns, dtype="int64"),
+            "sum_value": pd.array(
+                [m / 10**DEC_SCALE for m in sums], dtype="float64"
+            ),
         }
     )
+
+
+def _emit(user_id: int, start_us: int, last_us: int, n: int, sum_micro: int) -> pd.DataFrame:
+    return _emit_many(user_id, [start_us], [last_us], [n], [sum_micro])
 
 
 def _sessionize_fn(
@@ -76,7 +93,8 @@ def _sessionize_fn(
         yield _emit(user_id, start_us, last_us, n, sum_micro)
         return
 
-    rows = pd.concat(list(pdf_iter))
+    chunks = list(pdf_iter)
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks)
     rows = rows.sort_values("ts", kind="stable")
     ts_us = (rows["ts"].astype("int64") // 1_000).tolist()
     values = rows["value"].tolist()
@@ -86,12 +104,18 @@ def _sessionize_fn(
     else:
         start_us, last_us, n, sum_micro = 0, 0, 0, 0
 
-    out: list[pd.DataFrame] = []
+    starts: list[int] = []
+    lasts: list[int] = []
+    ns: list[int] = []
+    sums: list[int] = []
     for t, v in zip(ts_us, values):
         if n == 0:
             start_us, last_us, n, sum_micro = t, t, 1, _dec_micro(v)
         elif t - last_us > SESSION_GAP_US:
-            out.append(_emit(user_id, start_us, last_us, n, sum_micro))
+            starts.append(start_us)
+            lasts.append(last_us)
+            ns.append(n)
+            sums.append(sum_micro)
             start_us, last_us, n, sum_micro = t, t, 1, _dec_micro(v)
         else:
             last_us, n, sum_micro = max(last_us, t), n + 1, sum_micro + _dec_micro(v)
@@ -101,7 +125,8 @@ def _sessionize_fn(
     # (timeout API is millis; floor is safe — fires at the same or an
     # earlier watermark than the exact micro boundary)
     state.setTimeoutTimestamp(last_us // 1_000 + SESSION_GAP_US // 1_000)
-    yield from out
+    if starts:
+        yield _emit_many(user_id, starts, lasts, ns, sums)
 
 
 PACK_OUT_SCHEMA = "doc_id bigint, lang string, n_toks bigint, bin_id bigint"

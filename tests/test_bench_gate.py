@@ -245,3 +245,88 @@ def test_every_big_query_has_a_big_baseline():
         if f"big:{n}" not in best and f"big:{n}" not in bench.PENDING_BASELINE_SEED
     ]
     assert missing == [], missing
+
+
+def test_warm_retry_fixpoint_runs_past_two_passes(tmp_path, monkeypatch):
+    """VERDICT r16 #4 / ADVICE r16: the old max_passes=2 bound could
+    leave a flag surfaced by the SECOND gate recomputation reported as
+    a cold single-shot reading.  Three-tier synthetic scenario: each
+    retry round lowers the median env_factor enough to flip the next
+    tier into the flagged set (3.0x trio -> 1.85x pair -> 1.55x
+    single); the loop must keep going until every flag had its warm
+    retry and nothing stays flagged."""
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _: str(tmp_path))
+    names = [f"q{i:02d}" for i in range(9)]
+    (tmp_path / "bench_baseline.json").write_text(
+        json.dumps({"best_sec": {n: 1.0 for n in names}})
+    )
+    timings = dict.fromkeys(names, 1.2)
+    timings.update({"q00": 3.0, "q01": 3.0, "q02": 3.0,
+                    "q03": 1.85, "q04": 1.85, "q05": 1.55})
+    retimed: list[str] = []
+
+    def retime(name):
+        retimed.append(name)
+        return 1.0
+
+    gate = bench.apply_warm_retries(timings, timings, {}, {}, retime)
+    # round 1 median 1.85 flags the 3.0 trio; round 2 median 1.2 flags
+    # the 1.85 pair; round 3 median 1.0 flags the 1.55 single
+    assert retimed == ["q00", "q01", "q02", "q03", "q04", "q05"]
+    assert gate["flagged"] == {}
+    assert gate["retried"] == sorted(retimed)
+    assert "unretried_flags" not in gate
+
+
+def test_unretryable_flag_is_skipped_once_and_reported(tmp_path, monkeypatch):
+    """ADVICE r16: a name whose retime() returns None (big section
+    errored/skipped) must go to a skip set — attempted exactly once,
+    not on every pass — and if it is still flagged at the end it is
+    listed in gate["unretried_flags"] so readers know the number is a
+    cold single shot."""
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _: str(tmp_path))
+    names = [f"q{i:02d}" for i in range(9)]
+    (tmp_path / "bench_baseline.json").write_text(
+        json.dumps({"best_sec": {n: 1.0 for n in names}})
+    )
+    timings = dict.fromkeys(names, 1.0)
+    timings["big:q08"] = 2.5
+    del timings["q08"]
+    (tmp_path / "bench_baseline.json").write_text(
+        json.dumps({"best_sec": {**{n: 1.0 for n in names[:8]},
+                                 "big:q08": 1.0}})
+    )
+    calls: list[str] = []
+
+    def retime(name):
+        calls.append(name)
+        return None
+
+    gate = bench.apply_warm_retries(timings, timings, {}, {}, retime)
+    assert calls == ["big:q08"], "unretryable name re-attempted"
+    assert sorted(gate["flagged"]) == ["big:q08"]
+    assert gate["retried"] == []
+    assert gate["unretried_flags"] == ["big:q08"]
+
+
+def test_final_line_gate_counts_match_full_sets():
+    """VERDICT r16 #4: n_flagged counts the FULL final flagged set while
+    the name list is truncated to 5 for the line budget; the payload
+    must say so explicitly instead of looking inconsistent."""
+    flagged = {
+        f"q{i:02d}": {"sec": 2.0, "best_sec": 1.0, "normalized_ratio": 2.0}
+        for i in range(22)
+    }
+    gate = {"checked": True, "env_factor": 1.0, "flagged": flagged,
+            "retried": [f"q{i:02d}" for i in range(12)]}
+    payload = bench.final_line(1.0, {}, {}, {}, gate, 0.1)
+    g = payload["gate"]
+    assert g["n_flagged"] == 22 and len(g["flagged"]) == 5
+    assert g["n_retried"] == 12 and len(g["retried"]) == 8
+    assert g["lists_truncated"] is True
+
+    small = {"checked": True, "env_factor": 1.0, "retried": ["a"],
+             "flagged": {"b": {}}}
+    g2 = bench.final_line(1.0, {}, {}, {}, small, 0.1)["gate"]
+    assert g2["n_flagged"] == 1 and g2["n_retried"] == 1
+    assert "lists_truncated" not in g2

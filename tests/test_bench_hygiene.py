@@ -57,3 +57,24 @@ def test_gate_retried_is_a_name_list():
     assert 'gate["retried"] = sorted(retried)' in src
     assert 'gate["retried"] = True' not in src
     assert "apply_warm_retries" in inspect.getsource(bench.main)
+
+
+def test_detail_written_per_cpus_and_fixed_path(tmp_path, monkeypatch):
+    """VERDICT r16 #2: the driver's 8-CPU scaling run used to overwrite
+    BENCH_DETAIL.json, destroying the graded 32-CPU run's per-query
+    extra/big record.  write_detail now emits a cpus-suffixed copy next
+    to the fixed path, so two runs at different core counts leave two
+    surviving per-query records."""
+    import json
+
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _: str(tmp_path))
+    bench.write_detail({"cpus": "32", "queries": {"wc": 1.0}}, "32")
+    bench.write_detail({"cpus": "8", "queries": {"wc": 4.0}}, "8")
+
+    fixed = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    c32 = json.loads((tmp_path / "BENCH_DETAIL_c32.json").read_text())
+    c8 = json.loads((tmp_path / "BENCH_DETAIL_c8.json").read_text())
+    assert fixed["cpus"] == "8", "fixed path is the last run (back-compat)"
+    assert c32["queries"]["wc"] == 1.0, "32-CPU record survived the 8-CPU run"
+    assert c8["queries"]["wc"] == 4.0
+    assert "write_detail" in __import__("inspect").getsource(bench.main)

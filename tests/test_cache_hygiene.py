@@ -10,9 +10,10 @@
    exactly what it registered.  The round-15 sweep
    (tools/cache_accounting_sweep.py) measured every batch registry
    query (the 15 streaming_ jobs drive their own lifecycles and are
-   skipped): of the 250 swept ops, 207 register nothing (round 16
+   skipped): of the 250 swept ops, 206 register nothing (round 16
    moved tfidf_top_terms, doc_perplexity, doc_perplexity_bigram and
-   perplexity_tail_split into the handle census), the 40
+   perplexity_tail_split into the handle census; round 17 added
+   image_phash_pairs), the 41
    HANDLE_OPS below account for every persist, and the three
    SELF_MANAGED graph ops release
    their own caches and keep only localCheckpoint blocks (which the
@@ -66,6 +67,10 @@ HANDLE_OPS = [
     "dsir_topk_selection",
     "dup_graph_degree_stats",
     "image_phash_clusters",
+    # r17: the pHash signature relation (3 longs/image) is persisted
+    # across the pair builder's four branches (band self-join + both
+    # Hamming verify sides) — the Python decode pass runs once
+    "image_phash_pairs",
     "incremental_triage_materialized",
     "ivf_int8_topk",
     "ivf_mass_recall_curve",
